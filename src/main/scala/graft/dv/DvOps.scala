@@ -1,0 +1,163 @@
+package graft.dv
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Load metadata attached to every vault row (mirrors the reference's
+  * `load_dts, record_source, run_id` audit columns). */
+final case class LoadContext(loadDts: Timestamp, recordSource: String, runId: Long)
+
+/** Core Data Vault load operators as pure DataFrame → DataFrame transformations.
+  *
+  * Each mirrors a SQL template of the reference (mallarddv/db/sql_templates.py)
+  * but is expressed as a declarative Spark plan so Catalyst can push filters,
+  * prune columns, and AQE can pick broadcast-vs-shuffle per batch size:
+  *
+  *  - [[newHubRows]]    ← INSERT_HUB        (sql_templates.py:181-198)
+  *  - [[newLinkRows]]   ← INSERT_LINK       (sql_templates.py:201-217)
+  *  - [[satNewRows]]    ← INSERT_SAT_NEW    (sql_templates.py:220-252)
+  *  - [[satDeleteRows]] ← INSERT_SAT_DELETE (sql_templates.py:254-293)
+  *  - [[currentRows]]   ← CREATE_CURRENT_VIEW (sql_templates.py:135-160)
+  *  - [[asOfRows]]      — point-in-time extension of the current view.
+  *
+  * Scale posture: anti-joins shuffle on the 40-char hash key, which is
+  * uniformly distributed by construction (no skew); increments are typically
+  * ≪ vault size so AQE converts the staging side to broadcast. "Latest row
+  * per key" uses `max_by` partial aggregation (map-side combine) instead of a
+  * global sort window.
+  */
+object DvOps {
+
+  /** Latest row per hash key: deterministic via (load_dts, run_id, hash_diff)
+    * ordering. Partial-aggregating `max_by` — no sort, no window. */
+  def latestRows(sat: DataFrame, hk: String): DataFrame = {
+    val all = struct(sat.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(col("load_dts"), col("run_id"), col("hash_diff"))
+    sat.groupBy(col(hk)).agg(max_by(all, ord).as("__r")).select(col("__r.*"))
+  }
+
+  /** New-hub-rows load: distinct staged keys anti-joined against the existing
+    * hub. `bkFields` maps staged source field → hub business-key column. */
+  def newHubRows(
+      hashView: DataFrame,
+      existingHub: DataFrame,
+      groupName: String,
+      bkFields: Seq[(String, String)],
+      hkName: String,
+      ctx: LoadContext
+  ): DataFrame = {
+    val staged = hashView
+      .select((col(s"${groupName}_hk").as(hkName) +: bkFields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*)
+      .distinct()
+    val fresh = staged.join(existingHub.select(col(hkName)), Seq(hkName), "left_anti")
+    fresh.select(
+      (Seq(
+        col(hkName),
+        lit(ctx.loadDts).as("load_dts"),
+        lit(ctx.recordSource).as("record_source"),
+        lit(ctx.runId).as("run_id")
+      ) ++ bkFields.map { case (_, t) => col(t) }).toIndexedSeq: _*
+    )
+  }
+
+  /** New-link-rows load: same anti-join pattern; `legFields` maps the staged
+    * hash-view column (either `<hubgroup>_hk` for a leg or a plain degenerate
+    * key field) → link column. */
+  def newLinkRows(
+      hashView: DataFrame,
+      existingLink: DataFrame,
+      groupName: String,
+      legFields: Seq[(String, String)],
+      hkName: String,
+      ctx: LoadContext
+  ): DataFrame = {
+    val staged = hashView
+      .select((col(s"${groupName}_hk").as(hkName) +: legFields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*)
+      .distinct()
+    val fresh = staged.join(existingLink.select(col(hkName)), Seq(hkName), "left_anti")
+    fresh.select(
+      (Seq(
+        col(hkName),
+        lit(ctx.loadDts).as("load_dts"),
+        lit(ctx.recordSource).as("record_source"),
+        lit(ctx.runId).as("run_id")
+      ) ++ legFields.map { case (_, t) => col(t) }).toIndexedSeq: _*
+    )
+  }
+
+  /** Satellite delta insert: staged rows whose (hk, hash_diff) does NOT match
+    * the latest active (del_flag=false) satellite row for that key. Covers
+    * brand-new keys, changed payloads, and re-activation after deletion —
+    * reference INSERT_SAT_NEW semantics.
+    *
+    * @param hkSource      hash-view column holding the parent hub/link hash key
+    * @param hashdiffField hash-view column holding the payload hashdiff
+    * @param fields        staged source field → satellite column
+    */
+  def satNewRows(
+      hashView: DataFrame,
+      existingSat: DataFrame,
+      hkSource: String,
+      hashdiffField: String,
+      fields: Seq[(String, String)],
+      satHk: String,
+      ctx: LoadContext
+  ): DataFrame = {
+    val staged = hashView
+      .select(
+        (Seq(col(hkSource).as(satHk), col(hashdiffField).as("hash_diff")) ++
+          fields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*
+      )
+      .distinct()
+    val active = latestRows(existingSat, satHk)
+      .filter(!col("del_flag"))
+      .select(col(satHk), col("hash_diff"))
+    val fresh = staged.join(active, Seq(satHk, "hash_diff"), "left_anti")
+    fresh.select(
+      (Seq(
+        col(satHk),
+        lit(ctx.loadDts).as("load_dts"),
+        lit(false).as("del_flag"),
+        col("hash_diff"),
+        lit(ctx.recordSource).as("record_source"),
+        lit(ctx.runId).as("run_id")
+      ) ++ fields.map { case (_, t) => col(t) }).toIndexedSeq: _*
+    )
+  }
+
+  /** Full-load delete detection: latest active satellite rows whose key is
+    * absent from the staged batch become `del_flag=true` rows carrying the
+    * previous payload and hash_diff — reference INSERT_SAT_DELETE semantics. */
+  def satDeleteRows(
+      hashView: DataFrame,
+      existingSat: DataFrame,
+      hkSource: String,
+      fields: Seq[String],
+      satHk: String,
+      ctx: LoadContext
+  ): DataFrame = {
+    val stagedKeys = hashView.select(col(hkSource).as(satHk)).distinct()
+    val gone = latestRows(existingSat, satHk)
+      .filter(!col("del_flag"))
+      .join(stagedKeys, Seq(satHk), "left_anti")
+    gone.select(
+      (Seq(
+        col(satHk),
+        lit(ctx.loadDts).as("load_dts"),
+        lit(true).as("del_flag"),
+        col("hash_diff"),
+        lit(ctx.recordSource).as("record_source"),
+        lit(ctx.runId).as("run_id")
+      ) ++ fields.map(col)).toIndexedSeq: _*
+    )
+  }
+
+  /** Current view: latest satellite row per key (all columns). */
+  def currentRows(sat: DataFrame, satHk: String): DataFrame = latestRows(sat, satHk)
+
+  /** Point-in-time view: latest satellite row per key as of `ts` (inclusive). */
+  def asOfRows(sat: DataFrame, satHk: String, ts: Column): DataFrame =
+    latestRows(sat.filter(col("load_dts") <= ts), satHk)
+}

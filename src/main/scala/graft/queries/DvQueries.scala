@@ -1,0 +1,342 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dv.{DvOps, HashGen, HashView, LoadContext}
+import graft.meta.Transition
+
+/** Driver-checked Data Vault queries: each exercises one engine operator as a
+  * pure DataFrame pipeline over the test tables, with an equivalent DuckDB
+  * oracle. "Existing vault state" is simulated deterministically from the
+  * input data (e.g. a modulo of the key = previously loaded batch) so the
+  * incremental-load semantics are fully verifiable in SQL.
+  *
+  * All hashes here use md5 (driver's DuckDB 1.0 lacks sha1; engine default
+  * remains sha1 — see graft.dv.HashGen).
+  */
+object DvQueries {
+
+  private val Algo = HashGen.Md5
+  private val ctx  = LoadContext(Timestamp.valueOf("2026-01-01 00:00:00"), "verify", 1L)
+
+  /** md5(upper(concat_ws('||', coalesce(x::string,'') ...))) in DuckDB SQL. */
+  private def sqlHash(fields: String*): String =
+    s"md5(upper(concat_ws('||', ${fields.map(f => s"coalesce(cast($f as varchar),'')").mkString(", ")})))"
+
+  private def sqlHashDec(fields: String*): String =
+    s"md5(upper(concat_ws('||', ${fields.mkString(", ")})))"
+
+  /** DuckDB canonical stringification of a double field (matches HashGen.stringifyFloating). */
+  private def decStr(f: String): String = s"coalesce(cast(cast($f as decimal(18,4)) as varchar),'')"
+
+  // ---------------------------------------------------------------- hashing
+
+  /** #3: hub hash key over a single business key. */
+  def hashHub(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), HashGen.hashCols(Seq(col("c_custkey")), Algo).as("customer_hk"))
+
+  val hashHubSql: String =
+    s"SELECT c_custkey, ${sqlHash("c_custkey")} AS customer_hk FROM customer"
+
+  /** #4: composite + raw + transformed business keys, metadata-driven via HashView. */
+  def hashComposite(s: SparkSession, dir: String): DataFrame = {
+    val transitions = Seq(
+      Transition("part", "p_partkey", "hub_part", "p_partkey_cbk", "part", 1, raw = false, None, "bk"),
+      Transition("part", "base_part", "hub_part", "p_type_cbk", "part", 2, raw = true, None, "bk"),
+      Transition("part", "p_name", "hsat_part", "p_name", "part_details", 1, raw = false, Some("trim(#)"), "f"),
+      Transition("part", "p_brand", "hsat_part", "p_brand", "part_details", 2, raw = false, None, "f")
+    )
+    HashView.build(Tables.load(s, dir, "part"), transitions, Algo)
+      .select(col("p_partkey"), col("part_hk"), col("part_details_hashdiff"), col("p_name"), col("p_brand"))
+  }
+
+  val hashCompositeSql: String =
+    s"""SELECT p_partkey,
+       | ${sqlHash("p_partkey", "'base_part'")} AS part_hk,
+       | ${sqlHash("trim(p_name)", "p_brand")} AS part_details_hashdiff,
+       | trim(p_name) AS p_name, p_brand
+       |FROM part""".stripMargin
+
+  /** #5: link hash key — legs resolve to hub bk source fields + degenerate key. */
+  def hashLink(s: SparkSession, dir: String): DataFrame = {
+    val transitions = Seq(
+      Transition("orders", "o_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("orders", "o_orderkey", "hub_order", "o_orderkey_bk", "order", 1, raw = false, None, "bk"),
+      Transition("orders", "customer", "link_order_customer", "customer_hk", "order_customer", 1, raw = false, None, "ll"),
+      Transition("orders", "order", "link_order_customer", "order_hk", "order_customer", 2, raw = false, None, "ll"),
+      Transition("orders", "o_orderpriority", "link_order_customer", "o_orderpriority_dk", "order_customer", 3, raw = false, None, "dk")
+    )
+    HashView.build(Tables.load(s, dir, "orders"), transitions, Algo)
+      .select(col("o_orderkey"), col("customer_hk"), col("order_hk"), col("order_customer_hk"))
+  }
+
+  val hashLinkSql: String =
+    s"""SELECT o_orderkey,
+       | ${sqlHash("o_custkey")} AS customer_hk,
+       | ${sqlHash("o_orderkey")} AS order_hk,
+       | ${sqlHash("o_custkey", "o_orderkey", "o_orderpriority")} AS order_customer_hk
+       |FROM orders""".stripMargin
+
+  /** #6: satellite hashdiff with a floating payload field (decimal-canonicalized). */
+  def hashSat(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    cust.select(
+      col("c_custkey"),
+      HashGen.hashCols(
+        Seq(HashGen.stringify(col("c_name")), HashGen.stringifyFloating(col("c_acctbal")), HashGen.stringify(col("c_mktsegment"))),
+        Algo
+      ).as("customer_details_hashdiff")
+    )
+  }
+
+  val hashSatSql: String =
+    s"""SELECT c_custkey,
+       | ${sqlHashDec("coalesce(cast(c_name as varchar),'')", decStr("c_acctbal"), "coalesce(cast(c_mktsegment as varchar),'')")} AS customer_details_hashdiff
+       |FROM customer""".stripMargin
+
+  // ----------------------------------------------------------------- loads
+
+  private def customerHashView(s: SparkSession, dir: String): DataFrame = {
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+      Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f")
+    )
+    HashView.build(Tables.load(s, dir, "customer"), transitions, Algo)
+  }
+
+  /** #7: hub load — existing hub = custkey % 3 == 0; result = newly inserted rows. */
+  def hubLoad(s: SparkSession, dir: String): DataFrame = {
+    val hv = customerHashView(s, dir)
+    val existing = hv.filter(col("c_custkey") % 3 === 0)
+      .select(col("customer_hk").as("customer_hk")).distinct()
+    DvOps.newHubRows(hv, existing, "customer", Seq("c_custkey" -> "c_custkey_bk"), "customer_hk", ctx)
+  }
+
+  val hubLoadSql: String =
+    s"""WITH src AS (SELECT ${sqlHash("c_custkey")} AS customer_hk, c_custkey FROM customer),
+       | hub AS (SELECT DISTINCT customer_hk FROM src WHERE c_custkey % 3 = 0),
+       | staged AS (SELECT DISTINCT customer_hk, c_custkey FROM src)
+       |SELECT st.customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(1 AS BIGINT) AS run_id,
+       |       st.c_custkey AS c_custkey_bk
+       |FROM staged st LEFT JOIN hub h ON st.customer_hk = h.customer_hk
+       |WHERE h.customer_hk IS NULL""".stripMargin
+
+  /** #8: link load — existing link = orderkey % 2 == 0. */
+  def linkLoad(s: SparkSession, dir: String): DataFrame = {
+    val transitions = Seq(
+      Transition("orders", "o_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("orders", "o_orderkey", "hub_order", "o_orderkey_bk", "order", 1, raw = false, None, "bk"),
+      Transition("orders", "customer", "link_order_customer", "customer_hk", "oc", 1, raw = false, None, "ll"),
+      Transition("orders", "order", "link_order_customer", "order_hk", "oc", 2, raw = false, None, "ll")
+    )
+    val hv = HashView.build(Tables.load(s, dir, "orders"), transitions, Algo)
+    val existing = hv.filter(col("o_orderkey") % 2 === 0)
+      .select(col("oc_hk").as("order_customer_hk")).distinct()
+    DvOps.newLinkRows(
+      hv, existing, "oc",
+      Seq("customer_hk" -> "customer_hk", "order_hk" -> "order_hk"),
+      "order_customer_hk", ctx
+    )
+  }
+
+  val linkLoadSql: String =
+    s"""WITH src AS (
+       |  SELECT o_orderkey,
+       |         ${sqlHash("o_custkey", "o_orderkey")} AS oc_hk,
+       |         ${sqlHash("o_custkey")} AS customer_hk,
+       |         ${sqlHash("o_orderkey")} AS order_hk
+       |  FROM orders),
+       | lnk AS (SELECT DISTINCT oc_hk AS order_customer_hk FROM src WHERE o_orderkey % 2 = 0),
+       | staged AS (SELECT DISTINCT oc_hk AS order_customer_hk, customer_hk, order_hk FROM src)
+       |SELECT st.order_customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(1 AS BIGINT) AS run_id,
+       |       st.customer_hk, st.order_hk
+       |FROM staged st LEFT JOIN lnk l ON st.order_customer_hk = l.order_customer_hk
+       |WHERE l.order_customer_hk IS NULL""".stripMargin
+
+  // Orders-as-satellite simulation shared by the sat queries: the "existing"
+  // satellite holds orders from before 1997 (one version per key), the staged
+  // batch is all orders with a perturbed priority for orderkey % 10 == 0.
+  private def ordersStagedHv(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders").withColumn(
+      "o_orderpriority",
+      when(col("o_orderkey") % 10 === 0, lit("CHANGED")).otherwise(col("o_orderpriority"))
+    )
+    orders.select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      HashGen.hashCols(Seq(col("o_orderkey")), Algo).as("order_hk"),
+      HashGen.hashCols(Seq(col("o_orderstatus"), col("o_orderpriority")), Algo).as("order_details_hashdiff")
+    )
+  }
+
+  private def ordersExistingSat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(
+        HashGen.hashCols(Seq(col("o_orderkey")), Algo).as("order_hk"),
+        lit(Timestamp.valueOf("2025-01-01 00:00:00")).as("load_dts"),
+        lit(false).as("del_flag"),
+        HashGen.hashCols(Seq(col("o_orderstatus"), col("o_orderpriority")), Algo).as("hash_diff"),
+        lit("seed").as("record_source"),
+        lit(0L).as("run_id"),
+        col("o_orderstatus"), col("o_orderpriority")
+      )
+
+  private val ordersSatSqlCtes: String =
+    s"""WITH staged AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |         CASE WHEN o_orderkey % 10 = 0 THEN 'CHANGED' ELSE o_orderpriority END AS o_orderpriority,
+       |         ${sqlHash("o_orderkey")} AS order_hk,
+       |         ${sqlHashDec("coalesce(cast(o_orderstatus as varchar),'')", "coalesce(cast(CASE WHEN o_orderkey % 10 = 0 THEN 'CHANGED' ELSE o_orderpriority END as varchar),'')")} AS order_details_hashdiff
+       |  FROM orders),
+       | sat AS (
+       |  SELECT ${sqlHash("o_orderkey")} AS order_hk,
+       |         TIMESTAMP '2025-01-01 00:00:00' AS load_dts,
+       |         FALSE AS del_flag,
+       |         ${sqlHashDec("coalesce(cast(o_orderstatus as varchar),'')", "coalesce(cast(o_orderpriority as varchar),'')")} AS hash_diff,
+       |         'seed' AS record_source, CAST(0 AS BIGINT) AS run_id,
+       |         o_orderstatus, o_orderpriority
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin
+
+  /** #9: satellite delta load — new keys + changed payloads inserted. */
+  def satDelta(s: SparkSession, dir: String): DataFrame =
+    DvOps.satNewRows(
+      ordersStagedHv(s, dir), ordersExistingSat(s, dir),
+      hkSource = "order_hk", hashdiffField = "order_details_hashdiff",
+      fields = Seq("o_orderstatus" -> "o_orderstatus", "o_orderpriority" -> "o_orderpriority"),
+      satHk = "order_hk", ctx
+    )
+
+  val satDeltaSql: String =
+    s"""$ordersSatSqlCtes
+       |SELECT DISTINCT st.order_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       FALSE AS del_flag,
+       |       st.order_details_hashdiff AS hash_diff,
+       |       'verify' AS record_source, CAST(1 AS BIGINT) AS run_id,
+       |       st.o_orderstatus, st.o_orderpriority
+       |FROM staged st
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sat
+       |  WHERE sat.order_hk = st.order_hk
+       |    AND sat.hash_diff = st.order_details_hashdiff
+       |    AND sat.del_flag = FALSE)""".stripMargin
+
+  /** #10: full-load delete detection — keys absent from staging get del rows. */
+  def satFull(s: SparkSession, dir: String): DataFrame = {
+    val staged = ordersStagedHv(s, dir).filter(col("o_orderkey") % 5 =!= 0)
+    DvOps.satDeleteRows(
+      staged, ordersExistingSat(s, dir),
+      hkSource = "order_hk",
+      fields = Seq("o_orderstatus", "o_orderpriority"),
+      satHk = "order_hk", ctx
+    )
+  }
+
+  val satFullSql: String =
+    s"""$ordersSatSqlCtes
+       |SELECT sat.order_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       TRUE AS del_flag,
+       |       sat.hash_diff,
+       |       'verify' AS record_source, CAST(1 AS BIGINT) AS run_id,
+       |       sat.o_orderstatus, sat.o_orderpriority
+       |FROM sat
+       |WHERE sat.del_flag = FALSE
+       |  AND NOT EXISTS (SELECT 1 FROM staged st WHERE st.order_hk = sat.order_hk AND st.o_orderkey % 5 <> 0)""".stripMargin
+
+  // Lineitem-as-versioned-satellite: hk from l_orderkey, version time = l_shipdate.
+  private def lineitemSat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      HashGen.hashCols(Seq(col("l_orderkey")), Algo).as("order_hk"),
+      col("l_shipdate").as("load_dts"),
+      lit(false).as("del_flag"),
+      HashGen.hashCols(Seq(col("l_partkey"), col("l_linenumber")), Algo).as("hash_diff"),
+      lit("seed").as("record_source"),
+      col("l_linenumber").cast("long").as("run_id"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity")
+    )
+
+  private val lineitemSatSqlCte: String =
+    s"""WITH sat AS (
+       |  SELECT ${sqlHash("l_orderkey")} AS order_hk,
+       |         l_shipdate AS load_dts,
+       |         FALSE AS del_flag,
+       |         ${sqlHash("l_partkey", "l_linenumber")} AS hash_diff,
+       |         'seed' AS record_source,
+       |         CAST(l_linenumber AS BIGINT) AS run_id,
+       |         l_partkey, l_suppkey, l_quantity
+       |  FROM lineitem)""".stripMargin
+
+  /** #11: current view — latest row per key, deterministic tiebreak. */
+  def satCurrent(s: SparkSession, dir: String): DataFrame =
+    DvOps.currentRows(lineitemSat(s, dir), "order_hk")
+
+  val satCurrentSql: String =
+    s"""$lineitemSatSqlCte
+       |SELECT order_hk, load_dts, del_flag, hash_diff, record_source, run_id, l_partkey, l_suppkey, l_quantity
+       |FROM (SELECT *, row_number() OVER (PARTITION BY order_hk ORDER BY load_dts DESC, run_id DESC, hash_diff DESC) AS rn FROM sat) x
+       |WHERE rn = 1""".stripMargin
+
+  /** #12: point-in-time view as of 1996-06-01. */
+  def pitAsOf(s: SparkSession, dir: String): DataFrame =
+    DvOps.asOfRows(lineitemSat(s, dir), "order_hk", lit(Timestamp.valueOf("1996-06-01 00:00:00")))
+
+  val pitAsOfSql: String =
+    s"""$lineitemSatSqlCte
+       |SELECT order_hk, load_dts, del_flag, hash_diff, record_source, run_id, l_partkey, l_suppkey, l_quantity
+       |FROM (SELECT *, row_number() OVER (PARTITION BY order_hk ORDER BY load_dts DESC, run_id DESC, hash_diff DESC) AS rn
+       |      FROM sat WHERE load_dts <= TIMESTAMP '1996-06-01 00:00:00') x
+       |WHERE rn = 1""".stripMargin
+
+  /** #2: metadata-typed staging load (projection + cast from metadata types). */
+  def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      ("c_custkey", "BIGINT"), ("c_name", "VARCHAR"), ("c_nationkey", "INTEGER"),
+      ("c_acctbal", "DOUBLE"), ("c_mktsegment", "VARCHAR")
+    )
+    graft.etl.Staging.project(Tables.load(s, dir, "customer"), cols)
+  }
+
+  val stgLoadCustomerSql: String =
+    "SELECT c_custkey, c_name, CAST(c_nationkey AS INTEGER) AS c_nationkey, c_acctbal, c_mktsegment FROM customer"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stg_load_customer" -> (stgLoadCustomer _),
+    "dv_hash_hub" -> (hashHub _),
+    "dv_hash_composite" -> (hashComposite _),
+    "dv_hash_link" -> (hashLink _),
+    "dv_hash_sat" -> (hashSat _),
+    "dv_hub_load" -> (hubLoad _),
+    "dv_link_load" -> (linkLoad _),
+    "dv_sat_delta" -> (satDelta _),
+    "dv_sat_full" -> (satFull _),
+    "dv_sat_current" -> (satCurrent _),
+    "dv_pit_asof" -> (pitAsOf _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stg_load_customer" -> stgLoadCustomerSql,
+    "dv_hash_hub" -> hashHubSql,
+    "dv_hash_composite" -> hashCompositeSql,
+    "dv_hash_link" -> hashLinkSql,
+    "dv_hash_sat" -> hashSatSql,
+    "dv_hub_load" -> hubLoadSql,
+    "dv_link_load" -> linkLoadSql,
+    "dv_sat_delta" -> satDeltaSql,
+    "dv_sat_full" -> satFullSql,
+    "dv_sat_current" -> satCurrentSql,
+    "dv_pit_asof" -> pitAsOfSql
+  )
+}

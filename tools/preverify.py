@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/preverify.py <sf_dir> <verify_out_dir>
+
+For each query result parquet in <verify_out_dir> (written by graft.Verify)
+with an entry in oracle_sql.json, run the oracle SQL in DuckDB against the
+same parquet tables, sort columns by name and rows by all values, and compare.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    return repr(v)
+
+
+def table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failed = []
+    for name in sorted(oracles):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"MISSING  {name} (no result parquet)")
+            failed.append(name)
+            continue
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        got_cols = [c.lower() for c in got.columns]
+        got_rows = got.fetchall()
+        try:
+            want = con.sql(oracles[name])
+            want_cols = [c.lower() for c in want.columns]
+            want_rows = want.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            failed.append(name)
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"COLS     {name}: spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+            failed.append(name)
+            continue
+        gk, wk = table_key(got_rows, got_cols), table_key(want_rows, want_cols)
+        if len(gk) != len(wk):
+            print(f"ROWS     {name}: spark={len(gk)} oracle={len(wk)}")
+            failed.append(name)
+        elif gk != wk:
+            bad = next(i for i, (a, b) in enumerate(zip(gk, wk)) if a != b)
+            print(f"VALUES   {name}: first diff at sorted row {bad}:")
+            print(f"  spark : {gk[bad]}")
+            print(f"  oracle: {wk[bad]}")
+            failed.append(name)
+        else:
+            print(f"OK       {name} ({len(gk)} rows)")
+    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
