@@ -72,13 +72,205 @@ object Analytics {
       |  AND l_discount >= 0.03 AND l_discount <= 0.05
       |  AND l_quantity < 24""".stripMargin
 
+  private def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+
+  /** q3: shipping priority — fact-side filters first, dimension broadcast. */
+  def q3Priority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1995-03-15 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3OracleSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q5: 5-way star join — small dims broadcast, single shuffle on the fact keys. */
+  def q5Volume(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supplier = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1994-01-01 00:00:00") && col("o_orderdate") < ts("1995-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
+  }
+
+  val q5OracleSql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** q10: returned items report — join + agg + deterministic top-20. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1993-10-01 00:00:00") && col("o_orderdate") < ts("1994-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10OracleSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q12: conditional aggregation — priority class counts per line status. */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1994-01-01 00:00:00") && col("l_shipdate") < ts("1995-01-01 00:00:00"))
+      .select("l_orderkey", "l_linestatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count")
+      )
+  }
+
+  val q12OracleSql: String =
+    """SELECT l_linestatus,
+      | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** top-3 orders per customer by totalprice — window rank with unique tiebreak. */
+  def topkOrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
+  val topkOracleSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      | FROM orders) x
+      |WHERE rk <= 3""".stripMargin
+
+  /** customers with no orders — anti join. */
+  def antiNoOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey", "c_name")
+      .join(t(s, dir, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+
+  val antiNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** hourly event rollup — time-bucketed aggregation. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")
+      )
+
+  val eventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      | COUNT(*) AS n_events,
+      | COUNT(DISTINCT user_id) AS n_users,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** gap-based sessionization (30 min) — lag + cumulative boundary counting. */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), lag(col("ts"), 1).over(byUser).as("prev_ts"))
+      .withColumn(
+        "is_new",
+        when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+
+  val eventsSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      | s AS (
+      |  SELECT user_id, ts,
+      |         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
-    "q6_revenue" -> (q6Revenue _)
+    "q3_priority" -> (q3Priority _),
+    "q5_volume" -> (q5Volume _),
+    "q6_revenue" -> (q6Revenue _),
+    "q10_returns" -> (q10Returns _),
+    "q12_shipmode" -> (q12Priority _),
+    "topk_orders_per_cust" -> (topkOrdersPerCust _),
+    "anti_no_orders" -> (antiNoOrders _),
+    "events_hourly" -> (eventsHourly _),
+    "events_sessions" -> (eventsSessions _)
   )
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1OracleSql,
-    "q6_revenue" -> q6OracleSql
+    "q3_priority" -> q3OracleSql,
+    "q5_volume" -> q5OracleSql,
+    "q6_revenue" -> q6OracleSql,
+    "q10_returns" -> q10OracleSql,
+    "q12_shipmode" -> q12OracleSql,
+    "topk_orders_per_cust" -> topkOracleSql,
+    "anti_no_orders" -> antiNoOrdersSql,
+    "events_hourly" -> eventsHourlySql,
+    "events_sessions" -> eventsSessionsSql
   )
 }
