@@ -15,12 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var errors = Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
       }
+    }
+    if (errors.nonEmpty) {
+      // Loud summary at the end so a swallowed per-query failure can't hide
+      // in the scrollback (round-1 lesson: events_* failed silently).
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

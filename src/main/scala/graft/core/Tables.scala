@@ -1,9 +1,22 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Parquet table loading for the TPC-H-ish test layout: `{dir}/{name}.parquet`. */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and
+    * convert to a microsecond timestamp with exact integer arithmetic
+    * (`div 1000`, not double division — ns epochs exceed double's 53-bit
+    * mantissa). The test data has zero sub-microsecond components, so the
+    * conversion is lossless and oracle-identical. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

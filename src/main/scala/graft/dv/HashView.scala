@@ -36,8 +36,16 @@ object HashView {
     )
     val baseFields: Seq[(String, Column)] = orderedGroupBy(baseRecords)(_.sourceField).map {
       case (field, rs) =>
-        val t = rs.head.transformation
-        val c = t match {
+        // The base projection exposes one column per source field, so two
+        // transitions giving the same field DIFFERENT transformations cannot
+        // both be honored — one group would silently hash the other's value.
+        // Fail loudly instead (the reference dedups by full expression text).
+        val distinctTs = rs.map(_.transformation).distinct
+        if (distinctTs.size > 1)
+          throw new IllegalArgumentException(
+            s"conflicting transformations for source field '$field': " +
+              distinctTs.map(_.getOrElse("<identity>")).mkString(" vs "))
+        val c = distinctTs.head match {
           case Some(sql) => expr(sql.replace("#", field))
           case None      => col(field)
         }

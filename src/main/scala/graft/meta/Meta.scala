@@ -61,26 +61,32 @@ final class MetaStore(
 
 object MetaStore {
 
-  /** Spark SQL type for a metadata `column_type` declaration. */
+  /** Spark SQL type for a metadata `column_type` declaration. Multi-word
+    * declarations (`DOUBLE PRECISION`, `CHARACTER VARYING`) are handled, and
+    * an unrecognized type THROWS rather than silently degrading to string —
+    * a wrong staging cast would corrupt every downstream hash input. */
   def sqlType(columnType: String): DataType = {
     val t = Option(columnType).getOrElse("").trim.toUpperCase
-    val base = t.takeWhile(c => c.isLetter || c == ' ').trim
+    val base = t.takeWhile(c => c.isLetter || c == ' ' || c == '_').trim.replaceAll(" +", " ")
     base match {
-      case "INTEGER" | "INT"                    => IntegerType
-      case "BIGINT" | "LONG"                    => LongType
-      case "SMALLINT"                           => ShortType
-      case "DOUBLE" | "FLOAT8" | "REAL"         => DoubleType
-      case "FLOAT"                              => FloatType
+      case "INTEGER" | "INT" | "INT4"           => IntegerType
+      case "BIGINT" | "LONG" | "INT8"           => LongType
+      case "SMALLINT" | "INT2"                  => ShortType
+      case "TINYINT" | "INT1"                   => ByteType
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8" | "REAL" => DoubleType
+      case "FLOAT" | "FLOAT4"                   => FloatType
       case "BOOLEAN" | "BOOL"                   => BooleanType
       case "DATE"                               => DateType
-      case "TIMESTAMP" | "DATETIME"             => TimestampType
-      case "VARCHAR" | "CHAR" | "TEXT" | "STRING" => StringType
+      case "TIMESTAMP" | "DATETIME" | "TIMESTAMP WITHOUT TIME ZONE" => TimestampType
+      case "VARCHAR" | "CHAR" | "TEXT" | "STRING" | "CHARACTER VARYING" | "CHARACTER" => StringType
+      case "BINARY" | "BLOB" | "BYTEA" | "VARBINARY" => BinaryType
       case "DECIMAL" | "NUMERIC" =>
         val args = t.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").split(',').map(_.trim)
-        if (args.length == 2 && args.forall(_.forall(_.isDigit)))
+        if (args.length == 2 && args.forall(a => a.nonEmpty && a.forall(_.isDigit)))
           DecimalType(args(0).toInt, args(1).toInt)
         else DecimalType(38, 18)
-      case _ => StringType
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata column_type: '$columnType' (base '$other')")
     }
   }
 

@@ -194,18 +194,23 @@ object Analytics {
       | FROM orders) x
       |WHERE rk <= 3""".stripMargin
 
-  /** customers with no orders — anti join. */
+  /** customers with no orders before 1996-01-01 — anti join. The date cutoff
+    * keeps the result non-empty and data-dependent (every customer has SOME
+    * order in this dataset, so an unfiltered anti-join passes vacuously). */
   def antiNoOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select("c_custkey", "c_name")
-      .join(t(s, dir, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderdate") < ts("1996-01-01 00:00:00")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
 
   val antiNoOrdersSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin
 
   /** hourly event rollup — time-bucketed aggregation. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    Tables.loadEvents(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -225,7 +230,7 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
+    Tables.loadEvents(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), lag(col("ts"), 1).over(byUser).as("prev_ts"))
       .withColumn(
         "is_new",
@@ -254,7 +259,7 @@ object Analytics {
     "q5_volume" -> (q5Volume _),
     "q6_revenue" -> (q6Revenue _),
     "q10_returns" -> (q10Returns _),
-    "q12_shipmode" -> (q12Priority _),
+    "q12_priority_by_linestatus" -> (q12Priority _),
     "topk_orders_per_cust" -> (topkOrdersPerCust _),
     "anti_no_orders" -> (antiNoOrders _),
     "events_hourly" -> (eventsHourly _),
@@ -267,7 +272,7 @@ object Analytics {
     "q5_volume" -> q5OracleSql,
     "q6_revenue" -> q6OracleSql,
     "q10_returns" -> q10OracleSql,
-    "q12_shipmode" -> q12OracleSql,
+    "q12_priority_by_linestatus" -> q12OracleSql,
     "topk_orders_per_cust" -> topkOracleSql,
     "anti_no_orders" -> antiNoOrdersSql,
     "events_hourly" -> eventsHourlySql,
