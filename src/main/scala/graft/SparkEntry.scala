@@ -12,10 +12,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
-      graft.queries.DvQueries.queries
+      graft.queries.DvQueries.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Ann.queries
 
-  /** DuckDB-runnable oracle SQL per query key (same parquet tables). */
+  /** DuckDB-runnable oracle SQL per query key (same parquet tables).
+    * Keys absent here (dedup_simhash, knn_ivf) are rows-only checks. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
-      graft.queries.DvQueries.oracles
+      graft.queries.DvQueries.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.Dedup.oracles ++
+      graft.queries.Ann.oracles
 }

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY §2 #27-31).
+  *
+  * Where the raw tables contain no exact duplicates, the staged input is made
+  * non-vacuous by deterministically re-ingesting a slice (doc_id % 7 == 0 as
+  * a second batch with shifted ids; vec_id % 25 == 0 as scaled vectors) — the
+  * same simulation the DV load queries use for "existing vault state", and
+  * mirrored verbatim in the oracle SQL.
+  *
+  * Scale posture, per operator:
+  *  - exact:       one hash shuffle on the 32-hex fingerprint — uniformly
+  *                 distributed, no skew, map-side combine.
+  *  - ngram:       candidate generation blocks on raw shingles (Σf² pairs);
+  *                 fine for corpus-scale blocking demos, superseded by
+  *                 minhash at 100 TB.
+  *  - minhash+LSH: signatures are per-row array folds (no explode); only the
+  *                 4 band keys per doc are shuffled, so the join fan-out is
+  *                 bounded by band-bucket collision counts, not shingle
+  *                 frequency.
+  *  - simhash:     64-bit signature per doc, candidates via 4x16-bit chunk
+  *                 buckets (any ≤3-bit-different pair shares ≥1 chunk —
+  *                 pigeonhole over 4 chunks), verified with bit_count(xor).
+  *  - embedding:   16-plane hyperplane-LSH buckets, exact cosine verify
+  *                 inside buckets; parallel vectors always collide, so
+  *                 near-exact-duplicate recall is complete.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  /** documents ∪ re-ingested slice (doc_id%7==0, id+100000, same text). */
+  private def stagedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  private val StagedDocsSqlCte: String =
+    """staged AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  // --------------------------------------------------------------- #27 exact
+
+  /** Exact dedup: group by normalized-content fingerprint; report duplicate
+    * groups with the canonical (minimum) id and multiplicity. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    stagedDocs(s, dir)
+      .select(col("doc_id"), md5(TextFns.norm(col("text"))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  val dedupExactSql: String =
+    s"""WITH $StagedDocsSqlCte
+       |SELECT md5(${TextFns.normSql("text")}) AS fingerprint,
+       |       min(doc_id) AS canonical_doc_id,
+       |       count(*) AS n_copies
+       |FROM staged
+       |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  // --------------------------------------------------------------- #28 n-gram Jaccard
+
+  /** Per-doc distinct 3-shingle rows (doc_id, shingle). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  private val ShingleRowsSqlCtes: String =
+    s"""d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
+       | w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+       | sh AS (SELECT doc_id, ${TextFns.shinglesSql("words")} AS shingles FROM w),
+       | e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+
+  /** N-gram Jaccard near-dup: candidates blocked on shared shingles, exact
+    * Jaccard (|∩| / |∪| of distinct shingle sets) ≥ 0.5. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val e = shingleRows(s, dir)
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $ShingleRowsSqlCtes,
+       | sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+       | p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id,
+       |       CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+       |FROM p
+       |JOIN sz sa ON p.a_id = sa.doc_id
+       |JOIN sz sb ON p.b_id = sb.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5""".stripMargin
+
+  // --------------------------------------------------------------- #29 MinHash + LSH
+
+  private val NumSigs = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** MinHash+LSH near-dup: 16 salted-md5 min-signatures per doc (computed as
+    * array folds — no shingle explosion), 4 band keys, candidate pairs from
+    * band-bucket collisions, verified with exact Jaccard ≥ 0.5. The oracle
+    * replicates the SAME pipeline (including its approximation), so the
+    * result is deterministic cross-engine. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSigs = base.select(
+      (col("doc_id") +: col("sh") +:
+        (0 until NumSigs).map(i => TextFns.minhashSig(col("sh"), i).as(s"sig$i"))).toIndexedSeq: _*)
+    val withBands = withSigs.select(
+      (col("doc_id") +: col("sh") +:
+        (0 until NumBands).map { b =>
+          md5(concat_ws("|", (0 until 4).map(r => col(s"sig${4 * b + r}")): _*)).as(s"band$b")
+        }).toIndexedSeq: _*)
+    val buckets = withBands.select(
+      col("doc_id"),
+      col("sh"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_id", "bhash")))
+    val cands = buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.sh").as("sha"), col("b.doc_id").as("b_id"), col("b.sh").as("shb"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  val dedupMinhashSql: String = {
+    val sigExprs = (0 until NumSigs).map(i => s"${TextFns.minhashSigSql("shingles", i)} AS sig$i").mkString(",\n    ")
+    val bandExprs = (0 until NumBands)
+      .map(b => s"md5(sig${4 * b} || '|' || sig${4 * b + 1} || '|' || sig${4 * b + 2} || '|' || sig${4 * b + 3}) AS band$b")
+      .mkString(",\n    ")
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, shingles, $b AS band_id, band$b AS bhash FROM bands")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
+       | w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+       | sh AS (SELECT doc_id, ${TextFns.shinglesSql("words")} AS shingles FROM w),
+       | nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+       | sigs AS (
+       |  SELECT doc_id, shingles,
+       |    $sigExprs
+       |  FROM nz),
+       | bands AS (
+       |  SELECT doc_id, shingles,
+       |    $bandExprs
+       |  FROM sigs),
+       | buckets AS (
+       |  $bandUnion),
+       | cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band_id = b.band_id AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       | verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+       |  FROM cands c
+       |  JOIN nz sa ON c.a_id = sa.doc_id
+       |  JOIN nz sb ON c.b_id = sb.doc_id)
+       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #30 SimHash
+
+  /** 64-bit SimHash near-dup (Spark-only; rows-checked — xxhash64 has no
+    * DuckDB twin). Signature: per-word xxhash64, each bit contributes ±1 per
+    * occurrence, bit set where the sum is positive. Candidates: 4x16-bit
+    * chunk buckets (pigeonhole: hamming ≤ 3 ⟹ some chunk is identical),
+    * verified with bit_count(xor) ≤ 3. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val wordRows = docs(s, dir)
+      .select(col("doc_id"), explode(TextFns.words(TextFns.norm(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    // ±cnt per bit position, summed per (doc, bit) — two partial-agg shuffles.
+    val contribs = wordRows
+      .select(
+        col("doc_id"),
+        posexplode(expr("transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN cnt ELSE -cnt END)"))
+          .as(Seq("bit", "contrib")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("contrib")).as("v"))
+    val sigs = contribs
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"),
+        (0 until 4).map(k =>
+          sum(
+            when(col("v") > 0 && col("bit") >= k * 16 && col("bit") < (k + 1) * 16,
+              expr(s"shiftleft(1L, bit - ${k * 16})")).otherwise(0L)).as(s"c$k")): _*)
+    val buckets = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(array((0 until 4).map(k => col(s"c$k")): _*)).as(Seq("chunk_id", "chunk")))
+    buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= 3)
+  }
+
+  // --------------------------------------------------------------- #31 embedding near-dup
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  /** embeddings ∪ re-ingested slice (vec_id%25==0, id+100000, x1.001 scaled —
+    * scaling preserves direction so cosine vs the original is exactly ~1). */
+  private def stagedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionAll(
+      e.filter(col("vec_id") % 25 === 0)
+        .select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding")))
+  }
+
+  /** Embedding near-dup: hyperplane-LSH bucket candidates + exact cosine
+    * ≥ 0.95 verify. Output is id pairs only (similarity values are
+    * float-associativity-sensitive; ids are not). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val planes = VectorFns.planes(16, 64)
+    val v = stagedVecs(s, dir)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
+      .withColumn("bucket", VectorFns.lshBucket(col("vd"), planes))
+    v.as("a")
+      .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFns.cosine(col("a.vd"), col("b.vd")) >= 0.95)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  /** dedup_simhash is rows-only (no DuckDB xxhash64). */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql
+  )
+}

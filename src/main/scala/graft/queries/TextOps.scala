@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators over the `documents` table (SURVEY §2 #34-37).
+  *
+  * Each query has a byte-identical DuckDB oracle: regex patterns are chosen
+  * from the Java∩RE2 common dialect, ratios divide exact integers in double,
+  * and composite scores apply operations in the same written order in both
+  * engines, so the driver's value-hash compare is stable.
+  *
+  * Scale posture: every operator is a single narrow projection (+ one
+  * aggregation for nothing here) — scan-bound at 100 TB, trivially
+  * partition-parallel, no shuffle at all.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  // --------------------------------------------------------------- #37 fingerprint
+
+  /** Document fingerprint: md5 of the canonical normalization. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(TextFns.norm(col("text"))).as("fingerprint")
+    )
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id, md5(${TextFns.normSql("text")}) AS fingerprint FROM documents"""
+
+  // --------------------------------------------------------------- #36 tokens
+
+  /** Token counting: whitespace tokens + BPE-ish sub-tokens (letter runs,
+    * digit runs, single symbols). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFns.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TextFns.BpeishPattern)).cast("long").as("n_bpe_tokens")
+    )
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       | CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_ws_tokens,
+       | CAST(len(regexp_extract_all(text, '${TextFns.BpeishPattern}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- #35 quality
+
+  private val StopwordsRe = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
+
+  /** Quality scoring: structural ratios + a fixed-order composite score.
+    * Ratio denominators are guarded (documents are non-empty, but the
+    * operator shouldn't NaN on degenerate input). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nWords = TextFns.wsTokenCount(col("text")).cast("long")
+    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val uppers = regexp_count(col("text"), lit("[A-Z]")).cast("long")
+    val stops = regexp_count(lower(col("text")), lit(StopwordsRe)).cast("long")
+    val charsD = greatest(nChars, lit(1L)).cast("double")
+    val wordsD = greatest(nWords, lit(1L)).cast("double")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nWords.as("n_words"),
+        (nChars.cast("double") / wordsD).as("chars_per_word"),
+        (punct.cast("double") / charsD).as("punct_ratio"),
+        (digits.cast("double") / charsD).as("digit_ratio"),
+        (uppers.cast("double") / charsD).as("upper_ratio"),
+        (stops.cast("double") / wordsD).as("stopword_ratio")
+      )
+      .withColumn(
+        "quality_score",
+        least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.5 +
+          col("stopword_ratio") * 0.5 -
+          col("punct_ratio") * 0.25 -
+          col("digit_ratio") * 0.25
+      )
+  }
+
+  val textQualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS punct,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+       |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS uppers,
+       |    CAST(len(regexp_extract_all(lower(text), '$StopwordsRe')) AS BIGINT) AS stops
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_words,
+       |  CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS chars_per_word,
+       |  CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+       |  CAST(digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+       |  CAST(uppers AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS upper_ratio,
+       |  CAST(stops AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+       |  least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.5
+       |    + (CAST(stops AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) * 0.5
+       |    - (CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.25
+       |    - (CAST(digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.25 AS quality_score
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------------- #34 language ID
+
+  private val LangRes: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|que)\\b",
+    "es" -> "\\b(el|los|las|es|una|y|por)\\b"
+  )
+  private val CjkRe = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Language ID via stopword-hit counts (n-gram-free heuristic): count
+    * per-language stopword matches + CJK characters, argmax with a fixed
+    * priority order (en > de > fr > es > zh) on ties. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      (col("doc_id") +:
+        LangRes.map { case (l, re) => regexp_count(lower(col("text")), lit(re)).cast("long").as(s"${l}_hits") } :+
+        regexp_count(col("text"), lit(CjkRe)).cast("long").as("zh_hits")).toIndexedSeq: _*
+    )
+    val en = col("en_hits"); val de = col("de_hits"); val fr = col("fr_hits")
+    val es = col("es_hits"); val zh = col("zh_hits")
+    base.withColumn(
+      "detected_lang",
+      when(en >= de && en >= fr && en >= es && en >= zh, "en")
+        .when(de >= fr && de >= es && de >= zh, "de")
+        .when(fr >= es && fr >= zh, "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+    )
+  }
+
+  val textLangidSql: String = {
+    val hitCols = LangRes
+      .map { case (l, re) => s"CAST(len(regexp_extract_all(lower(text), '$re')) AS BIGINT) AS ${l}_hits" }
+      .mkString(",\n    ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    $hitCols,
+       |    CAST(len(regexp_extract_all(text, '$CjkRe')) AS BIGINT) AS zh_hits
+       |  FROM documents)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |  CASE
+       |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+       |    WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits >= zh_hits THEN 'de'
+       |    WHEN fr_hits >= es_hits AND fr_hits >= zh_hits THEN 'fr'
+       |    WHEN es_hits >= zh_hits THEN 'es'
+       |    ELSE 'zh'
+       |  END AS detected_lang
+       |FROM h""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fingerprint" -> (textFingerprint _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_fingerprint" -> textFingerprintSql,
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql
+  )
+}
