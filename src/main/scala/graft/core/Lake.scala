@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Layered lake storage for the vault: `{root}/{layer}/{table}` parquet
+  * directories, layers mirroring the reference's schemas
+  * (mallarddv/db/schema_manager.py:21 — stg, dv, bv, dm, metadata).
+  *
+  * The reference uses a single-file DuckDB database; the Spark re-expression
+  * is a lake layout where every table is an append/overwrite parquet
+  * directory usable from any number of executors. Vault tables are written
+  * bucketed by a hash-key prefix column (`hk_bucket`) so that at 100 TB a
+  * vault table's scan, as well as hub/link anti-joins repartitioned on the
+  * same derivation, can prune and co-locate by bucket; bucket count is
+  * configurable per lake (default 16; production would size to cluster).
+  */
+final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 16) {
+
+  def tablePath(layer: String, name: String): String = s"$root/$layer/$name"
+
+  def exists(layer: String, name: String): Boolean = {
+    val p = new Path(tablePath(layer, name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  def read(layer: String, name: String): DataFrame =
+    spark.read.parquet(tablePath(layer, name))
+
+  /** Read, or an empty frame of `schema` when the table doesn't exist yet. */
+  def readOr(layer: String, name: String, schema: StructType): DataFrame =
+    if (exists(layer, name)) {
+      // Keep a stable column set: bucketed tables carry hk_bucket on disk.
+      val df = read(layer, name)
+      df.select(schema.fieldNames.filter(df.columns.contains).map(col).toIndexedSeq: _*)
+    } else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def overwrite(df: DataFrame, layer: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(tablePath(layer, name))
+
+  def append(df: DataFrame, layer: String, name: String): Unit =
+    df.write.mode("append").parquet(tablePath(layer, name))
+
+  /** Append a vault increment partitioned by hash-key-prefix bucket. The
+    * bucket is a deterministic function of the key, so co-located reads and
+    * bucket pruning survive any number of appends. */
+  def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit =
+    df.withColumn("hk_bucket", pmod(xxhash64(col(keyCol)), lit(buckets)))
+      .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
+}

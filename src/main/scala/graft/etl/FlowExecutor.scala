@@ -1,0 +1,199 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Lake
+import graft.dv.{DvOps, HashGen, HashView, LoadContext}
+import graft.meta.{MetaStore, Transition}
+
+/** One vault-load flow outcome. */
+final case class FlowResult(
+    runId: Long,
+    status: String, // success | failure | skipped
+    skipped: Boolean,
+    errors: Seq[String],
+    loaded: Map[String, Long] // target table -> rows appended
+)
+
+/** Flow orchestration — the Spark re-expression of the reference's
+  * FlowExecutor (mallarddv/etl/flow_executor.py:60-252) over a [[Lake]]:
+  *
+  *   idempotency check (skip a file already ingested with status=success)
+  *   → run_id allocation (max over the runinfo ledger + 1)
+  *   → runinfo(start)
+  *   → stage load (file → typed staging table, truncate-and-load)
+  *   → hash view (metadata-driven, graft.dv.HashView)
+  *   → hub loads → link loads → satellite loads (delta / full)
+  *   → runinfo(success | failure).
+  *
+  * Targets are discovered from the transitions exactly like the reference:
+  * hubs = target_table `hub_*` grouped by (target, group); links = `link_*` /
+  * `nhl_*`; satellites = one per `sat_delta` / `sat_full` transition whose
+  * group names the `f` payload group (satellite_manager.py:236-267).
+  *
+  * Scale: the ledger is the only driver-side state (tiny, two actions per
+  * flow); every load is a pure DataFrame pipeline appended bucketed-by-hk,
+  * so increments shuffle only on uniformly distributed hash keys.
+  */
+final class FlowExecutor(
+    val lake: Lake,
+    val meta: MetaStore,
+    val algo: HashGen.Algo = HashGen.Sha1
+) {
+  private def spark: SparkSession = lake.spark
+
+  val runinfoSchema: StructType = StructType(Seq(
+    StructField("source_table", StringType),
+    StructField("run_id", LongType),
+    StructField("log_date", TimestampType),
+    StructField("source_file", StringType),
+    StructField("status", StringType),
+    StructField("message", StringType)
+  ))
+
+  def runinfo: DataFrame = lake.readOr("metadata", "runinfo", runinfoSchema)
+
+  /** Reference GET_RUN_ID: coalesce(max(run_id), 0) + 1. */
+  def nextRunId(): Long =
+    runinfo.agg(coalesce(max(col("run_id")), lit(0L)) + 1L).head().getLong(0)
+
+  /** Reference CHECK_INGESTION: any ledger row for (file, table, status). */
+  def alreadyIngested(sourceTable: String, filePath: String, status: String = "success"): Boolean =
+    runinfo
+      .filter(col("source_file") === filePath && col("source_table") === sourceTable && col("status") === status)
+      .limit(1).count() > 0
+
+  private def logRun(sourceTable: String, runId: Long, filePath: Option[String], status: String, message: String = ""): Unit = {
+    val row = Row(sourceTable, runId, new Timestamp(System.currentTimeMillis()), filePath.orNull, status, message)
+    lake.append(
+      spark.createDataFrame(java.util.Collections.singletonList(row), runinfoSchema),
+      "metadata", "runinfo")
+  }
+
+  /** Execute one complete load flow; mirrors execute_flow's contract. */
+  def executeFlow(
+      sourceTable: String,
+      recordSource: String,
+      filePath: Option[String] = None,
+      loadDtsOverwrite: Option[Timestamp] = None,
+      forceLoad: Boolean = false
+  ): FlowResult = {
+    if (!forceLoad && filePath.exists(alreadyIngested(sourceTable, _)))
+      return FlowResult(0L, "skipped", skipped = true, Nil, Map.empty)
+
+    val runId = nextRunId()
+    logRun(sourceTable, runId, filePath, "start")
+    val ctx = LoadContext(
+      loadDtsOverwrite.getOrElse(new Timestamp(System.currentTimeMillis())),
+      recordSource, runId)
+
+    try {
+      // Stage (truncate-and-load) when a file is given and the source is a
+      // staging table (reference CHECK_SOURCE_FOR_INGESTION).
+      filePath.foreach { fp =>
+        if (meta.getTables(Some(sourceTable), Some("stg")).nonEmpty) {
+          lake.overwrite(Staging.loadFile(spark, meta, sourceTable, fp), "stg", sourceTable)
+        }
+      }
+
+      val stg = lake.read("stg", sourceTable)
+      val transitions = meta.getTransitions(sourceTable)
+      val hv = HashView.build(stg, transitions, algo)
+      // The hash view feeds every hub/link/sat load below — materialize it
+      // once instead of recomputing the projection per target.
+      hv.cache()
+
+      var loaded = Map.empty[String, Long]
+
+      // Hubs: bk transitions grouped by (target_table, group_name).
+      val hubGroups = transitions
+        .filter(t => t.transferType == "bk" && t.targetTable.startsWith("hub_"))
+        .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
+      hubGroups.foreach { case ((target, group), fields) =>
+        val hkName = s"${target.stripPrefix("hub_")}_hk"
+        val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
+        val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
+        val existing = lake.readOr("dv", target, existingSchema)
+        val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
+        val n = appendCounted(rows, target, hkName)
+        loaded += target -> n
+      }
+
+      // Links: ll/dk transitions grouped by (target_table, group_name).
+      val linkGroups = transitions
+        .filter(t =>
+          (t.transferType == "ll" || t.transferType == "dk") &&
+            (t.targetTable.startsWith("link_") || t.targetTable.startsWith("nhl_")))
+        .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
+      linkGroups.foreach { case ((target, group), fields) =>
+        val base = target.stripPrefix("link_").stripPrefix("nhl_")
+        val hkName = s"${base}_hk"
+        val legFields = fields.sortBy(_.position).map { f =>
+          if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
+          else f.sourceField -> f.targetField
+        }
+        val existing = lake.readOr("dv", target, StructType(StructField(hkName, StringType) :: Nil))
+        val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
+        val n = appendCounted(rows, target, hkName)
+        loaded += target -> n
+      }
+
+      // Satellites: one per sat_delta / sat_full transition; the transition's
+      // source_field is the hash-view hk column, target_field the sat key
+      // base, group_name the `f` payload group.
+      val satLoads = transitions.filter(t => t.transferType == "sat_delta" || t.transferType == "sat_full")
+      satLoads.foreach { satT =>
+        val satName = satT.targetTable
+        val satHk = s"${satT.targetField}_hk"
+        val fields = transitions
+          .filter(t => t.targetTable == satName && t.groupName == satT.groupName && t.transferType == "f")
+          .sortBy(_.position).map(f => f.sourceField -> f.targetField)
+        val hashdiffField =
+          if (fields.nonEmpty) s"${satT.groupName}_hashdiff" else satT.sourceField
+        val satSchema = StructType(
+          Seq(
+            StructField(satHk, StringType), StructField("load_dts", TimestampType),
+            StructField("del_flag", BooleanType), StructField("hash_diff", StringType),
+            StructField("record_source", StringType), StructField("run_id", LongType)
+          ) ++ fields.map(f => StructField(f._2, StringType)))
+        val existing = lake.readOr("dv", satName, satSchema)
+        val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
+        var n = appendCounted(newRows, satName, satHk)
+        if (satT.transferType == "sat_full") {
+          // Delete detection must see the vault INCLUDING this run's inserts
+          // (reference runs the two INSERTs sequentially on the same table).
+          val afterNew = lake.readOr("dv", satName, satSchema)
+          val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
+          n += appendCounted(delRows, satName, satHk)
+        }
+        loaded += satName -> n
+      }
+
+      hv.unpersist()
+      logRun(sourceTable, runId, filePath, "success",
+        loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
+      FlowResult(runId, "success", skipped = false, Nil, loaded)
+    } catch {
+      case e: Exception =>
+        logRun(sourceTable, runId, filePath, "failure",
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(4095))
+        FlowResult(runId, "failure", skipped = false, Seq(e.toString), Map.empty)
+    }
+  }
+
+  /** Append an increment bucketed by its hash key; returns rows appended.
+    * The increment is computed against the pre-append table state, so it
+    * must be materialized (count forces it) before the write — parquet
+    * append would otherwise race its own input scan. */
+  private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long = {
+    val materialized = rows.cache()
+    val n = materialized.count()
+    if (n > 0) lake.appendBucketed(materialized, "dv", target, keyCol)
+    materialized.unpersist()
+    n
+  }
+}

@@ -300,6 +300,44 @@ object DvQueries {
        |      FROM sat WHERE load_dts <= TIMESTAMP '1996-06-01 00:00:00') x
        |WHERE rn = 1""".stripMargin
 
+  /** #13: full flow through FlowExecutor — file → staging → hash view →
+    * hub + satellite loads into a fresh temp lake, returning the hub table.
+    * Exercises the whole orchestration path (runinfo ledger, run-id alloc,
+    * bucketed appends) under the driver's oracle compare. */
+  def flowHub(s: SparkSession, dir: String): DataFrame = {
+    // Fixed per-process scratch root, wiped on entry — repeated bench/verify
+    // invocations must not accumulate temp lakes.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_flow_lake"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val lake = new graft.core.Lake(s, root, buckets = 4)
+    val meta = graft.meta.MetaStore(
+      tables = Seq(
+        graft.meta.TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+        graft.meta.TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+        graft.meta.TableColumn("customer", "stg", "c_mktsegment", "VARCHAR", 3, "c")
+      ),
+      transitions = Seq(
+        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+        Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
+        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
+      ))
+    val flow = new graft.etl.FlowExecutor(lake, meta, Algo)
+    val r = flow.executeFlow(
+      "customer", "verify", Some(s"$dir/customer.parquet"), Some(ctx.loadDts))
+    require(r.status == "success", s"flow failed: ${r.errors.mkString("; ")}")
+    lake.read("dv", "hub_customer")
+      .select(col("customer_hk"), col("load_dts"), col("record_source"), col("run_id"), col("c_custkey_bk"))
+  }
+
+  val flowHubSql: String =
+    s"""SELECT DISTINCT ${sqlHash("c_custkey")} AS customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(1 AS BIGINT) AS run_id,
+       |       c_custkey AS c_custkey_bk
+       |FROM customer""".stripMargin
+
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
   def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq(
@@ -323,7 +361,8 @@ object DvQueries {
     "dv_sat_delta" -> (satDelta _),
     "dv_sat_full" -> (satFull _),
     "dv_sat_current" -> (satCurrent _),
-    "dv_pit_asof" -> (pitAsOf _)
+    "dv_pit_asof" -> (pitAsOf _),
+    "dv_flow_hub" -> (flowHub _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +376,7 @@ object DvQueries {
     "dv_sat_delta" -> satDeltaSql,
     "dv_sat_full" -> satFullSql,
     "dv_sat_current" -> satCurrentSql,
-    "dv_pit_asof" -> pitAsOfSql
+    "dv_pit_asof" -> pitAsOfSql,
+    "dv_flow_hub" -> flowHubSql
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.dv.{DvOps, LoadContext}
+
+class DvOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val ctx = LoadContext(ts("2026-01-02 00:00:00"), "test", 7L)
+
+  // (hk, load_dts, del_flag, hash_diff, record_source, run_id, payload)
+  private def sat(rows: (String, String, Boolean, String, Long, String)*) =
+    rows.toSeq
+      .map { case (hk, d, del, hd, rid, p) => (hk, ts(d), del, hd, "seed", rid, p) }
+      .toDF("hk", "load_dts", "del_flag", "hash_diff", "record_source", "run_id", "payload")
+
+  test("latestRows picks the newest row per key with deterministic tiebreak") {
+    val s = sat(
+      ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "old"),
+      ("k1", "2026-01-01 12:00:00", false, "h2", 2L, "new"),
+      ("k2", "2026-01-01 00:00:00", false, "h3", 1L, "a"),
+      ("k2", "2026-01-01 00:00:00", false, "h3", 2L, "b")) // same ts: run_id wins
+    val out = DvOps.latestRows(s, "hk").select("hk", "payload").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "new", "k2" -> "b"))
+  }
+
+  test("satNewRows inserts new keys, changed payloads, and re-activations only") {
+    val existing = sat(
+      ("k1", "2026-01-01 00:00:00", false, "same", 1L, "p1"),
+      ("k2", "2026-01-01 00:00:00", false, "will-change", 1L, "p2"),
+      ("k3", "2026-01-01 00:00:00", true, "same-but-deleted", 1L, "p3"))
+    val staged = Seq(
+      ("k1", "same", "p1"),          // unchanged -> no insert
+      ("k2", "changed", "p2b"),      // changed hashdiff -> insert
+      ("k3", "same-but-deleted", "p3"), // latest row deleted -> re-insert
+      ("k4", "brand-new", "p4")      // new key -> insert
+    ).toDF("src_hk", "grp_hashdiff", "payload")
+    val out = DvOps.satNewRows(
+      staged, existing, "src_hk", "grp_hashdiff",
+      Seq("payload" -> "payload"), "hk", ctx)
+    val keys = out.select("hk").as[String].collect().sorted
+    assert(keys.toSeq == Seq("k2", "k3", "k4"))
+    assert(out.filter(col("del_flag")).count() == 0)
+    assert(out.select("run_id").distinct().as[Long].head() == 7L)
+  }
+
+  test("satDeleteRows emits del rows for latest-active keys absent from staging") {
+    val existing = sat(
+      ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "p1"), // staged -> no delete
+      ("k2", "2026-01-01 00:00:00", false, "h2", 1L, "p2"), // absent -> delete
+      ("k3", "2026-01-01 00:00:00", true, "h3", 1L, "p3"))  // already deleted -> skip
+    val staged = Seq(("k1", "x")).toDF("src_hk", "ignored")
+    val out = DvOps.satDeleteRows(staged, existing, "src_hk", Seq("payload"), "hk", ctx)
+    val rows = out.select("hk", "del_flag", "hash_diff", "payload")
+      .as[(String, Boolean, String, String)].collect()
+    assert(rows.toSeq == Seq(("k2", true, "h2", "p2"))) // payload carried forward
+  }
+
+  test("asOfRows returns the latest row at or before the cutoff") {
+    val s = sat(
+      ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "v1"),
+      ("k1", "2026-02-01 00:00:00", false, "h2", 2L, "v2"),
+      ("k2", "2026-03-01 00:00:00", false, "h3", 1L, "late"))
+    val out = DvOps.asOfRows(s, "hk", lit(ts("2026-01-15 00:00:00")))
+      .select("hk", "payload").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "v1")) // k2 has nothing yet at the cutoff
+  }
+
+  test("newHubRows anti-joins existing keys and dedups the staged batch") {
+    val hv = Seq((1L, "hk1"), (1L, "hk1"), (2L, "hk2"), (3L, "hk3"))
+      .toDF("id", "g_hk")
+    val existing = Seq("hk2").toDF("t_hk")
+    val out = DvOps.newHubRows(hv, existing, "g", Seq("id" -> "id_bk"), "t_hk", ctx)
+    val got = out.select("t_hk", "id_bk").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("hk1", 1L), ("hk3", 3L)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.dv.HashGen
+import graft.etl.FlowExecutor
+import graft.meta.{MetaStore, TableColumn, Transition}
+
+class FlowExecutorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def meta: MetaStore = MetaStore(
+    tables = Seq(
+      TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+      TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+      TableColumn("customer", "stg", "c_segment", "VARCHAR", 3, "c")
+    ),
+    transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+      Transition("customer", "c_segment", "hsat_customer", "c_segment", "customer_details", 2, raw = false, None, "f"),
+      Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_full")
+    )
+  )
+
+  private def writeCsv(path: String, rows: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      ("c_custkey,c_name,c_segment" +: rows).mkString("\n"))
+
+  test("executeFlow loads hub+sat, is idempotent per file, tracks runinfo, detects deletes") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    val f1 = s"$root/batch1.csv"
+    writeCsv(f1, Seq("1,ann,A", "2,bob,B", "3,cat,C"))
+
+    // Run 1: everything is new.
+    val r1 = flow.executeFlow("customer", "unit", Some(f1),
+      Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+    assert(r1.status == "success" && r1.runId == 1L)
+    assert(r1.loaded == Map("hub_customer" -> 3L, "hsat_customer" -> 3L))
+
+    // Run 2, same file: idempotency skip, nothing written.
+    val r2 = flow.executeFlow("customer", "unit", Some(f1))
+    assert(r2.skipped && r2.status == "skipped")
+
+    // Run 3, same file forced: anti-joins make it a no-op load.
+    val r3 = flow.executeFlow("customer", "unit", Some(f1),
+      Some(Timestamp.valueOf("2026-01-02 00:00:00")), forceLoad = true)
+    assert(r3.status == "success" && r3.runId == 2L)
+    assert(r3.loaded == Map("hub_customer" -> 0L, "hsat_customer" -> 0L))
+
+    // Run 4, new file: changed payload for key 2, key 3 gone (sat_full
+    // delete), key 4 new.
+    val f2 = s"$root/batch2.csv"
+    writeCsv(f2, Seq("1,ann,A", "2,bob,PROMOTED", "4,dan,D"))
+    val r4 = flow.executeFlow("customer", "unit", Some(f2),
+      Some(Timestamp.valueOf("2026-01-03 00:00:00")))
+    assert(r4.status == "success" && r4.runId == 3L)
+    assert(r4.loaded("hub_customer") == 1L)     // key 4
+    assert(r4.loaded("hsat_customer") == 3L)    // changed(2) + new(4) + delete(3)
+
+    val sat = lake.read("dv", "hsat_customer")
+    assert(sat.count() == 6)
+    assert(sat.filter(col("del_flag")).select("c_name").as[String].collect().toSeq == Seq("cat"))
+    val hub = lake.read("dv", "hub_customer")
+    assert(hub.select("c_custkey_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // Bucketed layout present on disk.
+    assert(hub.columns.contains("hk_bucket"))
+
+    // Ledger: start+end per executed flow (3 executed) = 6 rows, max run_id 3.
+    val ri = flow.runinfo
+    assert(ri.count() == 6)
+    assert(ri.filter(col("status") === "success").count() == 3)
+    assert(flow.nextRunId() == 4L)
+  }
+
+  test("executeFlow records failure in the ledger and reports errors") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    // File with a malformed row type is fine (CSV casts to null); instead
+    // point at a missing file -> staging load throws.
+    val r = flow.executeFlow("customer", "unit", Some(s"$root/nope.csv"))
+    assert(r.status == "failure" && r.errors.nonEmpty)
+    assert(flow.runinfo.filter(col("status") === "failure").count() == 1)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.dv.VaultSchemas
+import graft.functions.{TextFns, VectorFns}
+import graft.meta.TableColumn
+
+class FnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("norm + shingles produce distinct 3-gram shingles") {
+    val out = Seq("The  Cat, the cat SAT on the mat!")
+      .toDF("text")
+      .select(TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
+      .as[Seq[String]].head()
+    assert(out.contains("the cat sat"))
+    assert(out.contains("sat on the"))
+    assert(out.distinct == out)
+    // fewer than 3 words -> empty, not null
+    val empty = Seq("hi there").toDF("text")
+      .select(TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("cosine: identity 1.0, orthogonal 0.0, scale-invariant") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0), Seq(0.0, 0.0, 1.0)))
+      .toDF("a", "b", "z")
+    val (aa, ab, az) = df.select(
+      VectorFns.cosine(col("a"), col("a")),
+      VectorFns.cosine(col("a"), col("b")),
+      VectorFns.cosine(col("a"), col("z"))).as[(Double, Double, Double)].head()
+    assert(math.abs(aa - 1.0) < 1e-12)
+    assert(math.abs(ab - 1.0) < 1e-12)
+    assert(math.abs(az - 3.0 / math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("lshBucket: identical directions share a bucket") {
+    val planes = VectorFns.planes(16, 3)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0), Seq(-1.0, 5.0, 0.2)))
+      .toDF("a", "b", "c")
+    val (ba, bb, bc) = df.select(
+      VectorFns.lshBucket(col("a"), planes),
+      VectorFns.lshBucket(col("b"), planes),
+      VectorFns.lshBucket(col("c"), planes)).as[(String, String, String)].head()
+    assert(ba == bb)      // parallel vectors always collide
+    assert(ba.length == 16 && ba.forall(c => c == '0' || c == '1'))
+    assert(ba != bc)      // and a far-off direction lands elsewhere
+  }
+
+  test("vault schemas follow the reference DDL layout") {
+    val hub = VaultSchemas.hub("customer", Seq(
+      TableColumn("customer", "hub", "c_custkey", "BIGINT", 1, "bk")))
+    assert(hub.fieldNames.toSeq ==
+      Seq("customer_hk", "load_dts", "record_source", "run_id", "c_custkey"))
+    val sat = VaultSchemas.sat("customer_hk", Seq(
+      TableColumn("customer", "hsat", "c_name", "VARCHAR", 1, "f")))
+    assert(sat.fieldNames.toSeq ==
+      Seq("customer_hk", "load_dts", "del_flag", "hash_diff", "record_source", "run_id", "c_name"))
+    val link = VaultSchemas.link("order_customer", Seq(
+      TableColumn("order_customer", "link", "customer", "", 1, "hk"),
+      TableColumn("order_customer", "link", "order", "", 2, "hk"),
+      TableColumn("order_customer", "link", "priority", "VARCHAR", 3, "dk")))
+    assert(link.fieldNames.toSeq ==
+      Seq("order_customer_hk", "load_dts", "record_source", "run_id",
+        "customer_hk", "order_hk", "priority"))
+  }
+
+  test("lake bucketed append round-trips and readOr keeps a stable column set") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val df = Seq(("k1", 1L), ("k2", 2L)).toDF("hk", "v")
+    lake.appendBucketed(df, "dv", "t", "hk")
+    lake.appendBucketed(Seq(("k3", 3L)).toDF("hk", "v"), "dv", "t", "hk")
+    assert(lake.read("dv", "t").count() == 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hk", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    assert(lake.readOr("dv", "t", schema).columns.toSeq == Seq("hk", "v"))
+    assert(lake.readOr("dv", "missing", schema).isEmpty)
+  }
+}
