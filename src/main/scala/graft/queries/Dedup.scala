@@ -70,11 +70,27 @@ object Dedup {
 
   // --------------------------------------------------------------- #28 n-gram Jaccard
 
-  /** Per-doc distinct 3-shingle rows (doc_id, shingle). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  /** (doc_id, normalized text) — normalization stays a codegen'd projection.
+    * The small test parquet arrives as ONE split; fan it out so the typed
+    * per-doc work (shingling, minhash) uses every core. At 100 TB the input
+    * has plenty of splits and this is a no-op. */
+  private def docNorms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm"))
+    val target = s.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < target) d.repartition(target) else d
+  }
+
+  /** Per-doc distinct 3-shingle rows (doc_id, shingle). Typed flatMap, not
+    * explode(transform(...)): higher-order-function lambdas drop the plan to
+    * interpreted eval and get re-computed by the Filter/Project/Generate
+    * around an explode (~100x slowdown measured at sf0.1). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docNorms(s, dir)
+      .as[(Long, String)]
+      .flatMap { case (id, n) => TextFns.shinglesOf(n).map(sh => (id, sh)) }
+      .toDF("doc_id", "shingle")
+  }
 
   private val ShingleRowsSqlCtes: String =
     s"""d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
@@ -124,21 +140,25 @@ object Dedup {
     * replicates the SAME pipeline (including its approximation), so the
     * result is deterministic cross-engine. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), TextFns.shingles(TextFns.words(TextFns.norm(col("text")))).as("sh"))
+    import s.implicits._
+    // Shingles + 16 signatures + 4 band keys in ONE typed pass per doc (the
+    // Column/HOF formulation runs interpreted and re-evaluates per operator
+    // — 139s at sf0.1; this path is ~2s). md5 semantics identical.
+    val withBands = docNorms(s, dir)
+      .as[(Long, String)]
+      .map { case (id, n) =>
+        val sh = TextFns.shinglesOf(n)
+        val bands =
+          if (sh.isEmpty) Array.empty[String]
+          else TextFns.bandHashesOf(TextFns.minhashSigsOf(sh, NumSigs), NumSigs / NumBands)
+        (id, sh.toSeq, bands.toSeq)
+      }
+      .toDF("doc_id", "sh", "bands")
       .filter(size(col("sh")) > 0)
-    val withSigs = base.select(
-      (col("doc_id") +: col("sh") +:
-        (0 until NumSigs).map(i => TextFns.minhashSig(col("sh"), i).as(s"sig$i"))).toIndexedSeq: _*)
-    val withBands = withSigs.select(
-      (col("doc_id") +: col("sh") +:
-        (0 until NumBands).map { b =>
-          md5(concat_ws("|", (0 until 4).map(r => col(s"sig${4 * b + r}")): _*)).as(s"band$b")
-        }).toIndexedSeq: _*)
     val buckets = withBands.select(
       col("doc_id"),
       col("sh"),
-      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_id", "bhash")))
+      posexplode(col("bands")).as(Seq("band_id", "bhash")))
     val cands = buckets.as("a")
       .join(
         buckets.as("b"),
@@ -199,32 +219,35 @@ object Dedup {
     * chunk buckets (pigeonhole: hamming ≤ 3 ⟹ some chunk is identical),
     * verified with bit_count(xor) ≤ 3. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val wordRows = docs(s, dir)
-      .select(col("doc_id"), explode(TextFns.words(TextFns.norm(col("text")))).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
-    // ±cnt per bit position, summed per (doc, bit) — two partial-agg shuffles.
-    val contribs = wordRows
-      .select(
-        col("doc_id"),
-        posexplode(expr("transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN cnt ELSE -cnt END)"))
-          .as(Seq("bit", "contrib")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("contrib")).as("v"))
-    val sigs = contribs
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"),
-        (0 until 4).map(k =>
-          sum(
-            when(col("v") > 0 && col("bit") >= k * 16 && col("bit") < (k + 1) * 16,
-              expr(s"shiftleft(1L, bit - ${k * 16})")).otherwise(0L)).as(s"c$k")): _*)
+    import s.implicits._
+    // Whole 64-bit signature in one typed pass per doc: per-word 64-bit hash
+    // (first 8 md5 bytes — any deterministic hash works, this op has no SQL
+    // oracle), each bit contributing ±occurrences, bit set where the sum is
+    // positive. 16-bit chunks derived from the same signature.
+    val sigs = docNorms(s, dir)
+      .as[(Long, String)]
+      .map { case (id, n) =>
+        val acc = new Array[Long](64)
+        if (n.nonEmpty) n.split(' ').foreach { w =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          var j = 0
+          while (j < 64) { acc(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L); j += 1 }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+        val chunks = Array.tabulate(4)(k => (sig >>> (k * 16)) & 0xffffL)
+        (id, sig, chunks.toSeq)
+      }
+      .toDF("doc_id", "sig", "chunks")
     val buckets = sigs.select(
       col("doc_id"),
       col("sig"),
-      posexplode(array((0 until 4).map(k => col(s"c$k")): _*)).as(Seq("chunk_id", "chunk")))
+      posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
     buckets.as("a")
       .join(
         buckets.as("b"),
