@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Session extension plugin: registers the native vector expressions as SQL
+  * functions so they're usable from `spark.sql` / `expr(...)` as well as the
+  * Column API. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)(children: Seq[Expression]): Expression = {
+    if (children.size != 2)
+      throw new IllegalArgumentException(s"$name requires exactly 2 arguments, got ${children.size}")
+    mk(children.head, children(1))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      binary("graft_dot")(DotProduct) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      binary("graft_cosine")(CosineSimilarity) _))
+  }
+}

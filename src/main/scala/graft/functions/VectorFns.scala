@@ -5,34 +5,33 @@ import org.apache.spark.sql.functions._
 
 /** Embedding-vector column builders (SURVEY §2 #31-33).
   *
-  * All arithmetic is double-precision with a strict left-to-right fold
-  * (`aggregate` over `zip_with`), so a given pair of vectors produces one
-  * deterministic similarity value. Only ids/ranks derived from similarities
-  * are hash-compared cross-engine — raw float sums never are (DuckDB may
-  * associate differently; ~1e-16 noise is harmless to ranking but not to a
-  * byte-exact hash).
-  *
-  * Pure projections over array columns — codegen'd, no UDFs, no shuffle.
+  * Dot/cosine are native codegen'd Catalyst expressions
+  * ([[graft.functions.DotProduct]] / [[graft.functions.CosineSimilarity]]):
+  * strict left-to-right double accumulation, so a given pair of vectors
+  * produces one deterministic similarity value, at whole-stage-codegen
+  * speed (the HOF `aggregate(zip_with(...))` formulation runs interpreted).
+  * Only ids/ranks derived from similarities are hash-compared cross-engine —
+  * raw float sums never are (DuckDB may associate differently; ~1e-16 noise
+  * is harmless to ranking but not to a byte-exact hash).
   */
 object VectorFns {
 
+  private def ec(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def cc(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
   /** array<float> → array<double>. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product as a sequential left fold — deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product — native expression, deterministic left fold. */
+  def dot(a: Column, b: Column): Column = cc(DotProduct(ec(a), ec(b)))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity — native fused single-pass expression. */
+  def cosine(a: Column, b: Column): Column = cc(CosineSimilarity(ec(a), ec(b)))
 
   /** Dot product against a fixed plane (driver-side constant weights). */
   def dotConst(v: Column, weights: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(weights.map(lit).toIndexedSeq: _*), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    dot(v, array(weights.map(lit).toIndexedSeq: _*))
 
   /** 16-bit hyperplane-LSH bucket key: one sign bit per plane, concatenated
     * to a 16-char 0/1 string. Planes are deterministic pseudo-random unit-free

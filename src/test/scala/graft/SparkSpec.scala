@@ -10,6 +10,7 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 }
