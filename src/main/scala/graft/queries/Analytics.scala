@@ -105,7 +105,7 @@ object Analytics {
     val supplier = t(s, dir, "supplier")
     val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
     val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= ts("1994-01-01 00:00:00") && col("o_orderdate") < ts("1995-01-01 00:00:00"))
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -124,7 +124,7 @@ object Analytics {
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |  AND r_name = 'ASIA'
-      |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
   /** q10: returned items report — join + agg + deterministic top-20. */
@@ -132,7 +132,7 @@ object Analytics {
     val cust = t(s, dir, "customer")
     val nation = t(s, dir, "nation")
     val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= ts("1993-10-01 00:00:00") && col("o_orderdate") < ts("1994-01-01 00:00:00"))
+      .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -150,7 +150,7 @@ object Analytics {
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
-      |  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_returnflag = 'R'
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
@@ -159,7 +159,7 @@ object Analytics {
   def q12Priority(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     val li = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= ts("1994-01-01 00:00:00") && col("l_shipdate") < ts("1995-01-01 00:00:00"))
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") && col("l_shipdate") < ts("1997-01-01 00:00:00"))
       .select("l_orderkey", "l_linestatus")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_linestatus"))
@@ -175,7 +175,7 @@ object Analytics {
       | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
       |FROM orders, lineitem
       |WHERE o_orderkey = l_orderkey
-      |  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY l_linestatus""".stripMargin
 
   /** top-3 orders per customer by totalprice — window rank with unique tiebreak. */

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.core.Lake
@@ -58,6 +58,70 @@ object StreamingDv {
         ()
       }
       .start()
+  }
+
+  /** One closed (or timed-out) gap session. */
+  final case class SessionOut(
+      user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)
+
+  /** Open-session state: event-time bounds in microseconds + count. */
+  final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
+
+  private def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based streaming sessionization — custom per-key state via
+    * `flatMapGroupsWithState` (the stream twin of the batch
+    * `events_sessions` query). A session closes when a newer event starts
+    * the next one, or when the event-time watermark passes its end + gap
+    * (EventTimeTimeout), so state is bounded: one open session per user.
+    * Input needs columns (user_id, ts, event_id); `ts` must carry the
+    * watermark. Late events beyond the watermark are dropped upstream, which
+    * is what makes emitting a closed session final. */
+  def sessionize(events: DataFrame, gapMinutes: Int, delayThreshold: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .selectExpr("user_id", "ts", "event_id")
+      .withWatermark("ts", delayThreshold)
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[SessionAgg]) =>
+          val batch = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          if (batch.isEmpty) {
+            // Timeout: the watermark passed end+gap — the session can never
+            // be extended again; emit and drop the state.
+            val out = state.getOption.map(s => SessionOut(user, s.n, fromMicros(s.startUs), fromMicros(s.endUs)))
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            batch.foreach { case (_, ts, _) =>
+              val t = micros(ts)
+              cur = cur match {
+                case Some(c) if t - c.endUs <= gapUs =>
+                  Some(SessionAgg(c.startUs, math.max(c.endUs, t), c.n + 1))
+                case Some(c) =>
+                  closed ::= SessionOut(user, c.n, fromMicros(c.startUs), fromMicros(c.endUs))
+                  Some(SessionAgg(t, t, 1))
+                case None => Some(SessionAgg(t, t, 1))
+              }
+            }
+            val c = cur.get
+            state.update(c)
+            state.setTimeoutTimestamp(Math.floorDiv(c.endUs, 1000L) + gapMinutes * 60L * 1000L)
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Event-time tumbling-window counts with a watermark. `tsCol` must be a

@@ -79,6 +79,46 @@ class FlowExecutorSpec extends SparkSpec {
     assert(flow.nextRunId() == 4L)
   }
 
+  test("executeFlow loads links (legs + degenerate key), nhl, and link satellites") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val m = MetaStore(
+      tables = Seq(
+        TableColumn("orders", "stg", "o_orderkey", "BIGINT", 1, "c"),
+        TableColumn("orders", "stg", "o_custkey", "BIGINT", 2, "c"),
+        TableColumn("orders", "stg", "o_priority", "VARCHAR", 3, "c"),
+        TableColumn("orders", "stg", "o_status", "VARCHAR", 4, "c")
+      ),
+      transitions = Seq(
+        Transition("orders", "o_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition("orders", "o_orderkey", "hub_order", "o_orderkey_bk", "order", 1, raw = false, None, "bk"),
+        Transition("orders", "customer", "link_order_customer", "customer_hk", "oc", 1, raw = false, None, "ll"),
+        Transition("orders", "order", "link_order_customer", "order_hk", "oc", 2, raw = false, None, "ll"),
+        Transition("orders", "o_priority", "link_order_customer", "o_priority_dk", "oc", 3, raw = false, None, "dk"),
+        Transition("orders", "order", "nhl_order_event", "order_hk", "oe", 1, raw = false, None, "ll"),
+        Transition("orders", "o_status", "lsat_order_customer", "o_status", "oc_details", 1, raw = false, None, "f"),
+        Transition("orders", "oc_hk", "lsat_order_customer", "order_customer", "oc_details", 0, raw = false, None, "sat_delta")
+      ))
+    val flow = new FlowExecutor(lake, m, HashGen.Md5)
+    val f = s"$root/orders.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f),
+      "o_orderkey,o_custkey,o_priority,o_status\n10,1,HIGH,OPEN\n11,1,LOW,OPEN\n12,2,HIGH,DONE")
+    val r = flow.executeFlow("orders", "unit", Some(f),
+      Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+    assert(r.status == "success", r.errors.mkString("; "))
+    assert(r.loaded == Map(
+      "hub_customer" -> 2L, "hub_order" -> 3L,
+      "link_order_customer" -> 3L, "nhl_order_event" -> 3L,
+      "lsat_order_customer" -> 3L))
+    val link = lake.read("dv", "link_order_customer")
+    assert(link.columns.toSet.contains("customer_hk"))
+    assert(link.columns.toSet.contains("o_priority_dk"))
+    assert(link.select("order_customer_hk").distinct().count() == 3)
+    val lsat = lake.read("dv", "lsat_order_customer")
+    assert(lsat.columns.contains("order_customer_hk") && lsat.columns.contains("o_status"))
+  }
+
   test("executeFlow records failure in the ledger and reports errors") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{Analytics, Ann, DvQueries}
+
+/** Plan-quality guards: the properties that make these operators survive a
+  * 100x scale-up are asserted here so a refactor can't silently lose them
+  * (pushdown reaching the scan, column pruning, explicit broadcasts). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  // toString elides long PushedFilters lists; formatted explain is complete.
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: predicates pushed to the parquet scan, columns pruned") {
+    val p = formatted(Analytics.q6Revenue(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.03)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // only the 4 referenced columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
+  }
+
+  test("q5: all five dimension joins broadcast, no shuffle on the dim side") {
+    val p = plan(Analytics.q5Volume(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("hub load: anti-join on the hash key") {
+    val p = plan(DvQueries.hubLoad(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("knn_brute: query side broadcast, corpus side streams") {
+    val p = plan(Ann.knnBrute(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_cosine"), p)
+  }
+
+  test("q1: partial aggregation before the exchange (map-side combine)") {
+    val p = plan(Analytics.q1Pricing(spark, dir))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+    // toString prints top-down: final agg, exchange, partial agg — partial
+    // aggregate must exist below the exchange.
+    assert(p.lastIndexOf("HashAggregate") > exchange, p)
+  }
+}

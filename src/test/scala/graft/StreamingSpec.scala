@@ -52,6 +52,90 @@ class StreamingSpec extends SparkSpec {
     assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("sessionize: gap sessions close across micro-batches with bounded state") {
+    val root = tmpDir("sess")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def addBatch(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "raw_ts", "event_id")
+        .select(col("user_id"), col("raw_ts").cast("timestamp").as("ts"), col("event_id"))
+        .coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+
+    // memory sink can't recover from a checkpoint; collect via foreachBatch.
+    val emittedBuf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamingDv.SessionOut])
+    def emitted: Vector[StreamingDv.SessionOut] = {
+      import scala.jdk.CollectionConverters._
+      emittedBuf.asScala.toVector.sortBy(s => (s.session_start.getTime, s.user_id))
+    }
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+        .parquet(srcDir)
+      val q = StreamingDv.sessionize(events, gapMinutes = 30, delayThreshold = "30 minutes")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingDv.SessionOut], _: Long) =>
+          batch.collect().foreach(emittedBuf.add)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // Batch 1: one 2-event session then a lone event starting a new session.
+    addBatch("b1", Seq(
+      (1L, "2026-01-01 10:00:00", 1L),
+      (1L, "2026-01-01 10:10:00", 2L),
+      (1L, "2026-01-01 12:00:00", 3L)))
+    runOnce()
+    assert(emitted.map(s => (s.user_id, s.n_events)) == Vector((1L, 2L)), emitted)
+    assert(emitted.head.session_start == java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+    assert(emitted.head.session_end == java.sql.Timestamp.valueOf("2026-01-01 10:10:00"))
+
+    // Batch 2: a much later event closes the 12:00 session.
+    addBatch("b2", Seq((1L, "2026-01-01 13:30:00", 4L)))
+    runOnce()
+    assert(emitted.map(s => (s.n_events, s.session_start.toString.substring(11, 16))) ==
+      Vector((2L, "10:00"), (1L, "12:00")))
+  }
+
+  test("windowedCounts runs as a real stream with watermark (update mode)") {
+    val root = tmpDir("wc")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val stage = s"$root/stage"
+    Seq(("2026-01-01 00:00:10", "click"), ("2026-01-01 00:00:50", "click"), ("2026-01-01 00:01:10", "view"))
+      .toDF("raw_ts", "event_type")
+      .select(col("raw_ts").cast("timestamp").as("ts"), col("event_type"))
+      .coalesce(1).write.parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, "b1.parquet"))
+
+    val events = spark.readStream.schema("ts TIMESTAMP, event_type STRING").parquet(srcDir)
+    val q = StreamingDv.windowedCounts(events, "ts", "1 minute", "10 minutes", "event_type")
+      .writeStream.format("memory").queryName("wc_out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("wc_out").select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().sortBy(r => (r._1.getTime, r._2))
+    assert(rows.toSeq == Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "click", 2L),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), "view", 1L)))
+  }
+
   test("windowedCounts: tumbling event-time windows (batch-equivalent semantics)") {
     val events = Seq(
       ("2026-01-01 00:00:10", "click"),
