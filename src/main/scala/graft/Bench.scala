@@ -26,7 +26,10 @@ object Bench {
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop sink forces FULL evaluation of every output column — count()
+      // lets Catalyst prune projections, so pure-projection queries (hash
+      // views, text ops) would bench their scan instead of their work.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"

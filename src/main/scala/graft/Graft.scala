@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Lake, ScriptViews}
+import graft.dv.{DvOps, HashGen, HashView, VaultSchemas}
+import graft.etl.{FlowExecutor, FlowResult, Staging}
+import graft.meta.MetaStore
+
+/** Top-level facade — the Spark-native counterpart of the reference's
+  * `MallardDataVault` entry class (mallarddv/mallarddv.py:23-430). One object
+  * wires lake + metadata + flow executor + script views behind the same
+  * surface a reference user drives:
+  *
+  *   reference                        graft
+  *   ------------------------------  -------------------------------------
+  *   MallardDataVault(db, scripts)   Graft(spark, lakeRoot, meta, scripts)
+  *   .sql(...)                       .sql(...)           (Spark SQL)
+  *   .init_mallard_db(...)           .initVault()        (lake layout + views)
+  *   .compute_hash_view(stg)         .hashView(stg)
+  *   .load_related_hubs/links/sats   .executeFlow(...)   (single flow call)
+  *   .create_*_from_metadata         .initVault() / VaultSchemas builders
+  *   .create_current_sat_*           .currentView(sat)
+  *   .apply_script_from_metadata     .applyScripts(relType)
+  *   .execute_flow(...)              .executeFlow(...)
+  *   .overwrite_metadata_from_files  MetaStore.fromCsv + new Graft(...)
+  *
+  * Everything is lazy DataFrames over the lake — `sql`/`table` results
+  * compose with any Spark code the user already has.
+  */
+final class Graft(
+    val spark: SparkSession,
+    val lakeRoot: String,
+    val meta: MetaStore,
+    val scriptsPath: Option[String] = None,
+    val algo: HashGen.Algo = HashGen.Sha1,
+    val buckets: Int = 16
+) {
+
+  val lake = new Lake(spark, lakeRoot, buckets)
+  val flow = new FlowExecutor(lake, meta, algo)
+
+  /** Raw SQL escape hatch (reference mallarddv.py:87). */
+  def sql(sqlText: String): DataFrame = spark.sql(sqlText)
+
+  /** A lake table as a DataFrame (`layer.name`). */
+  def table(layer: String, name: String): DataFrame = lake.read(layer, name)
+
+  /** Initialize the vault: materialize empty hub/link/sat/staging tables
+    * from metadata so first loads and views have a schema to bind to, and
+    * register script views when a scripts path is set (reference
+    * init_mallard_db). Idempotent — existing tables are left alone. */
+  def initVault(): Seq[String] = {
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+      if (!lake.exists(layer, name)) {
+        lake.overwrite(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), layer, name)
+        created += s"$layer.$name"
+      }
+    val byTable = meta.tables.groupBy(t => (t.relType, t.baseName))
+    byTable.toSeq.sortBy(_._1).foreach { case ((relType, base), cols) =>
+      relType match {
+        case "stg" => ensure("stg", base, VaultSchemas.staging(cols))
+        case "hub" => ensure("dv", s"hub_$base", VaultSchemas.hub(base, cols))
+        case "link" => ensure("dv", s"link_$base", VaultSchemas.link(base, cols))
+        case "nhl" => ensure("dv", s"nhl_$base", VaultSchemas.link(base, cols))
+        case "hsat" | "lsat" =>
+          val hk = cols.find(_.mapping == "hk").map(c => s"${c.columnName}_hk")
+            .getOrElse(s"${base}_hk")
+          ensure("dv", s"${relType}_$base", VaultSchemas.sat(hk, cols))
+          // Current views exist from init (reference creates bv.<sat>_cv in
+          // init_mallard_db before applying scripts); the plan pins the file
+          // listing, so re-register via currentView() after loads.
+          DvOps.currentRows(lake.read("dv", s"${relType}_$base"), hk)
+            .createOrReplaceTempView(s"${relType}_${base}_cv")
+        case _ => () // view layers are registered below, not materialized
+      }
+    }
+    scriptsPath.foreach { p =>
+      Seq("stg_vw", "bv_vw", "dm_vw").foreach { rt =>
+        if (meta.getTables(relType = Some(rt)).nonEmpty)
+          created ++= ScriptViews.apply(spark, meta, rt, p).map(v => s"$rt.$v")
+      }
+    }
+    created.toSeq
+  }
+
+  /** Metadata-driven hash view over a staging table (reference
+    * compute_hash_view; here a lazy DataFrame, not a stored view). */
+  def hashView(stgTable: String): DataFrame =
+    HashView.build(lake.read("stg", stgTable), meta.getTransitions(stgTable), algo)
+
+  /** Latest-row current view of a satellite (reference
+    * create_current_sat_from_metadata); registered as `<sat>_cv`. */
+  def currentView(satTable: String): DataFrame = {
+    val hk = lake.read("dv", satTable).columns.headOption.getOrElse(
+      throw new IllegalArgumentException(s"empty satellite: $satTable"))
+    val cv = DvOps.currentRows(lake.read("dv", satTable), hk)
+    cv.createOrReplaceTempView(s"${satTable}_cv")
+    cv
+  }
+
+  /** Apply one script-view layer (reference apply_script_from_metadata). */
+  def applyScripts(relType: String): Seq[String] =
+    ScriptViews.apply(spark, meta, relType,
+      scriptsPath.getOrElse(throw new IllegalArgumentException("no scripts path configured")))
+
+  /** Run a complete load flow (reference execute_flow). */
+  def executeFlow(
+      sourceTable: String,
+      recordSource: String,
+      filePath: Option[String] = None,
+      loadDts: Option[Timestamp] = None,
+      forceLoad: Boolean = false
+  ): FlowResult = flow.executeFlow(sourceTable, recordSource, filePath, loadDts, forceLoad)
+
+  /** The run ledger (reference metadata.runinfo). */
+  def runinfo: DataFrame = flow.runinfo
+}
+
+object Graft {
+  /** Construct from the reference's CSV metadata layout. */
+  def fromCsv(
+      spark: SparkSession,
+      lakeRoot: String,
+      tablesCsv: String,
+      transitionsCsv: String,
+      scriptsPath: Option[String] = None,
+      algo: HashGen.Algo = HashGen.Sha1
+  ): Graft =
+    new Graft(spark, lakeRoot, MetaStore.fromCsv(spark, tablesCsv, transitionsCsv), scriptsPath, algo)
+}

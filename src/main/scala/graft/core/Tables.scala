@@ -8,6 +8,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow input out to the session's parallelism. The test parquet
+    * has ONE row group per table, so scans (and the map-side partial
+    * aggregation fused into them) are single-task no matter what
+    * maxPartitionBytes says; one cheap row shuffle buys full-core partial
+    * aggregation. Guarded: at production scale inputs have many splits and
+    * this is a no-op (no extra exchange). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(load(spark, dir, name))
+
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and
     * convert to a microsecond timestamp with exact integer arithmetic

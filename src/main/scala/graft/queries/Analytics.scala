@@ -25,8 +25,9 @@ object Analytics {
   /** q1: pricing summary. One wide scan → partial-agg → 4-group final agg.
     * At 100 TB this is scan-bound; decimal sums keep map-side combine. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    Tables.spread(
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00"))))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -210,7 +211,7 @@ object Analytics {
 
   /** hourly event rollup — time-bucketed aggregation. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    Tables.loadEvents(s, dir)
+    Tables.spread(Tables.loadEvents(s, dir))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

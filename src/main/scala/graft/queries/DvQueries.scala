@@ -258,7 +258,7 @@ object DvQueries {
 
   // Lineitem-as-versioned-satellite: hk from l_orderkey, version time = l_shipdate.
   private def lineitemSat(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem").select(
+    Tables.loadSpread(s, dir, "lineitem").select(
       HashGen.hashCols(Seq(col("l_orderkey")), Algo).as("order_hk"),
       col("l_shipdate").as("load_dts"),
       lit(false).as("del_flag"),
