@@ -55,10 +55,25 @@ final class Graft(
     * init_mallard_db). Idempotent — existing tables are left alone. */
   def initVault(): Seq[String] = {
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Layer databases in the session catalog, so user scripts written for the
+    // reference (`... from stg.customer`, `create view stg.customer_vw ...`)
+    // run verbatim through spark.sql.
+    Seq("stg", "dv", "bv", "dm").foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
     def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Unit =
       if (!lake.exists(layer, name)) {
+        // repartition(1) forces one (empty) part file so the location carries
+        // a readable schema for the catalog table below.
         lake.overwrite(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), layer, name)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1), layer, name)
+        // Staging tables are flat (truncate-and-load) → safe to expose as
+        // catalog tables; vault tables are hk-bucketed partitioned dirs and
+        // stay DataFrame/current-view surfaces. Drop-then-create so a
+        // leftover registration from another lake in this session can't
+        // shadow this one (the catalog holds one `stg.<name>` per session).
+        if (layer == "stg") {
+          spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
+          spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
+        }
         created += s"$layer.$name"
       }
     val byTable = meta.tables.groupBy(t => (t.relType, t.baseName))
@@ -109,14 +124,20 @@ final class Graft(
     ScriptViews.apply(spark, meta, relType,
       scriptsPath.getOrElse(throw new IllegalArgumentException("no scripts path configured")))
 
-  /** Run a complete load flow (reference execute_flow). */
+  /** Run a complete load flow (reference execute_flow). Catalog-registered
+    * staging tables are refreshed afterwards so `stg.<table>` views see the
+    * truncate-and-loaded data. */
   def executeFlow(
       sourceTable: String,
       recordSource: String,
       filePath: Option[String] = None,
       loadDts: Option[Timestamp] = None,
       forceLoad: Boolean = false
-  ): FlowResult = flow.executeFlow(sourceTable, recordSource, filePath, loadDts, forceLoad)
+  ): FlowResult = {
+    val r = flow.executeFlow(sourceTable, recordSource, filePath, loadDts, forceLoad)
+    scala.util.Try(spark.catalog.refreshByPath(lake.tablePath("stg", sourceTable)))
+    r
+  }
 
   /** The run ledger (reference metadata.runinfo). */
   def runinfo: DataFrame = flow.runinfo

@@ -39,16 +39,36 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  def overwrite(df: DataFrame, layer: String, name: String): Unit =
-    df.write.mode("overwrite").parquet(tablePath(layer, name))
+  /** Spark shares a JVM-wide file-listing cache across path reads and
+    * catalog tables; any write must invalidate it or later readers can chase
+    * deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST). */
+  private def refresh(layer: String, name: String): Unit = {
+    spark.catalog.refreshByPath(tablePath(layer, name))
+    // A catalog table registered over this path (Graft.initVault) caches its
+    // own relation keyed by name; refreshByPath alone can miss it.
+    scala.util.Try {
+      if (spark.catalog.tableExists(s"$layer.$name"))
+        spark.catalog.refreshTable(s"$layer.$name")
+    }
+    ()
+  }
 
-  def append(df: DataFrame, layer: String, name: String): Unit =
+  def overwrite(df: DataFrame, layer: String, name: String): Unit = {
+    df.write.mode("overwrite").parquet(tablePath(layer, name))
+    refresh(layer, name)
+  }
+
+  def append(df: DataFrame, layer: String, name: String): Unit = {
     df.write.mode("append").parquet(tablePath(layer, name))
+    refresh(layer, name)
+  }
 
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and
     * bucket pruning survive any number of appends. */
-  def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit =
+  def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit = {
     df.withColumn("hk_bucket", pmod(xxhash64(col(keyCol)), lit(buckets)))
       .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
+    refresh(layer, name)
+  }
 }

@@ -21,30 +21,35 @@ object VaultSchemas {
     StructField("run_id", LongType, nullable = false)
   )
 
-  private def payload(cols: Seq[TableColumn], mapping: String): Seq[StructField] =
-    cols.filter(_.mapping == mapping)
-      .sortBy(_.columnPosition)
-      .map(c => StructField(c.columnName, MetaStore.sqlType(c.columnType), nullable = true))
-
-  /** `dv.hub_<base>`: hash key + audit + business keys (mapping `bk`). */
-  def hub(baseName: String, cols: Seq[TableColumn]): StructType =
+  /** `dv.hub_<base>`: hash key + audit + business keys — `_bk` suffix when
+    * single, `_cbk` when composite (hub_manager.py:66-69). */
+  def hub(baseName: String, cols: Seq[TableColumn]): StructType = {
+    val bks = cols.filter(_.mapping == "bk").sortBy(_.columnPosition)
+    val suffix = if (bks.size > 1) "_cbk" else "_bk"
     StructType(
       StructField(s"${baseName}_hk", StringType, nullable = false) +:
-        (audit ++ payload(cols, "bk")))
+        (audit ++ bks.map(c =>
+          StructField(s"${c.columnName}$suffix", MetaStore.sqlType(c.columnType), nullable = true))))
+  }
 
   /** `dv.link_<base>` / `dv.nhl_<base>`: hash key + audit + leg hash keys
-    * (mapping `hk`, stored as `<name>_hk`) + degenerate keys (mapping `dk`). */
+    * (mapping `ll` → `<name>_hk`) + degenerate keys (everything else →
+    * `<name>_dk`, link_manager.py:85-95). */
   def link(baseName: String, cols: Seq[TableColumn]): StructType = {
-    val legs = cols.filter(_.mapping == "hk").sortBy(_.columnPosition)
+    val sorted = cols.sortBy(_.columnPosition)
+    val legs = sorted.filter(_.mapping == "ll")
       .map(c => StructField(s"${c.columnName}_hk", StringType, nullable = false))
-    val dks = payload(cols, "dk")
+    val dks = sorted.filter(_.mapping != "ll")
+      .map(c => StructField(s"${c.columnName}_dk", MetaStore.sqlType(c.columnType), nullable = true))
     StructType(
       StructField(s"${baseName}_hk", StringType, nullable = false) +:
         (audit ++ legs ++ dks))
   }
 
   /** `dv.hsat_<base>` / `dv.lsat_<base>`: parent hash key + SCD2 audit
-    * (del_flag, hash_diff) + payload fields (mapping `f`). */
+    * (del_flag, hash_diff) + payload = every non-`hk` column
+    * (satellite_manager.py:165-175 — the demo metadata maps payloads as
+    * both `c` and `f`). */
   def sat(hkName: String, cols: Seq[TableColumn]): StructType =
     StructType(
       Seq(
@@ -54,7 +59,8 @@ object VaultSchemas {
         StructField("hash_diff", StringType, nullable = false),
         StructField("record_source", StringType, nullable = false),
         StructField("run_id", LongType, nullable = false)
-      ) ++ payload(cols, "f"))
+      ) ++ cols.filter(_.mapping != "hk").sortBy(_.columnPosition)
+        .map(c => StructField(c.columnName, MetaStore.sqlType(c.columnType), nullable = true)))
 
   /** Staging schema straight from metadata `c` columns. */
   def staging(cols: Seq[TableColumn]): StructType =

@@ -120,7 +120,9 @@ final class FlowExecutor(
         val existing = lake.readOr("dv", target, existingSchema)
         val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
         val n = appendCounted(rows, target, hkName)
-        loaded += target -> n
+        // several bk groups may feed one hub (self-referencing entities) —
+        // accumulate, don't overwrite
+        loaded += target -> (loaded.getOrElse(target, 0L) + n)
       }
 
       // Links: ll/dk transitions grouped by (target_table, group_name).
@@ -139,7 +141,7 @@ final class FlowExecutor(
         val existing = lake.readOr("dv", target, StructType(StructField(hkName, StringType) :: Nil))
         val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
         val n = appendCounted(rows, target, hkName)
-        loaded += target -> n
+        loaded += target -> (loaded.getOrElse(target, 0L) + n)
       }
 
       // Satellites: one per sat_delta / sat_full transition; the transition's
@@ -170,7 +172,7 @@ final class FlowExecutor(
           val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
           n += appendCounted(delRows, satName, satHk)
         }
-        loaded += satName -> n
+        loaded += satName -> (loaded.getOrElse(satName, 0L) + n)
       }
 
       hv.unpersist()

@@ -54,18 +54,27 @@ class FnsSpec extends SparkSpec {
     val hub = VaultSchemas.hub("customer", Seq(
       TableColumn("customer", "hub", "c_custkey", "BIGINT", 1, "bk")))
     assert(hub.fieldNames.toSeq ==
-      Seq("customer_hk", "load_dts", "record_source", "run_id", "c_custkey"))
+      Seq("customer_hk", "load_dts", "record_source", "run_id", "c_custkey_bk"))
+    // composite business keys switch to the _cbk suffix
+    val chub = VaultSchemas.hub("product", Seq(
+      TableColumn("product", "hub", "id", "INTEGER", 1, "bk"),
+      TableColumn("product", "hub", "product_type", "VARCHAR(255)", 2, "bk")))
+    assert(chub.fieldNames.takeRight(2).toSeq == Seq("id_cbk", "product_type_cbk"))
+    // sat payload = any non-hk mapping (demo metadata uses both c and f)
     val sat = VaultSchemas.sat("customer_hk", Seq(
-      TableColumn("customer", "hsat", "c_name", "VARCHAR", 1, "f")))
+      TableColumn("customer_details", "hsat", "customer", "", 0, "hk"),
+      TableColumn("customer_details", "hsat", "c_name", "VARCHAR", 1, "c"),
+      TableColumn("customer_details", "hsat", "c_note", "VARCHAR", 2, "f")))
     assert(sat.fieldNames.toSeq ==
-      Seq("customer_hk", "load_dts", "del_flag", "hash_diff", "record_source", "run_id", "c_name"))
+      Seq("customer_hk", "load_dts", "del_flag", "hash_diff", "record_source", "run_id", "c_name", "c_note"))
+    // link legs come from ll mappings; everything else is a degenerate key
     val link = VaultSchemas.link("order_customer", Seq(
-      TableColumn("order_customer", "link", "customer", "", 1, "hk"),
-      TableColumn("order_customer", "link", "order", "", 2, "hk"),
+      TableColumn("order_customer", "link", "customer", "", 1, "ll"),
+      TableColumn("order_customer", "link", "order", "", 2, "ll"),
       TableColumn("order_customer", "link", "priority", "VARCHAR", 3, "dk")))
     assert(link.fieldNames.toSeq ==
       Seq("order_customer_hk", "load_dts", "record_source", "run_id",
-        "customer_hk", "order_hk", "priority"))
+        "customer_hk", "order_hk", "priority_dk"))
   }
 
   test("lake bucketed append round-trips and readOr keeps a stable column set") {
