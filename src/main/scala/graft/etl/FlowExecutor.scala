@@ -93,14 +93,19 @@ final class FlowExecutor(
 
     try {
       // Stage (truncate-and-load) when a file is given and the source is a
-      // staging table (reference CHECK_SOURCE_FOR_INGESTION).
+      // staging table (reference CHECK_SOURCE_FOR_INGESTION). A non-stg
+      // source (stg_vw view) is read from the session catalog instead —
+      // flows can run off curated views exactly like the reference.
+      val isStgTable = meta.getTables(Some(sourceTable), Some("stg")).nonEmpty
       filePath.foreach { fp =>
-        if (meta.getTables(Some(sourceTable), Some("stg")).nonEmpty) {
+        if (isStgTable) {
           lake.overwrite(Staging.loadFile(spark, meta, sourceTable, fp), "stg", sourceTable)
         }
       }
 
-      val stg = lake.read("stg", sourceTable)
+      val stg =
+        if (isStgTable) lake.read("stg", sourceTable)
+        else spark.table(sourceTable)
       val transitions = meta.getTransitions(sourceTable)
       val hv = HashView.build(stg, transitions, algo)
       // The hash view feeds every hub/link/sat load below — materialize it

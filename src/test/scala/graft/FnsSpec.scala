@@ -77,6 +77,35 @@ class FnsSpec extends SparkSpec {
         "customer_hk", "order_hk", "priority_dk"))
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import graft.functions.Joins
+    // 10k rows of one hot key + a tail — the skew shape that melts one task.
+    val probe = (Seq.fill(10000)(1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val build = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = Joins.saltedJoin(probe, build, Seq("k"), factor = 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.agg(sum(col("v"))).head().getLong(0) == plain.agg(sum(col("v"))).head().getLong(0))
+  }
+
+  test("flow sources can be views, not just staging tables") {
+    import graft.core.Lake
+    import graft.etl.FlowExecutor
+    import graft.meta.{MetaStore, Transition}
+    val root = tmpDir("vflow")
+    Seq((1L, "ann"), (2L, "bob")).toDF("id", "name").createOrReplaceTempView("curated_customers")
+    val m = MetaStore(
+      tables = Nil, // no stg entry -> source resolved from the catalog
+      transitions = Seq(
+        Transition("curated_customers", "id", "hub_customer", "id_bk", "customer", 1, raw = false, None, "bk")))
+    val flow = new FlowExecutor(new Lake(spark, root, 2), m, graft.dv.HashGen.Md5)
+    val r = flow.executeFlow("curated_customers", "view-src")
+    assert(r.status == "success", r.errors.mkString("; "))
+    assert(r.loaded == Map("hub_customer" -> 2L))
+  }
+
   test("lake bucketed append round-trips and readOr keeps a stable column set") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)
