@@ -18,7 +18,7 @@ object SparkEntry {
       graft.queries.Ann.queries
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
-    * Keys absent here (dedup_simhash, knn_ivf) are rows-only checks. */
+    * Every registered query has an oracle — no rows-only checks. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.DvQueries.oracles ++

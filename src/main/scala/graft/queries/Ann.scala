@@ -96,14 +96,41 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
   }
 
+  /** DuckDB twin of the deterministic IVF pipeline (same centroid sample,
+    * same nearest-centroid assignment, same nprobe, same in-bucket top-k) —
+    * rank outputs are float-noise-immune, so the approximation itself is
+    * oracle-checkable. */
+  val knnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       | c AS (SELECT vec_id AS cent_id, vd AS cv FROM v WHERE vec_id % 100 = 17),
+       | assign AS (
+       |  SELECT vec_id, vd, cent_id AS bucket FROM (
+       |    SELECT v.vec_id, v.vd, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY list_cosine_similarity(v.vd, c.cv) DESC, c.cent_id) AS rn
+       |    FROM v CROSS JOIN c) x WHERE rn = 1),
+       | probes AS (
+       |  SELECT query_id, qv, cent_id AS bucket FROM (
+       |    SELECT q.vec_id AS query_id, q.vd AS qv, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY list_cosine_similarity(q.vd, c.cv) DESC, c.cent_id) AS crk
+       |    FROM v q CROSS JOIN c WHERE q.vec_id % 50 = 0) x WHERE crk <= $NProbe),
+       | scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |                            ORDER BY list_cosine_similarity(p.qv, a.vd) DESC, a.vec_id) AS rk
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk
+       |FROM scored WHERE rk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _)
   )
 
-  /** knn_ivf is rows-only: the probe-restricted result is an approximation
-    * whose SQL twin would just restate the Spark plan. */
   val oracles: Map[String, String] = Map(
-    "knn_brute" -> knnBruteSql
+    "knn_brute" -> knnBruteSql,
+    "knn_ivf" -> knnIvfSql
   )
 }

@@ -213,53 +213,84 @@ object Dedup {
 
   // --------------------------------------------------------------- #30 SimHash
 
-  /** 64-bit SimHash near-dup (Spark-only; rows-checked — xxhash64 has no
-    * DuckDB twin). Signature: per-word xxhash64, each bit contributes ±1 per
-    * occurrence, bit set where the sum is positive. Candidates: 4x16-bit
-    * chunk buckets (pigeonhole: hamming ≤ 3 ⟹ some chunk is identical),
-    * verified with bit_count(xor) ≤ 3. */
+  /** 64-bit SimHash near-dup. Bit j of a word's hash = top bit of
+    * `md5(word ':' j)`'s first hex nibble (≥ '8') — a salted-bit hash family
+    * chosen because it is EXACTLY expressible in DuckDB SQL, so this
+    * operator gets a real oracle instead of a rows-only check. Each bit
+    * contributes ±occurrences; signature bits where the sum is positive;
+    * candidates from 4x16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⟹ some
+    * chunk identical), verified with summed bit_count(xor) over chunks. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Whole 64-bit signature in one typed pass per doc: per-word 64-bit hash
-    // (first 8 md5 bytes — any deterministic hash works, this op has no SQL
-    // oracle), each bit contributing ±occurrences, bit set where the sum is
-    // positive. 16-bit chunks derived from the same signature.
     val sigs = docNorms(s, dir)
       .as[(Long, String)]
       .map { case (id, n) =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        if (n.nonEmpty) n.split(' ').foreach(w => if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0L) + 1L))
         val acc = new Array[Long](64)
-        if (n.nonEmpty) n.split(' ').foreach { w =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = 0L
-          var i = 0
-          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        counts.foreach { case (w, cnt) =>
           var j = 0
-          while (j < 64) { acc(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L); j += 1 }
+          while (j < 64) {
+            // '0'-'9','a'-'f': chars ≥ '8' are exactly the top-bit nibbles.
+            if (TextFns.md5HexOf(w + ":" + j).charAt(0) >= '8') acc(j) += cnt else acc(j) -= cnt
+            j += 1
+          }
         }
-        var sig = 0L
-        var j = 0
-        while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
-        val chunks = Array.tabulate(4)(k => (sig >>> (k * 16)) & 0xffffL)
-        (id, sig, chunks.toSeq)
+        val chunks = Array.tabulate(4) { k =>
+          var c = 0
+          var j = 0
+          while (j < 16) { if (acc(16 * k + j) > 0) c |= (1 << j); j += 1 }
+          c
+        }
+        (id, chunks.toSeq)
       }
-      .toDF("doc_id", "sig", "chunks")
+      .toDF("doc_id", "chunks")
     val buckets = sigs.select(
       col("doc_id"),
-      col("sig"),
+      col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+    val hamming = (0 until 4)
+      .map(k => expr(s"bit_count(ca[$k] ^ cb[$k])"))
+      .reduce(_ + _).cast("long")
     buckets.as("a")
       .join(
         buckets.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
-        col("a.doc_id").as("a_id"),
-        col("b.doc_id").as("b_id"),
-        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.chunks").as("ca"), col("b.chunks").as("cb"))
       .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  val dedupSimhashSql: String =
+    s"""WITH d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
+       | w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
+       | wc AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE len(word) > 0 GROUP BY 1, 2),
+       | bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN substr(md5(word || ':' || CAST(j AS VARCHAR)), 1, 1) >= '8' THEN cnt ELSE -cnt END) AS v
+       |  FROM wc, unnest(range(0, 64)) AS t(j)
+       |  GROUP BY 1, 2),
+       | chunks AS (
+       |  SELECT doc_id, CAST(j // 16 AS INTEGER) AS k,
+       |         CAST(sum(CASE WHEN v > 0 THEN (1 << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS INTEGER) AS chunk
+       |  FROM bits GROUP BY 1, 2),
+       | sigs AS (SELECT doc_id, list(chunk ORDER BY k) AS cs FROM chunks GROUP BY 1),
+       | cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM chunks a JOIN chunks b ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       | ham AS (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(bit_count(xor(sa.cs[1], sb.cs[1])) + bit_count(xor(sa.cs[2], sb.cs[2]))
+       |            + bit_count(xor(sa.cs[3], sb.cs[3])) + bit_count(xor(sa.cs[4], sb.cs[4])) AS BIGINT) AS hamming
+       |  FROM cands c
+       |  JOIN sigs sa ON c.a_id = sa.doc_id
+       |  JOIN sigs sb ON c.b_id = sb.doc_id)
+       |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
   // --------------------------------------------------------------- #31 embedding near-dup
 
@@ -309,11 +340,11 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
-  /** dedup_simhash is rows-only (no DuckDB xxhash64). */
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql
   )
 }
