@@ -23,6 +23,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
+    // lands on whichever query happens to run first (~3s of noise).
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -60,6 +60,46 @@ object StreamingDv {
       .start()
   }
 
+  /** Streaming satellite (SCD2) sink: each micro-batch runs hash view →
+    * latest-row hashdiff compare → bucketed append, so re-delivered or
+    * unchanged rows never create duplicate versions (the anti-join is the
+    * idempotency mechanism, same as [[hubSink]]). */
+  def satSink(
+      lake: Lake,
+      staged: DataFrame,
+      transitions: Seq[Transition],
+      satTable: String,
+      hkSource: String,
+      hashdiffField: String,
+      fields: Seq[(String, String)],
+      satHk: String,
+      recordSource: String,
+      checkpoint: String,
+      algo: HashGen.Algo = HashGen.Sha1
+  ): StreamingQuery = {
+    val satSchema = StructType(
+      Seq(
+        StructField(satHk, StringType), StructField("load_dts", org.apache.spark.sql.types.TimestampType),
+        StructField("del_flag", org.apache.spark.sql.types.BooleanType), StructField("hash_diff", StringType),
+        StructField("record_source", StringType), StructField("run_id", org.apache.spark.sql.types.LongType)
+      ) ++ fields.map(f => StructField(f._2, StringType)))
+    staged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ctx = LoadContext(new Timestamp(System.currentTimeMillis()), recordSource, batchId)
+        val hv = HashView.build(batch, transitions, algo)
+        val existing = lake.readOr("dv", satTable, satSchema)
+        val rows = DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx).cache()
+        try {
+          if (rows.count() > 0) lake.appendBucketed(rows, "dv", satTable, satHk)
+        } finally rows.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** One closed (or timed-out) gap session. */
   final case class SessionOut(
       user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)

@@ -52,6 +52,46 @@ class StreamingSpec extends SparkSpec {
     assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming satellite load versions changed payloads, skips unchanged") {
+    val root = tmpDir("satstream")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val lake = new Lake(spark, root, buckets = 4)
+    val transitions = Seq(
+      Transition("s", "id", "hub_user", "id_bk", "user", 1, raw = false, None, "bk"),
+      Transition("s", "name", "hsat_user", "name", "user_details", 1, raw = false, None, "f"))
+
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("id", "name").coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val staged = spark.readStream.schema("id LONG, name STRING").parquet(srcDir)
+      val q = StreamingDv.satSink(
+        lake, staged, transitions, "hsat_user",
+        hkSource = "user_hk", hashdiffField = "user_details_hashdiff",
+        fields = Seq("name" -> "name"), satHk = "user_hk",
+        recordSource = "stream-test", checkpoint = s"$root/ckpt",
+        algo = graft.dv.HashGen.Md5)
+      q.awaitTermination()
+    }
+
+    addBatch("b1", Seq((1L, "ann"), (2L, "bob")))
+    runOnce()
+    assert(lake.read("dv", "hsat_user").count() == 2)
+
+    // batch 2: unchanged bob (skipped), changed ann (new version), new cat.
+    addBatch("b2", Seq((1L, "ann2"), (2L, "bob"), (3L, "cat")))
+    runOnce()
+    val sat = lake.read("dv", "hsat_user")
+    assert(sat.count() == 4)
+    assert(sat.filter(col("name") === "bob").count() == 1) // no duplicate version
+    assert(sat.groupBy("user_hk").count().filter(col("count") === 2).count() == 1) // ann has 2 versions
+  }
+
   test("sessionize: gap sessions close across micro-batches with bounded state") {
     val root = tmpDir("sess")
     val srcDir = s"$root/src"
