@@ -16,13 +16,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Json.str(s)
     // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
     // lands on whichever query happens to run first (~3s of noise).
     try spark.read.parquet(s"$sfDir/region.parquet")

@@ -59,23 +59,27 @@ final class Graft(
     // reference (`... from stg.customer`, `create view stg.customer_vw ...`)
     // run verbatim through spark.sql.
     Seq("stg", "dv", "bv", "dm").foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
-    def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    // Data creation happens only when missing, but catalog/view registration
+    // runs UNCONDITIONALLY: a new session re-opening an existing lake has an
+    // empty in-memory catalog and still needs `stg.<name>` and `<sat>_cv`.
+    def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
       if (!lake.exists(layer, name)) {
         // repartition(1) forces one (empty) part file so the location carries
         // a readable schema for the catalog table below.
         lake.overwrite(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1), layer, name)
-        // Staging tables are flat (truncate-and-load) → safe to expose as
-        // catalog tables; vault tables are hk-bucketed partitioned dirs and
-        // stay DataFrame/current-view surfaces. Drop-then-create so a
-        // leftover registration from another lake in this session can't
-        // shadow this one (the catalog holds one `stg.<name>` per session).
-        if (layer == "stg") {
-          spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
-          spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
-        }
         created += s"$layer.$name"
       }
+      // Staging tables are flat (truncate-and-load) → safe to expose as
+      // catalog tables; vault tables are hk-bucketed partitioned dirs and
+      // stay DataFrame/current-view surfaces. Drop-then-create so a
+      // leftover registration from another lake in this session can't
+      // shadow this one (the catalog holds one `stg.<name>` per session).
+      if (layer == "stg") {
+        spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
+        spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
+      }
+    }
     val byTable = meta.tables.groupBy(t => (t.relType, t.baseName))
     byTable.toSeq.sortBy(_._1).foreach { case ((relType, base), cols) =>
       relType match {
@@ -84,14 +88,11 @@ final class Graft(
         case "link" => ensure("dv", s"link_$base", VaultSchemas.link(base, cols))
         case "nhl" => ensure("dv", s"nhl_$base", VaultSchemas.link(base, cols))
         case "hsat" | "lsat" =>
-          val hk = cols.find(_.mapping == "hk").map(c => s"${c.columnName}_hk")
-            .getOrElse(s"${base}_hk")
-          ensure("dv", s"${relType}_$base", VaultSchemas.sat(hk, cols))
+          ensure("dv", s"${relType}_$base", VaultSchemas.sat(satHkOf(base, cols), cols))
           // Current views exist from init (reference creates bv.<sat>_cv in
-          // init_mallard_db before applying scripts); the plan pins the file
-          // listing, so re-register via currentView() after loads.
-          DvOps.currentRows(lake.read("dv", s"${relType}_$base"), hk)
-            .createOrReplaceTempView(s"${relType}_${base}_cv")
+          // init_mallard_db before applying scripts); refreshed after every
+          // executeFlow since the registered plan pins the file listing.
+          registerCurrentView(s"${relType}_$base", satHkOf(base, cols))
         case _ => () // view layers are registered below, not materialized
       }
     }
@@ -103,6 +104,22 @@ final class Graft(
     }
     created.toSeq
   }
+
+  private def satHkOf(base: String, cols: Seq[graft.meta.TableColumn]): String =
+    cols.find(_.mapping == "hk").map(c => s"${c.columnName}_hk").getOrElse(s"${base}_hk")
+
+  private def registerCurrentView(satTable: String, hk: String): Unit =
+    DvOps.currentRows(lake.read("dv", satTable), hk).createOrReplaceTempView(s"${satTable}_cv")
+
+  /** Re-register every metadata-declared current view over the lake's
+    * CURRENT file listing (temp-view plans pin the listing at registration). */
+  private def refreshCurrentViews(): Unit =
+    meta.tables.groupBy(t => (t.relType, t.baseName)).foreach {
+      case ((relType, base), cols) if relType == "hsat" || relType == "lsat" =>
+        val table = s"${relType}_$base"
+        if (lake.exists("dv", table)) registerCurrentView(table, satHkOf(base, cols))
+      case _ => ()
+    }
 
   /** Metadata-driven hash view over a staging table (reference
     * compute_hash_view; here a lazy DataFrame, not a stored view). */
@@ -136,6 +153,9 @@ final class Graft(
   ): FlowResult = {
     val r = flow.executeFlow(sourceTable, recordSource, filePath, loadDts, forceLoad)
     scala.util.Try(spark.catalog.refreshByPath(lake.tablePath("stg", sourceTable)))
+    // Current views pin their file listing at registration — refresh them so
+    // `<sat>_cv` reflects this flow's appends (reference views are live).
+    if (!r.skipped) refreshCurrentViews()
     r
   }
 

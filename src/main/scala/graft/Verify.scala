@@ -18,9 +18,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var errors = Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = new java.io.File(s"$outDir/$name")
+      // A failed query must leave NO output behind — a stale result from a
+      // previous run would otherwise be compared (and could pass) in its
+      // place. Delete up front and again if the write dies midway.
+      org.apache.commons.io.FileUtils.deleteQuietly(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(target)
         errors += name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
       }
@@ -30,18 +36,7 @@ object Verify {
       // in the scrollback (round-1 lesson: events_* failed silently).
       System.err.println(s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.core.Json.str(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

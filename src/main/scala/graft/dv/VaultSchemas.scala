@@ -21,6 +21,22 @@ object VaultSchemas {
     StructField("run_id", LongType, nullable = false)
   )
 
+  /** The SCD2 satellite header (hk + audit) — single source of truth for
+    * VaultSchemas.sat, FlowExecutor and StreamingDv. */
+  def satAudit(hkName: String): Seq[StructField] = Seq(
+    StructField(hkName, StringType, nullable = false),
+    StructField("load_dts", TimestampType, nullable = false),
+    StructField("del_flag", BooleanType, nullable = false),
+    StructField("hash_diff", StringType, nullable = false),
+    StructField("record_source", StringType, nullable = false),
+    StructField("run_id", LongType, nullable = false)
+  )
+
+  /** Satellite schema from (column name → type) payload pairs (used by the
+    * loaders, which know target columns but have no TableColumn metadata). */
+  def satFromFields(hkName: String, fields: Seq[(String, DataType)]): StructType =
+    StructType(satAudit(hkName) ++ fields.map { case (n, t) => StructField(n, t, nullable = true) })
+
   /** `dv.hub_<base>`: hash key + audit + business keys — `_bk` suffix when
     * single, `_cbk` when composite (hub_manager.py:66-69). */
   def hub(baseName: String, cols: Seq[TableColumn]): StructType = {
@@ -52,14 +68,7 @@ object VaultSchemas {
     * both `c` and `f`). */
   def sat(hkName: String, cols: Seq[TableColumn]): StructType =
     StructType(
-      Seq(
-        StructField(hkName, StringType, nullable = false),
-        StructField("load_dts", TimestampType, nullable = false),
-        StructField("del_flag", BooleanType, nullable = false),
-        StructField("hash_diff", StringType, nullable = false),
-        StructField("record_source", StringType, nullable = false),
-        StructField("run_id", LongType, nullable = false)
-      ) ++ cols.filter(_.mapping != "hk").sortBy(_.columnPosition)
+      satAudit(hkName) ++ cols.filter(_.mapping != "hk").sortBy(_.columnPosition)
         .map(c => StructField(c.columnName, MetaStore.sqlType(c.columnType), nullable = true)))
 
   /** Staging schema straight from metadata `c` columns. */

@@ -109,8 +109,10 @@ final class FlowExecutor(
       val transitions = meta.getTransitions(sourceTable)
       val hv = HashView.build(stg, transitions, algo)
       // The hash view feeds every hub/link/sat load below — materialize it
-      // once instead of recomputing the projection per target.
+      // once instead of recomputing the projection per target. Unpersisted
+      // in the finally so a failing load can't leak the cached copy.
       hv.cache()
+      try {
 
       var loaded = Map.empty[String, Long]
 
@@ -161,12 +163,8 @@ final class FlowExecutor(
           .sortBy(_.position).map(f => f.sourceField -> f.targetField)
         val hashdiffField =
           if (fields.nonEmpty) s"${satT.groupName}_hashdiff" else satT.sourceField
-        val satSchema = StructType(
-          Seq(
-            StructField(satHk, StringType), StructField("load_dts", TimestampType),
-            StructField("del_flag", BooleanType), StructField("hash_diff", StringType),
-            StructField("record_source", StringType), StructField("run_id", LongType)
-          ) ++ fields.map(f => StructField(f._2, StringType)))
+        val satSchema =
+          graft.dv.VaultSchemas.satFromFields(satHk, fields.map(f => f._2 -> (StringType: DataType)))
         val existing = lake.readOr("dv", satName, satSchema)
         val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
         var n = appendCounted(newRows, satName, satHk)
@@ -180,10 +178,10 @@ final class FlowExecutor(
         loaded += satName -> (loaded.getOrElse(satName, 0L) + n)
       }
 
-      hv.unpersist()
       logRun(sourceTable, runId, filePath, "success",
         loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
       FlowResult(runId, "success", skipped = false, Nil, loaded)
+      } finally hv.unpersist()
     } catch {
       case e: Exception =>
         logRun(sourceTable, runId, filePath, "failure",

@@ -66,6 +66,50 @@ object Multimodal {
       }
   }
 
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int, feature: Array[Float])
+
+  /** STUB resize: nearest-neighbor downsample of a decoded feature grid. A
+    * real implementation calls libvips/opencv on pixel data; the selection
+    * arithmetic (the Spark-relevant part: deterministic, shape-preserving,
+    * per-row) is real. */
+  def resizeStub(grid: Array[Float], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Float] = {
+    require(grid.length == srcW * srcH, s"grid ${grid.length} != ${srcW}x$srcH")
+    val out = new Array[Float](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        out(y * dstW + x) = grid((y * srcH / dstH) * srcW + (x * srcW / dstW))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: split a video payload into `nFrames` evenly spaced
+    * byte windows and feature-extract each — one output row per frame
+    * (media_id, frame_idx, feature). A real implementation seeks keyframes
+    * with a demuxer; the Spark-side fan-out (flatMap, one row per sampled
+    * frame, no shuffle) is the production shape. */
+  def sampleFrames(media: DataFrame, nFrames: Int, featureDim: Int = 8): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("modality") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+        val window = math.max(1, bytes.length / math.max(1, nFrames))
+        (0 until nFrames).iterator.map { i =>
+          val start = math.min(i * window, math.max(0, bytes.length - 1))
+          val frame = bytes.slice(start, math.min(start + window, bytes.length))
+          Frame(id, i, frame.length, stubDecode(frame, featureDim))
+        }
+      }
+  }
+
   /** Magic-byte modality sniffing as a codegen'd column expression (no UDF):
     * jpeg ff d8 ff, png 89 50 4e 47, riff/wav 52 49 46 46, mp4 ftyp box. */
   def sniffModality(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

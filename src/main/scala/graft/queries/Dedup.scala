@@ -74,11 +74,8 @@ object Dedup {
     * The small test parquet arrives as ONE split; fan it out so the typed
     * per-doc work (shingling, minhash) uses every core. At 100 TB the input
     * has plenty of splits and this is a no-op. */
-  private def docNorms(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm"))
-    val target = s.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < target) d.repartition(target) else d
-  }
+  private def docNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm")))
 
   /** Per-doc distinct 3-shingle rows (doc_id, shingle). Typed flatMap, not
     * explode(transform(...)): higher-order-function lambdas drop the plan to
@@ -242,9 +239,13 @@ object Dedup {
           while (j < 16) { if (acc(16 * k + j) > 0) c |= (1 << j); j += 1 }
           c
         }
-        (id, chunks.toSeq)
+        // Empty-normalization docs emit no signature (empty chunks) — the
+        // oracle's `WHERE len(word) > 0` drops them too; an all-zero
+        // signature would otherwise pair every contentless doc.
+        (id, if (counts.isEmpty) Seq.empty[Int] else chunks.toSeq)
       }
       .toDF("doc_id", "chunks")
+      .filter(size(col("chunks")) > 0)
     val buckets = sigs.select(
       col("doc_id"),
       col("chunks"),
@@ -307,30 +308,43 @@ object Dedup {
           transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding")))
   }
 
+  private val EmbeddingPlanes = VectorFns.planes(16, 64)
+
   /** Embedding near-dup: hyperplane-LSH bucket candidates + exact cosine
     * ≥ 0.95 verify. Output is id pairs only (similarity values are
-    * float-associativity-sensitive; ids are not). */
+    * float-associativity-sensitive; ids are not). The oracle replicates the
+    * SAME bucketing (plane weights inlined as SQL literals) — like knn_ivf,
+    * the approximation itself is what's verified, not an idealized
+    * all-pairs variant the LSH path can't match on general corpora. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val planes = VectorFns.planes(16, 64)
     val v = stagedVecs(s, dir)
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
-      .withColumn("bucket", VectorFns.lshBucket(col("vd"), planes))
+      .withColumn("bucket", VectorFns.lshBucket(col("vd"), EmbeddingPlanes))
     v.as("a")
       .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .filter(VectorFns.cosine(col("a.vd"), col("b.vd")) >= 0.95)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
   }
 
-  val dedupEmbeddingSql: String =
-    """WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 100000 AS vec_id,
-      |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
-      |  FROM embeddings WHERE vec_id % 25 = 0)
-      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin
+  val dedupEmbeddingSql: String = {
+    // One sign bit per plane, weights inlined (Double.toString round-trips
+    // exactly). Both engines sum the dot left-to-right in double; a sign
+    // flip would need a plane dot within ~1e-16 of zero.
+    val bucketExpr = EmbeddingPlanes
+      .map(p => s"(CASE WHEN list_dot_product(vd, ${p.mkString("[", ", ", "]")}) > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM aug),
+       | bkt AS (SELECT vec_id, vd, $bucketExpr AS bucket FROM v)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

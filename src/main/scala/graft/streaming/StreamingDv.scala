@@ -77,12 +77,8 @@ object StreamingDv {
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1
   ): StreamingQuery = {
-    val satSchema = StructType(
-      Seq(
-        StructField(satHk, StringType), StructField("load_dts", org.apache.spark.sql.types.TimestampType),
-        StructField("del_flag", org.apache.spark.sql.types.BooleanType), StructField("hash_diff", StringType),
-        StructField("record_source", StringType), StructField("run_id", org.apache.spark.sql.types.LongType)
-      ) ++ fields.map(f => StructField(f._2, StringType)))
+    val satSchema = graft.dv.VaultSchemas.satFromFields(
+      satHk, fields.map(f => f._2 -> (StringType: org.apache.spark.sql.types.DataType)))
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -149,7 +145,9 @@ object StreamingDv {
               val t = micros(ts)
               cur = cur match {
                 case Some(c) if t - c.endUs <= gapUs =>
-                  Some(SessionAgg(c.startUs, math.max(c.endUs, t), c.n + 1))
+                  // a late-but-in-watermark event may precede the open
+                  // session's start — extend both bounds
+                  Some(SessionAgg(math.min(c.startUs, t), math.max(c.endUs, t), c.n + 1))
                 case Some(c) =>
                   closed ::= SessionOut(user, c.n, fromMicros(c.startUs), fromMicros(c.endUs))
                   Some(SessionAgg(t, t, 1))

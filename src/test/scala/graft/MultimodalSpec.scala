@@ -30,6 +30,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.zip(rows2).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("resizeStub: deterministic nearest-neighbor shape change") {
+    val grid = Array.tabulate(16)(_.toFloat) // 4x4
+    val out = Multimodal.resizeStub(grid, 4, 4, 2, 2)
+    assert(out.toSeq == Seq(0f, 2f, 8f, 10f))
+    intercept[IllegalArgumentException](Multimodal.resizeStub(grid, 3, 3, 2, 2))
+  }
+
+  test("sampleFrames fans out one row per sampled video frame, no shuffle") {
+    val media = Multimodal.syntheticMedia(spark, 12, partitions = 3)
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.rdd.getNumPartitions == 3)
+    val rows = frames.collect()
+    val videos = media.filter(col("modality") === "video").count()
+    assert(rows.length == videos * 4)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // deterministic across runs
+    val rows2 = Multimodal.sampleFrames(media, nFrames = 4).collect()
+    assert(rows.sortBy(r => (r.media_id, r.frame_idx)).zip(rows2.sortBy(r => (r.media_id, r.frame_idx)))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
   test("sniffModality reads magic bytes as a column expression") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val got = media
