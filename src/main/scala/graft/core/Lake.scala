@@ -63,12 +63,28 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     refresh(layer, name)
   }
 
+  /** Deterministic bucket of a key value — the same derivation
+    * [[appendBucketed]] writes with, usable for read-side pruning. */
+  def bucketOf(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCol), lit(buckets))
+
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and
     * bucket pruning survive any number of appends. */
   def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit = {
-    df.withColumn("hk_bucket", pmod(xxhash64(col(keyCol)), lit(buckets)))
+    df.withColumn("hk_bucket", bucketOf(col(keyCol)))
       .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
     refresh(layer, name)
+  }
+
+  /** Point lookup on a bucketed vault table: recomputes the key's bucket and
+    * filters on the partition column FIRST, so the scan touches 1/buckets of
+    * the table's files (PartitionFilters in the plan) — the read-side payoff
+    * of bucketed appends at 100 TB. */
+  def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame = {
+    val bucket = spark.range(1).select(bucketOf(lit(value))).head().getLong(0)
+    read(layer, name)
+      .filter(col("hk_bucket") === bucket && col(keyCol) === value)
+      .drop("hk_bucket")
   }
 }

@@ -119,4 +119,18 @@ class FnsSpec extends SparkSpec {
     assert(lake.readOr("dv", "t", schema).columns.toSeq == Seq("hk", "v"))
     assert(lake.readOr("dv", "missing", schema).isEmpty)
   }
+
+  test("lookupBucketed prunes to the key's partition") {
+    val root = tmpDir("lakeprune")
+    val lake = new Lake(spark, root, buckets = 8)
+    val df = (1 to 100).map(i => (s"key$i", i.toLong)).toDF("hk", "v")
+    lake.appendBucketed(df, "dv", "t", "hk")
+    val hit = lake.lookupBucketed("dv", "t", "hk", "key42")
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(42L))
+    // partition filter reaches the scan: only hk_bucket=N is read
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(hk_bucket"), plan)
+    // and a wrong key in the right shape returns empty, not an error
+    assert(lake.lookupBucketed("dv", "t", "hk", "nope").isEmpty)
+  }
 }
