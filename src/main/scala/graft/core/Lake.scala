@@ -77,6 +77,35 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     refresh(layer, name)
   }
 
+  /** Compact a bucketed table: every append adds a part file per bucket per
+    * task, and a long-lived vault accumulates small files (the classic
+    * 100 TB lake operations problem). Rewrites each bucket into one file via
+    * a staged directory + swap, so readers never observe a half-compacted
+    * table. Returns (files before, files after). */
+  def compact(layer: String, name: String): (Long, Long) = {
+    val path = new Path(tablePath(layer, name))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Long =
+      org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p))
+        .map(d => if (fs.getFileStatus(d).isDirectory) parquetCount(d)
+                  else if (d.getName.endsWith(".parquet")) 1L else 0L).sum
+    val before = parquetCount(path)
+    val df = read(layer, name)
+    val staged = new Path(tablePath(layer, s"__compact_$name"))
+    fs.delete(staged, true)
+    if (df.columns.contains("hk_bucket"))
+      df.repartition(col("hk_bucket"))
+        .write.partitionBy("hk_bucket").parquet(staged.toString)
+    else df.coalesce(math.max(1, df.rdd.getNumPartitions / 8)).write.parquet(staged.toString)
+    val backup = new Path(tablePath(layer, s"__backup_$name"))
+    fs.delete(backup, true)
+    fs.rename(path, backup)
+    fs.rename(staged, path)
+    fs.delete(backup, true)
+    refresh(layer, name)
+    (before, parquetCount(path))
+  }
+
   /** Point lookup on a bucketed vault table: recomputes the key's bucket and
     * filters on the partition column FIRST, so the scan touches 1/buckets of
     * the table's files (PartitionFilters in the plan) — the read-side payoff

@@ -160,4 +160,15 @@ object DvOps {
   /** Point-in-time view: latest satellite row per key as of `ts` (inclusive). */
   def asOfRows(sat: DataFrame, satHk: String, ts: Column): DataFrame =
     latestRows(sat.filter(col("load_dts") <= ts), satHk)
+
+  /** PIT table (Data Vault 2.0 query-assistance construct): one row per hub
+    * key with, per satellite, the load_dts of the version active as of `ts`
+    * (null when the sat has no version yet). Downstream equi-joins
+    * (hk, <sat>_load_dts) replace repeated as-of window scans — the
+    * standard trick for making vault queries flat at warehouse scale. */
+  def pitTable(keys: DataFrame, hk: String, sats: Seq[(String, DataFrame)], ts: Column): DataFrame =
+    sats.foldLeft(keys.select(col(hk)).distinct()) { case (acc, (name, sat)) =>
+      val snap = asOfRows(sat, hk, ts).select(col(hk), col("load_dts").as(s"${name}_load_dts"))
+      acc.join(snap, Seq(hk), "left")
+    }
 }

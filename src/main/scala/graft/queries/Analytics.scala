@@ -254,6 +254,127 @@ object Analytics {
       |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** q7: cross-nation trade volume by year — supplier nation x customer
+    * nation over a 2-year window; two broadcast dim chains off one fact scan. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
+  }
+
+  val q7OracleSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q13: customer order-count distribution — left join preserving 0-order
+    * customers, double aggregation. */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  val q13OracleSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) x
+      |GROUP BY c_count""".stripMargin
+
+  /** q14: promotion revenue share in one month — conditional decimal sums,
+    * final double division. */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") && col("l_shipdate") < ts("1996-10-01 00:00:00"))
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
+          sum(disc).cast("double")).as("promo_revenue"))
+  }
+
+  val q14OracleSql: String =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+      | / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** q17: small-quantity-order revenue for one brand — per-part average via
+    * self-aggregation join (no correlated subquery), threshold compare. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#9").select("p_partkey")
+    val branded = li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    branded.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  val q17OracleSql: String =
+    """WITH branded AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#9'),
+      | a AS (
+      |  SELECT l_partkey AS ap_partkey,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM branded GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM branded JOIN a ON l_partkey = ap_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** q18: large-volume orders — having-filtered quantity sums joined back to
+    * customer/order attributes, deterministic top-20. */
+  def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val qty = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("q_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    t(s, dir, "orders")
+      .join(qty, col("o_orderkey") === col("q_orderkey"))
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18OracleSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (
+      |  SELECT l_orderkey AS q_orderkey,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1) q
+      |JOIN orders ON o_orderkey = q_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE sum_qty > 150.0
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
@@ -264,7 +385,12 @@ object Analytics {
     "topk_orders_per_cust" -> (topkOrdersPerCust _),
     "anti_no_orders" -> (antiNoOrders _),
     "events_hourly" -> (eventsHourly _),
-    "events_sessions" -> (eventsSessions _)
+    "events_sessions" -> (eventsSessions _),
+    "q7_nation_volume" -> (q7Volume _),
+    "q13_custdist" -> (q13Custdist _),
+    "q14_promo" -> (q14Promo _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_volume" -> (q18LargeVolume _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +403,11 @@ object Analytics {
     "topk_orders_per_cust" -> topkOracleSql,
     "anti_no_orders" -> antiNoOrdersSql,
     "events_hourly" -> eventsHourlySql,
-    "events_sessions" -> eventsSessionsSql
+    "events_sessions" -> eventsSessionsSql,
+    "q7_nation_volume" -> q7OracleSql,
+    "q13_custdist" -> q13OracleSql,
+    "q14_promo" -> q14OracleSql,
+    "q17_small_qty" -> q17OracleSql,
+    "q18_large_volume" -> q18OracleSql
   )
 }

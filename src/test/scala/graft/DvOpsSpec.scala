@@ -70,6 +70,24 @@ class DvOpsSpec extends SparkSpec {
     assert(out == Map("k1" -> "v1")) // k2 has nothing yet at the cutoff
   }
 
+  test("pitTable snapshots per-sat active versions as of a timestamp") {
+    val keys = Seq("k1", "k2", "k3").toDF("hk")
+    val satA = sat(
+      ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "a1"),
+      ("k1", "2026-02-01 00:00:00", false, "h2", 2L, "a2"), // after cutoff
+      ("k2", "2026-01-05 00:00:00", false, "h3", 1L, "a3"))
+    val satB = sat(
+      ("k2", "2026-01-10 00:00:00", false, "h4", 1L, "b1"))
+    val pit = DvOps.pitTable(keys, "hk", Seq("sat_a" -> satA, "sat_b" -> satB),
+      lit(ts("2026-01-15 00:00:00")))
+    assert(pit.columns.toSeq == Seq("hk", "sat_a_load_dts", "sat_b_load_dts"))
+    val rows = pit.collect().map(r => (r.getString(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("k1", Some(ts("2026-01-01 00:00:00")), None),          // satA v1 active, no satB yet
+      ("k2", Some(ts("2026-01-05 00:00:00")), Some(ts("2026-01-10 00:00:00"))),
+      ("k3", None, None)))                                    // hub key with no sat rows
+  }
+
   test("newHubRows anti-joins existing keys and dedups the staged batch") {
     val hv = Seq((1L, "hk1"), (1L, "hk1"), (2L, "hk2"), (3L, "hk3"))
       .toDF("id", "g_hk")

@@ -120,6 +120,24 @@ class FnsSpec extends SparkSpec {
     assert(lake.readOr("dv", "missing", schema).isEmpty)
   }
 
+  test("compact rewrites a many-file bucketed table to one file per bucket, data intact") {
+    val root = tmpDir("compactlake")
+    val lake = new Lake(spark, root, buckets = 4)
+    // 5 appends x several tasks -> many small files per bucket
+    (1 to 5).foreach { b =>
+      val df = (1 to 40).map(i => (s"key${b}_$i", i.toLong)).toDF("hk", "v")
+      lake.appendBucketed(df.repartition(4), "dv", "t", "hk")
+    }
+    val beforeSum = lake.read("dv", "t").agg(sum(col("v"))).head().getLong(0)
+    val (before, after) = lake.compact("dv", "t")
+    assert(before > after, s"$before -> $after")
+    assert(after == 4) // one file per bucket
+    assert(lake.read("dv", "t").count() == 200)
+    assert(lake.read("dv", "t").agg(sum(col("v"))).head().getLong(0) == beforeSum)
+    // lookups still prune after the rewrite
+    assert(lake.lookupBucketed("dv", "t", "hk", "key3_7").select("v").as[Long].head() == 7L)
+  }
+
   test("lookupBucketed prunes to the key's partition") {
     val root = tmpDir("lakeprune")
     val lake = new Lake(spark, root, buckets = 8)
