@@ -111,15 +111,27 @@ final class Graft(
   private def registerCurrentView(satTable: String, hk: String): Unit =
     DvOps.currentRows(lake.read("dv", satTable), hk).createOrReplaceTempView(s"${satTable}_cv")
 
-  /** Re-register every metadata-declared current view over the lake's
-    * CURRENT file listing (temp-view plans pin the listing at registration). */
-  private def refreshCurrentViews(): Unit =
+  /** Re-register metadata-declared current views over the lake's CURRENT
+    * file listing (temp-view plans pin the listing at registration). `only`
+    * restricts to the named sat tables — flows refresh just what they
+    * touched instead of re-listing every satellite. */
+  private def refreshCurrentViews(only: Option[Set[String]] = None): Unit =
     meta.tables.groupBy(t => (t.relType, t.baseName)).foreach {
       case ((relType, base), cols) if relType == "hsat" || relType == "lsat" =>
         val table = s"${relType}_$base"
-        if (lake.exists("dv", table)) registerCurrentView(table, satHkOf(base, cols))
+        if (only.forall(_.contains(table)) && lake.exists("dv", table))
+          registerCurrentView(table, satHkOf(base, cols))
       case _ => ()
     }
+
+  /** Compact a vault table and re-register any current view pinned to its
+    * old files ([[Lake.compact]] alone would leave `<sat>_cv` chasing
+    * deleted parts). */
+  def compact(layer: String, name: String): (Long, Long) = {
+    val r = lake.compact(layer, name)
+    refreshCurrentViews(Some(Set(name)))
+    r
+  }
 
   /** Metadata-driven hash view over a staging table (reference
     * compute_hash_view; here a lazy DataFrame, not a stored view). */
@@ -153,9 +165,10 @@ final class Graft(
   ): FlowResult = {
     val r = flow.executeFlow(sourceTable, recordSource, filePath, loadDts, forceLoad)
     scala.util.Try(spark.catalog.refreshByPath(lake.tablePath("stg", sourceTable)))
-    // Current views pin their file listing at registration — refresh them so
-    // `<sat>_cv` reflects this flow's appends (reference views are live).
-    if (!r.skipped) refreshCurrentViews()
+    // Current views pin their file listing at registration — refresh the
+    // ones this flow touched so `<sat>_cv` reflects the appends (reference
+    // views are live).
+    if (!r.skipped) refreshCurrentViews(Some(r.loaded.keySet.filter(t => t.startsWith("hsat_") || t.startsWith("lsat_"))))
     r
   }
 

@@ -68,6 +68,30 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
   def bucketOf(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(buckets))
 
+  /** Driver-side bucket of a literal key — same XxHash64 codepath Spark
+    * executes, evaluated without launching a job. */
+  def bucketOfValue(value: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(value))),
+      42L // the xxhash64() SQL function's fixed seed — must match bucketOf
+    ).eval(null).asInstanceOf[Long]
+    Math.floorMod(h, buckets.toLong)
+  }
+
+  /** Materialize an increment computed AGAINST a table before appending to
+    * that same table (a parquet append would otherwise race its own input
+    * scan); returns rows appended. Shared by the batch flow executor and the
+    * streaming sinks. */
+  def appendIncrementBucketed(rows: DataFrame, layer: String, name: String, keyCol: String): Long = {
+    val materialized = rows.cache()
+    try {
+      val n = materialized.count()
+      if (n > 0) appendBucketed(materialized, layer, name, keyCol)
+      n
+    } finally { materialized.unpersist(); () }
+  }
+
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and
     * bucket pruning survive any number of appends. */
@@ -99,8 +123,15 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     else df.coalesce(math.max(1, df.rdd.getNumPartitions / 8)).write.parquet(staged.toString)
     val backup = new Path(tablePath(layer, s"__backup_$name"))
     fs.delete(backup, true)
-    fs.rename(path, backup)
-    fs.rename(staged, path)
+    // Hadoop FileSystem.rename signals most failures by RETURNING FALSE —
+    // check both hops and restore the original on a failed swap; the backup
+    // is only dropped after the new data is in place.
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(staged, path)) {
+      fs.rename(backup, path) // restore; staged remains for inspection
+      throw new java.io.IOException(s"compact: could not move compacted data into $path (original restored)")
+    }
     fs.delete(backup, true)
     refresh(layer, name)
     (before, parquetCount(path))
@@ -110,10 +141,8 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     * filters on the partition column FIRST, so the scan touches 1/buckets of
     * the table's files (PartitionFilters in the plan) — the read-side payoff
     * of bucketed appends at 100 TB. */
-  def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame = {
-    val bucket = spark.range(1).select(bucketOf(lit(value))).head().getLong(0)
+  def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame =
     read(layer, name)
-      .filter(col("hk_bucket") === bucket && col(keyCol) === value)
+      .filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)
       .drop("hk_bucket")
-  }
 }

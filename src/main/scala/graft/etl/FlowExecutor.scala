@@ -190,15 +190,6 @@ final class FlowExecutor(
     }
   }
 
-  /** Append an increment bucketed by its hash key; returns rows appended.
-    * The increment is computed against the pre-append table state, so it
-    * must be materialized (count forces it) before the write — parquet
-    * append would otherwise race its own input scan. */
-  private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long = {
-    val materialized = rows.cache()
-    val n = materialized.count()
-    if (n > 0) lake.appendBucketed(materialized, "dv", target, keyCol)
-    materialized.unpersist()
-    n
-  }
+  private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long =
+    lake.appendIncrementBucketed(rows, "dv", target, keyCol)
 }

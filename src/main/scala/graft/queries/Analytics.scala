@@ -15,7 +15,10 @@ import graft.core.Tables
   *  - row order is irrelevant (driver sorts), but ties in top-k queries are
   *    broken by explicit unique keys.
   *
-  * Scale notes are per-query; dimension tables are broadcast explicitly.
+  * Scale notes are per-query. Broadcast hints are reserved for BOUNDED
+  * dimensions (nation: 25 rows, region: 5); scale-factor-proportional
+  * tables (customer/supplier/part) are left to AQE, which broadcasts them
+  * at test scale and shuffles them at 100 TB.
   */
 object Analytics {
 
@@ -83,7 +86,7 @@ object Analytics {
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -110,8 +113,8 @@ object Analytics {
       .select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -138,7 +141,7 @@ object Analytics {
     val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
@@ -266,9 +269,9 @@ object Analytics {
     val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
     val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
@@ -308,7 +311,7 @@ object Analytics {
     val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") && col("l_shipdate") < ts("1996-10-01 00:00:00"))
-      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part").select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
           sum(disc).cast("double")).as("promo_revenue"))
@@ -328,7 +331,7 @@ object Analytics {
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#9").select("p_partkey")
-    val branded = li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val branded = li.join(brandParts, col("l_partkey") === col("p_partkey"))
     val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     branded.join(avgQty, col("l_partkey") === col("ap_partkey"))
@@ -357,7 +360,7 @@ object Analytics {
       .filter(col("sum_qty") > 150.0)
     t(s, dir, "orders")
       .join(qty, col("o_orderkey") === col("q_orderkey"))
-      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+      .join(t(s, dir, "customer").select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), col("sum_qty"))

@@ -159,17 +159,53 @@ object TextOps {
        |FROM h""".stripMargin
   }
 
+  // --------------------------------------------------------------- corpus filter
+
+  /** End-to-end training-corpus filter — the composition the individual
+    * operators exist for: keep documents that (a) clear the quality score,
+    * (b) are detected-English, and (c) are the canonical (minimum-id) copy
+    * of their content-fingerprint group. Output is the surviving doc ids
+    * with their scores — the manifest a downstream tokenizer run consumes. */
+  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val quality = textQuality(s, dir).select(col("doc_id"), col("quality_score"))
+    val lang = textLangid(s, dir).select(col("doc_id"), col("detected_lang"))
+    val canonical = textFingerprint(s, dir)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    quality
+      .join(lang, "doc_id")
+      .join(canonical, "doc_id") // semi-style inner: only canonical copies survive
+      .filter(col("detected_lang") === "en" && col("quality_score") >= 0.2)
+      .select(col("doc_id"), col("quality_score"))
+  }
+
+  val corpusFilterSql: String =
+    s"""WITH q AS ($textQualitySql),
+       | l AS ($textLangidSql),
+       | canon AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(${TextFns.normSql("text")}) AS fp FROM documents) x
+       |  GROUP BY fp)
+       |SELECT q.doc_id, q.quality_score
+       |FROM q
+       |JOIN l ON q.doc_id = l.doc_id
+       |JOIN canon ON q.doc_id = canon.doc_id
+       |WHERE l.detected_lang = 'en' AND q.quality_score >= 0.2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_fingerprint" -> (textFingerprint _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
-    "text_langid" -> (textLangid _)
+    "text_langid" -> (textLangid _),
+    "corpus_filter" -> (corpusFilter _)
   )
 
   val oracles: Map[String, String] = Map(
     "text_fingerprint" -> textFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql
+    "text_langid" -> textLangidSql,
+    "corpus_filter" -> corpusFilterSql
   )
 }

@@ -51,10 +51,8 @@ object StreamingDv {
         val ctx = LoadContext(new Timestamp(System.currentTimeMillis()), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", hubTable, StructType(StructField(hkName, StringType) :: Nil))
-        val rows = DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx).cache()
-        try {
-          if (rows.count() > 0) lake.appendBucketed(rows, "dv", hubTable, hkName)
-        } finally rows.unpersist()
+        lake.appendIncrementBucketed(
+          DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
         ()
       }
       .start()
@@ -87,10 +85,8 @@ object StreamingDv {
         val ctx = LoadContext(new Timestamp(System.currentTimeMillis()), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", satTable, satSchema)
-        val rows = DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx).cache()
-        try {
-          if (rows.count() > 0) lake.appendBucketed(rows, "dv", satTable, satHk)
-        } finally rows.unpersist()
+        lake.appendIncrementBucketed(
+          DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
         ()
       }
       .start()
@@ -139,24 +135,27 @@ object StreamingDv {
             state.remove()
             out.iterator
           } else {
+            // Merge the open-session state as one more interval in event-time
+            // order with this batch's events — out-of-order arrivals (late
+            // events before, inside, or after the open session) then produce
+            // exactly the sessions the batch lag-window query would: sessions
+            // merge iff the inter-interval gap is ≤ gapUs.
+            val intervals =
+              (state.getOption.map(c => SessionAgg(c.startUs, c.endUs, c.n)).toList ++
+                batch.map { case (_, ts, _) => val t = micros(ts); SessionAgg(t, t, 1) })
+                .sortBy(s => (s.startUs, s.endUs))
             var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            batch.foreach { case (_, ts, _) =>
-              val t = micros(ts)
-              cur = cur match {
-                case Some(c) if t - c.endUs <= gapUs =>
-                  // a late-but-in-watermark event may precede the open
-                  // session's start — extend both bounds
-                  Some(SessionAgg(math.min(c.startUs, t), math.max(c.endUs, t), c.n + 1))
-                case Some(c) =>
-                  closed ::= SessionOut(user, c.n, fromMicros(c.startUs), fromMicros(c.endUs))
-                  Some(SessionAgg(t, t, 1))
-                case None => Some(SessionAgg(t, t, 1))
+            var cur = intervals.head
+            intervals.tail.foreach { iv =>
+              if (iv.startUs - cur.endUs <= gapUs)
+                cur = SessionAgg(cur.startUs, math.max(cur.endUs, iv.endUs), cur.n + iv.n)
+              else {
+                closed ::= SessionOut(user, cur.n, fromMicros(cur.startUs), fromMicros(cur.endUs))
+                cur = iv
               }
             }
-            val c = cur.get
-            state.update(c)
-            state.setTimeoutTimestamp(Math.floorDiv(c.endUs, 1000L) + gapMinutes * 60L * 1000L)
+            state.update(cur)
+            state.setTimeoutTimestamp(Math.floorDiv(cur.endUs, 1000L) + gapMinutes * 60L * 1000L)
             closed.reverseIterator
           }
       }

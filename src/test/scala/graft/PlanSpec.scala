@@ -24,9 +24,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
   }
 
-  test("q5: all five dimension joins broadcast, no shuffle on the dim side") {
+  test("q5: bounded dims (nation, region) broadcast explicitly") {
+    // customer/supplier are scale-factor-proportional and left to AQE —
+    // only the bounded dims carry a static broadcast hint.
     val p = plan(Analytics.q5Volume(spark, dir))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
   test("hub load: anti-join on the hash key") {
