@@ -177,6 +177,13 @@ final class Graft(
 }
 
 object Graft {
+  /** Reload metadata from CSV into a new facade over the SAME lake
+    * (reference overwrite_metadata_from_files — metadata evolves without
+    * touching vault data). */
+  def reloadMetadata(g: Graft, tablesCsv: String, transitionsCsv: String): Graft =
+    new Graft(g.spark, g.lakeRoot, MetaStore.fromCsv(g.spark, tablesCsv, transitionsCsv),
+      g.scriptsPath, g.algo, g.buckets)
+
   /** Construct from the reference's CSV metadata layout. */
   def fromCsv(
       spark: SparkSession,

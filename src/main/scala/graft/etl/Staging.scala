@@ -47,6 +47,8 @@ object Staging {
         spark.read.schema(schema).json(path)
       case "parquet" =>
         project(spark.read.parquet(path), schema.fields.map(f => f.name -> f.dataType.sql).toIndexedSeq)
+      case "orc" =>
+        project(spark.read.orc(path), schema.fields.map(f => f.name -> f.dataType.sql).toIndexedSeq)
       case other =>
         throw new IllegalArgumentException(s"unsupported staging file type: $other")
     }

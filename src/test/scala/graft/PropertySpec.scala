@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFns
+
+/** Property-based invariants for the JVM-side hot-path helpers — these run
+  * millions of times per batch, so they get generator coverage beyond the
+  * fixed-example specs. (Raw scalacheck sampling: the scalatest bridge
+  * artifact isn't in the offline cache.) */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling loop: fixed seed stream, n cases per property. */
+  private def forAllGen[A](gen: Gen[A], n: Int = 200)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(check)
+    }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val normText = Gen.listOf(word).map(_.mkString(" "))
+
+  test("shinglesOf: count bounded by words-2, all shingles 3 words, distinct, deterministic") {
+    forAllGen(normText) { n =>
+      val sh = TextFns.shinglesOf(n)
+      val words = if (n.isEmpty) 0 else n.split(' ').count(_.nonEmpty)
+      assert(sh.length <= math.max(0, words - 2), s"text='$n'")
+      assert(sh.forall(_.split(' ').length == 3))
+      assert(sh.toSeq == TextFns.shinglesOf(n).toSeq)
+      assert(sh.distinct.length == sh.length)
+    }
+  }
+
+  test("md5HexOf matches the JDK reference digest for arbitrary strings") {
+    forAllGen(Gen.asciiPrintableStr) { s =>
+      val ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(TextFns.md5HexOf(s) == ref, s"input='$s'")
+    }
+  }
+
+  test("minhash signatures are order-insensitive over the shingle set") {
+    forAllGen(Gen.nonEmptyListOf(word).map(_.distinct), n = 100) { shingles =>
+      val a = TextFns.minhashSigsOf(shingles.toArray, 4)
+      val b = TextFns.minhashSigsOf(new scala.util.Random(7).shuffle(shingles).toArray, 4)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+
+  test("bandHashesOf: deterministic banded layout") {
+    forAllGen(Gen.listOfN(8, word), n = 100) { sigs =>
+      val bands = TextFns.bandHashesOf(sigs.toArray, rows = 4)
+      assert(bands.length == 2)
+      assert(bands.toSeq == TextFns.bandHashesOf(sigs.toArray, rows = 4).toSeq)
+    }
+  }
+}

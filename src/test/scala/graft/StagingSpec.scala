@@ -43,6 +43,14 @@ class StagingSpec extends SparkSpec {
     assert(p.schema.fields.map(_.dataType).toSeq == Seq(LongType, StringType, DoubleType))
   }
 
+  test("loadFile: orc projects and casts through the same schema") {
+    val dir = tmpDir("stg")
+    Seq((7L, "gil", 3.5)).toDF("id", "name", "amount").write.orc(s"$dir/in.orc")
+    val o = Staging.loadFile(spark, meta, "t", s"$dir/in.orc")
+    assert(o.schema.fields.map(_.dataType).toSeq == Seq(LongType, StringType, DoubleType))
+    assert(o.count() == 1)
+  }
+
   test("loadFile: unsupported extension throws") {
     intercept[IllegalArgumentException](Staging.loadFile(spark, meta, "t", "/x/in.xlsx"))
   }
