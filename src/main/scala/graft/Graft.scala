@@ -46,6 +46,18 @@ final class Graft(
   /** Raw SQL escape hatch (reference mallarddv.py:87). */
   def sql(sqlText: String): DataFrame = spark.sql(sqlText)
 
+  /** Parameterized SQL with positional `?` markers (reference
+    * mallarddv.py:87-98 `sql(sql_str, sql_args)`). Literals are bound by
+    * the parser, not spliced into the text — the injection-safe path the
+    * reference's list-args API provides on DuckDB. */
+  def sql(sqlText: String, args: Seq[Any]): DataFrame =
+    spark.sql(sqlText, args.toArray)
+
+  /** Parameterized SQL with named `:name` markers (Spark-side extension —
+    * same binding mechanics, friendlier for many-arg queries). */
+  def sql(sqlText: String, args: Map[String, Any]): DataFrame =
+    spark.sql(sqlText, args)
+
   /** A lake table as a DataFrame (`layer.name`). */
   def table(layer: String, name: String): DataFrame = lake.read(layer, name)
 

@@ -95,16 +95,37 @@ object Dedup {
        | sh AS (SELECT doc_id, ${TextFns.shinglesSql("words")} AS shingles FROM w),
        | e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
 
-  /** N-gram Jaccard near-dup: candidates blocked on shared shingles, exact
-    * Jaccard (|∩| / |∪| of distinct shingle sets) ≥ 0.5. */
+  /** Blocking shingles with doc-frequency above this cap are dropped from
+    * candidate GENERATION (not from Jaccard verification). An uncapped
+    * shingle self-join is Σ(df²) pairs — quadratic on any stop-shingle
+    * ("in the") at corpus scale; capped, the join is Σ(min(df,cap)·df) ≤
+    * cap·Σdf = linear in corpus size. A true near-dup pair (Jaccard ≥ 0.5)
+    * is only missed if EVERY shared shingle is corpus-frequent, i.e. the
+    * overlap is entirely boilerplate — the standard stop-shingle trade-off.
+    * The oracle applies the identical cap, so the result stays exact. */
+  private val BlockingDfCap = 64
+
+  /** N-gram Jaccard near-dup: candidates blocked on shared rare shingles
+    * (df ≤ cap), then exact Jaccard (|∩| / |∪| of the FULL distinct shingle
+    * sets) ≥ 0.5 computed per candidate pair. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val e = shingleRows(s, dir)
     val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = e.as("a")
-      .join(e.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // df-capped blocking set: rare shingles only.
+    val rare = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockingDfCap).select("shingle")
+    val blk = e.join(rare, "shingle")
+    val cands = blk.as("a")
+      .join(blk.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // Exact |∩| over FULL shingle sets, fan-out bounded by candidate count.
+    val inter = cands
+      .join(e.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(e.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
@@ -115,9 +136,16 @@ object Dedup {
   val dedupNgramJaccardSql: String =
     s"""WITH $ShingleRowsSqlCtes,
        | sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+       | rare AS (SELECT shingle FROM e GROUP BY 1 HAVING count(*) <= $BlockingDfCap),
+       | blk AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM blk a JOIN blk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        | p AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN e ea ON ea.doc_id = c.a_id
+       |  JOIN e eb ON eb.doc_id = c.b_id AND eb.shingle = ea.shingle
        |  GROUP BY 1, 2)
        |SELECT p.a_id, p.b_id,
        |       CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard

@@ -300,6 +300,40 @@ object DvQueries {
        |      FROM sat WHERE load_dts <= TIMESTAMP '1996-06-01 00:00:00') x
        |WHERE rn = 1""".stripMargin
 
+  /** #12a: PIT table — per hub key, the as-of load_dts of each satellite
+    * (null when no version exists yet). Two sats over the same order hub:
+    * the lineitem-versioned sat and a single-version orders sat. The as-of
+    * row's load_dts is by definition max(load_dts ≤ ts) per key, which is
+    * what the oracle computes; the Spark side runs the real
+    * [[graft.dv.DvOps.pitTable]] fold (reference current-view semantics,
+    * sql_templates.py:135-160, extended to a multi-sat snapshot). */
+  def pitTableQ(s: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(Timestamp.valueOf("1996-06-01 00:00:00"))
+    val orders = Tables.load(s, dir, "orders")
+    val keys = orders.select(HashGen.hashCols(Seq(col("o_orderkey")), Algo).as("order_hk"))
+    val orderSat = orders.select(
+      HashGen.hashCols(Seq(col("o_orderkey")), Algo).as("order_hk"),
+      col("o_orderdate").as("load_dts"),
+      lit(false).as("del_flag"),
+      HashGen.hashCols(Seq(col("o_orderstatus")), Algo).as("hash_diff"),
+      lit("seed").as("record_source"),
+      lit(0L).as("run_id"),
+      col("o_orderstatus")
+    )
+    DvOps.pitTable(keys, "order_hk", Seq("li" -> lineitemSat(s, dir), "ord" -> orderSat), asOf)
+  }
+
+  val pitTableSql: String =
+    s"""WITH k AS (SELECT DISTINCT ${sqlHash("o_orderkey")} AS order_hk FROM orders),
+       | li AS (
+       |  SELECT ${sqlHash("l_orderkey")} AS order_hk, max(l_shipdate) AS li_load_dts
+       |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-06-01 00:00:00' GROUP BY 1),
+       | os AS (
+       |  SELECT ${sqlHash("o_orderkey")} AS order_hk, max(o_orderdate) AS ord_load_dts
+       |  FROM orders WHERE o_orderdate <= TIMESTAMP '1996-06-01 00:00:00' GROUP BY 1)
+       |SELECT k.order_hk, li.li_load_dts, os.ord_load_dts
+       |FROM k LEFT JOIN li USING (order_hk) LEFT JOIN os USING (order_hk)""".stripMargin
+
   /** #13: full flow through FlowExecutor — file → staging → hash view →
     * hub + satellite loads into a fresh temp lake, returning the hub table.
     * Exercises the whole orchestration path (runinfo ledger, run-id alloc,
@@ -362,6 +396,7 @@ object DvQueries {
     "dv_sat_full" -> (satFull _),
     "dv_sat_current" -> (satCurrent _),
     "dv_pit_asof" -> (pitAsOf _),
+    "dv_pit_table" -> (pitTableQ _),
     "dv_flow_hub" -> (flowHub _)
   )
 
@@ -377,6 +412,7 @@ object DvQueries {
     "dv_sat_full" -> satFullSql,
     "dv_sat_current" -> satCurrentSql,
     "dv_pit_asof" -> pitAsOfSql,
+    "dv_pit_table" -> pitTableSql,
     "dv_flow_hub" -> flowHubSql
   )
 }

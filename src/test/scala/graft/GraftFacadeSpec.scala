@@ -59,5 +59,12 @@ class GraftFacadeSpec extends SparkSpec {
       .map(_._2).sorted.toSeq == Seq("alice", "ann"))
 
     assert(g.runinfo.filter(col("status") === "success").count() == 1)
+
+    // parameterized sql — positional `?` (reference mallarddv.py:87-98
+    // sql(sql_str, sql_args)) and named `:name` binding
+    assert(g.sql("SELECT c_name FROM big_customers WHERE c_name = ?", Seq("alice"))
+      .as[String].collect().toSeq == Seq("alice"))
+    assert(g.sql("SELECT count(*) FROM big_customers WHERE c_name LIKE :p", Map("p" -> "a%"))
+      .as[Long].head() == 2L)
   }
 }
