@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.DvQueries.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Ann.queries
+      graft.queries.Ann.queries ++
+      graft.queries.MediaOps.queries
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
     * Every registered query has an oracle — no rows-only checks. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.DvQueries.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.Dedup.oracles ++
-      graft.queries.Ann.oracles
+      graft.queries.Ann.oracles ++
+      graft.queries.MediaOps.oracles
 }

@@ -372,6 +372,43 @@ object DvQueries {
        |       c_custkey AS c_custkey_bk
        |FROM customer""".stripMargin
 
+  /** #16: streaming hub ingestion under the driver's oracle — customer.parquet
+    * fed through [[graft.streaming.StreamingDv.hubSink]] (Structured
+    * Streaming file source, AvailableNow trigger completes synchronously)
+    * into a fresh temp lake; result is the streamed hub table. The single
+    * input file lands in micro-batch 0, so run_id (= batchId) and the pinned
+    * load_dts are deterministic and the WHOLE row is hash-comparable. */
+  def streamHub(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_lake"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val lake = new graft.core.Lake(s, root, buckets = 4)
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
+    // The file-stream source watches a DIRECTORY; stage the single input
+    // file into one (testdata is read-only, so copy rather than symlink).
+    val srcDir = java.nio.file.Paths.get(root, "src")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "customer.parquet"), srcDir.resolve("customer.parquet"))
+    val schema = s.read.parquet(s"$dir/customer.parquet").schema
+    val staged = s.readStream.schema(schema).parquet(srcDir.toString)
+    val q = graft.streaming.StreamingDv.hubSink(
+      lake, staged, transitions, "hub_customer", "customer",
+      Seq("c_custkey" -> "c_custkey_bk"), "verify", s"$root/ckpt",
+      Algo, loadDts = Some(ctx.loadDts))
+    q.awaitTermination()
+    lake.read("dv", "hub_customer")
+      .select(col("customer_hk"), col("load_dts"), col("record_source"), col("run_id"), col("c_custkey_bk"))
+  }
+
+  val streamHubSql: String =
+    s"""SELECT DISTINCT ${sqlHash("c_custkey")} AS customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(0 AS BIGINT) AS run_id,
+       |       c_custkey AS c_custkey_bk
+       |FROM customer""".stripMargin
+
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
   def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq(
@@ -397,7 +434,8 @@ object DvQueries {
     "dv_sat_current" -> (satCurrent _),
     "dv_pit_asof" -> (pitAsOf _),
     "dv_pit_table" -> (pitTableQ _),
-    "dv_flow_hub" -> (flowHub _)
+    "dv_flow_hub" -> (flowHub _),
+    "dv_stream_hub" -> (streamHub _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +451,7 @@ object DvQueries {
     "dv_sat_current" -> satCurrentSql,
     "dv_pit_asof" -> pitAsOfSql,
     "dv_pit_table" -> pitTableSql,
-    "dv_flow_hub" -> flowHubSql
+    "dv_flow_hub" -> flowHubSql,
+    "dv_stream_hub" -> streamHubSql
   )
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Driver-checked multimodal queries (SURVEY §2 #38): the binary-column
+  * pipeline under the DuckDB oracle, not just ScalaTest.
+  *
+  * No media files exist in this environment, so the media table is derived
+  * DETERMINISTICALLY from `documents`: payload = real magic header (jpeg /
+  * riff-wav / mp4-ftyp, by source doc id mod 3) ++ utf-8 text bytes. Both
+  * engines build the identical bytes via unhex(headerhex) || encode(text),
+  * so payload-level operations are fully hash-comparable. The duplicate
+  * slice mirrors the dedup_exact staging simulation (doc_id % 7 == 0
+  * re-ingested under a shifted id, SAME source header).
+  *
+  * `media_dedup` exercises the two payload-level operators that need no
+  * codec: exact payload dedup (fingerprint = md5 of the byte content) and
+  * magic-byte modality sniffing ([[Multimodal.sniffModality]], a codegen'd
+  * column expression — the oracle mirrors it arithmetically as the
+  * header-choice CASE, so a sniff bug would hash-mismatch).
+  *
+  * Scale posture: one hash shuffle on the uniform 32-hex fingerprint, same
+  * as dedup_exact; the fingerprint projection is scan-bound and codegen'd.
+  * At 100 TB the md5 runs over payload bytes already in memory from the
+  * scan — no extra pass, no collect, no skew (hash keys are uniform).
+  */
+object MediaOps {
+
+  private val HeaderHex = Map(
+    0 -> "FFD8FFE0",         // jpeg SOI + APP0
+    1 -> "52494646",         // 'RIFF' (wav container)
+    2 -> "0000001866747970"  // mp4 size-24 'ftyp' box
+  )
+
+  /** Deterministic staged media: documents ∪ re-ingested slice, binary
+    * payload with a per-source-doc magic header. */
+  private def stagedMedia(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val staged = d
+      .select(col("doc_id").as("media_id"), col("doc_id").as("src_doc"), col("text"))
+      .unionAll(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("media_id"), col("doc_id").as("src_doc"), col("text")))
+    val header = when(col("src_doc") % 3 === 0, unhex(lit(HeaderHex(0))))
+      .when(col("src_doc") % 3 === 1, unhex(lit(HeaderHex(1))))
+      .otherwise(unhex(lit(HeaderHex(2))))
+    staged.select(
+      col("media_id"),
+      concat(header, encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** #38: exact media dedup over the binary payload + sniffed modality.
+    * Duplicate groups (same bytes) with canonical id and multiplicity. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    stagedMedia(s, dir)
+      .select(
+        col("media_id"),
+        Multimodal.sniffModality(col("payload")).as("modality"),
+        md5(hex(col("payload"))).as("fingerprint"))
+      .groupBy(col("fingerprint"), col("modality"))
+      .agg(min(col("media_id")).as("canonical_media_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  val mediaDedupSql: String =
+    s"""WITH staged AS (
+       |  SELECT doc_id AS media_id, doc_id AS src_doc, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS media_id, doc_id AS src_doc, text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       | media AS (
+       |  SELECT media_id, src_doc,
+       |         (CASE src_doc % 3
+       |            WHEN 0 THEN unhex('${HeaderHex(0)}')
+       |            WHEN 1 THEN unhex('${HeaderHex(1)}')
+       |            ELSE unhex('${HeaderHex(2)}') END) || encode(text) AS payload
+       |  FROM staged)
+       |SELECT md5(hex(payload)) AS fingerprint,
+       |       CASE src_doc % 3
+       |         WHEN 0 THEN 'image/jpeg'
+       |         WHEN 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS modality,
+       |       min(media_id) AS canonical_media_id,
+       |       count(*) AS n_copies
+       |FROM media
+       |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_dedup" -> (mediaDedup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_dedup" -> mediaDedupSql
+  )
+}

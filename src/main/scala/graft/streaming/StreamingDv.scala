@@ -40,7 +40,8 @@ object StreamingDv {
       bkFields: Seq[(String, String)],
       recordSource: String,
       checkpoint: String,
-      algo: HashGen.Algo = HashGen.Sha1
+      algo: HashGen.Algo = HashGen.Sha1,
+      loadDts: Option[Timestamp] = None
   ): StreamingQuery = {
     val hkName = s"${hubTable.stripPrefix("hub_")}_hk"
     staged.writeStream
@@ -48,7 +49,7 @@ object StreamingDv {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ctx = LoadContext(new Timestamp(System.currentTimeMillis()), recordSource, batchId)
+        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", hubTable, StructType(StructField(hkName, StringType) :: Nil))
         lake.appendIncrementBucketed(
@@ -57,6 +58,41 @@ object StreamingDv {
       }
       .start()
   }
+
+  /** Streaming link sink: micro-batch incremental link load — hash view →
+    * anti-join-against-existing-link → bucketed append (reference link/nhl
+    * semantics, link_manager.py:110-192, extended to streams). `legFields`
+    * maps hash-view columns (`<hubgroup>_hk` legs or degenerate-key fields)
+    * to link columns; idempotency is the hk anti-join, same as [[hubSink]],
+    * so at-least-once delivery and overlapping batches never duplicate a
+    * relationship. Serves both `link` and `nhl` tables — the reference
+    * loads them with the same INSERT pattern. */
+  def linkSink(
+      lake: Lake,
+      staged: DataFrame,
+      transitions: Seq[Transition],
+      linkTable: String,
+      groupName: String,
+      legFields: Seq[(String, String)],
+      hkName: String,
+      recordSource: String,
+      checkpoint: String,
+      algo: HashGen.Algo = HashGen.Sha1,
+      loadDts: Option[Timestamp] = None
+  ): StreamingQuery =
+    staged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
+        val hv = HashView.build(batch, transitions, algo)
+        val existing = lake.readOr("dv", linkTable, StructType(StructField(hkName, StringType) :: Nil))
+        lake.appendIncrementBucketed(
+          DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
+        ()
+      }
+      .start()
 
   /** Streaming satellite (SCD2) sink: each micro-batch runs hash view →
     * latest-row hashdiff compare → bucketed append, so re-delivered or
@@ -73,7 +109,8 @@ object StreamingDv {
       satHk: String,
       recordSource: String,
       checkpoint: String,
-      algo: HashGen.Algo = HashGen.Sha1
+      algo: HashGen.Algo = HashGen.Sha1,
+      loadDts: Option[Timestamp] = None
   ): StreamingQuery = {
     val satSchema = graft.dv.VaultSchemas.satFromFields(
       satHk, fields.map(f => f._2 -> (StringType: org.apache.spark.sql.types.DataType)))
@@ -82,7 +119,7 @@ object StreamingDv {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ctx = LoadContext(new Timestamp(System.currentTimeMillis()), recordSource, batchId)
+        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", satTable, satSchema)
         lake.appendIncrementBucketed(

@@ -92,6 +92,58 @@ class StreamingSpec extends SparkSpec {
     assert(sat.groupBy("user_hk").count().filter(col("count") === 2).count() == 1) // ann has 2 versions
   }
 
+  test("streaming link load matches batch backfill and dedups across micro-batches") {
+    val root = tmpDir("linkstream")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val lake = new Lake(spark, root, buckets = 4)
+    val transitions = Seq(
+      Transition("s", "cust_id", "hub_customer", "cust_id_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("s", "order_id", "hub_order", "order_id_bk", "order", 1, raw = false, None, "bk"),
+      Transition("s", "customer", "link_order_customer", "customer_hk", "oc", 1, raw = false, None, "ll"),
+      Transition("s", "order", "link_order_customer", "order_hk", "oc", 2, raw = false, None, "ll"),
+      Transition("s", "channel", "link_order_customer", "channel_dk", "oc", 3, raw = false, None, "dk"))
+    val legs = Seq("customer_hk" -> "customer_hk", "order_hk" -> "order_hk", "channel" -> "channel_dk")
+
+    def addBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("cust_id", "order_id", "channel").coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val staged = spark.readStream
+        .schema("cust_id LONG, order_id LONG, channel STRING").parquet(srcDir)
+      val q = StreamingDv.linkSink(
+        lake, staged, transitions, "link_order_customer", "oc", legs,
+        hkName = "order_customer_hk", recordSource = "stream-test",
+        checkpoint = s"$root/ckpt", algo = graft.dv.HashGen.Md5)
+      q.awaitTermination()
+    }
+
+    val b1 = Seq((1L, 10L, "web"), (2L, 20L, "app"))
+    val b2 = Seq((2L, 20L, "app"), (3L, 30L, "web")) // overlaps b1: only one new link
+    addBatch("b1", b1)
+    runOnce()
+    assert(lake.read("dv", "link_order_customer").count() == 2)
+    addBatch("b2", b2)
+    runOnce()
+    val streamed = lake.read("dv", "link_order_customer")
+    assert(streamed.count() == 3)
+
+    // Batch backfill over the full input produces identical vault state
+    // (modulo the audit columns, which legitimately differ per micro-batch).
+    val backfill = graft.dv.DvOps.newLinkRows(
+      graft.dv.HashView.build((b1 ++ b2).toDF("cust_id", "order_id", "channel"), transitions, graft.dv.HashGen.Md5),
+      streamed.limit(0), "oc", legs, "order_customer_hk",
+      graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "backfill", 1L))
+    val keyCols = Seq("order_customer_hk", "customer_hk", "order_hk", "channel_dk")
+    assert(
+      streamed.select(keyCols.map(col): _*).collect().map(_.toSeq).toSet ==
+        backfill.select(keyCols.map(col): _*).collect().map(_.toSeq).toSet)
+  }
+
   test("sessionize: gap sessions close across micro-batches with bounded state") {
     val root = tmpDir("sess")
     val srcDir = s"$root/src"
