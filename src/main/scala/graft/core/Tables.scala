@@ -30,7 +30,14 @@ object Tables {
     * conversion is lossless and oracle-identical. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Driver testdata carries TIMESTAMP(NANOS) (arrives as long under
+    // nanosAsLong); derived copies (e.g. scaled bench data) are plain
+    // micros timestamps and need no conversion.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 }

@@ -384,12 +384,24 @@ object DvQueries {
     val lake = new graft.core.Lake(s, root, buckets = 4)
     val transitions = Seq(
       Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
-    // The file-stream source watches a DIRECTORY; stage the single input
-    // file into one (testdata is read-only, so copy rather than symlink).
+    // The file-stream source watches a DIRECTORY; stage the input into one
+    // (testdata is read-only, so copy rather than symlink). The table may be
+    // a single file (driver testdata) or a Spark-written directory of part
+    // files (scaled bench data) — flatten either shape.
     val srcDir = java.nio.file.Paths.get(root, "src")
     java.nio.file.Files.createDirectories(srcDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "customer.parquet"), srcDir.resolve("customer.parquet"))
+    val src = java.nio.file.Paths.get(dir, "customer.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, srcDir.resolve(s"part_$i.parquet"))
+          i += 1
+        }
+      }
+    } else java.nio.file.Files.copy(src, srcDir.resolve("customer.parquet"))
     val schema = s.read.parquet(s"$dir/customer.parquet").schema
     val staged = s.readStream.schema(schema).parquet(srcDir.toString)
     val q = graft.streaming.StreamingDv.hubSink(
