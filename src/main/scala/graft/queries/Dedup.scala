@@ -107,10 +107,19 @@ object Dedup {
 
   /** N-gram Jaccard near-dup: candidates blocked on shared rare shingles
     * (df ≤ cap), then exact Jaccard (|∩| / |∪| of the FULL distinct shingle
-    * sets) ≥ 0.5 computed per candidate pair. */
+    * sets) ≥ 0.5 verified per candidate pair with a codegen'd
+    * array_intersect — same verify shape as [[dedupMinhash]]. Candidate
+    * generation shuffles only (doc_id, shingle) pairs; the shingle ARRAYS
+    * travel only through the two candidate-bounded verify joins, never
+    * through the blocking self-join. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val e = shingleRows(s, dir)
-    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val withSh = docNorms(s, dir)
+      .as[(Long, String)]
+      .map { case (id, n) => (id, TextFns.shinglesOf(n).toSeq) }
+      .toDF("doc_id", "sh")
+      .filter(size(col("sh")) > 0)
+    val e = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // df-capped blocking set: rare shingles only.
     val rare = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= BlockingDfCap).select("shingle")
@@ -119,40 +128,32 @@ object Dedup {
       .join(blk.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // Exact |∩| over FULL shingle sets, fan-out bounded by candidate count.
-    val inter = cands
-      .join(e.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(e.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+    cands
+      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   val dedupNgramJaccardSql: String =
     s"""WITH $ShingleRowsSqlCtes,
-       | sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
        | rare AS (SELECT shingle FROM e GROUP BY 1 HAVING count(*) <= $BlockingDfCap),
        | blk AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
        | cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM blk a JOIN blk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-       | p AS (
-       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       | verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
        |  FROM cand c
-       |  JOIN e ea ON ea.doc_id = c.a_id
-       |  JOIN e eb ON eb.doc_id = c.b_id AND eb.shingle = ea.shingle
-       |  GROUP BY 1, 2)
-       |SELECT p.a_id, p.b_id,
-       |       CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
-       |FROM p
-       |JOIN sz sa ON p.a_id = sa.doc_id
-       |JOIN sz sb ON p.b_id = sb.doc_id
-       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5""".stripMargin
+       |  JOIN sh sa ON c.a_id = sa.doc_id
+       |  JOIN sh sb ON c.b_id = sb.doc_id)
+       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
 
   // --------------------------------------------------------------- #29 MinHash + LSH
 
