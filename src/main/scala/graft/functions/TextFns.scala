@@ -103,6 +103,14 @@ object TextFns {
     new String(out)
   }
 
+  /** Raw md5 digest bytes (16) — for operators that consume md5 BITS
+    * (simhash): one digest yields 128 bits instead of one comparison. */
+  def md5BytesOf(s: String): Array[Byte] = {
+    val md = Md5Local.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** k min-hash signatures; [[minhashSig]] twin (min md5 of salted shingle). */
   def minhashSigsOf(shingles: Array[String], k: Int): Array[String] = {
     val out = new Array[String](k)

@@ -327,14 +327,16 @@ object Analytics {
       |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
 
   /** q17: small-quantity-order revenue for one brand — per-part average via
-    * self-aggregation join (no correlated subquery), threshold compare. */
+    * an unbounded window over the branded rows (ONE fact scan + one
+    * partition shuffle; the self-agg-join formulation scans lineitem twice).
+    * Same decimal-sum/count arithmetic as the oracle's CTE version. */
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#9").select("p_partkey")
     val branded = li.join(brandParts, col("l_partkey") === col("p_partkey"))
-    val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    branded.join(avgQty, col("l_partkey") === col("ap_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    branded
+      .withColumn("avg_qty", sum(dec(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
   }

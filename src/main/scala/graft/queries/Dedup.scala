@@ -239,9 +239,10 @@ object Dedup {
 
   // --------------------------------------------------------------- #30 SimHash
 
-  /** 64-bit SimHash near-dup. Bit j of a word's hash = top bit of
-    * `md5(word ':' j)`'s first hex nibble (≥ '8') — a salted-bit hash family
-    * chosen because it is EXACTLY expressible in DuckDB SQL, so this
+  /** 64-bit SimHash near-dup. Bit j of a word's hash = bit j of the word's
+    * md5 digest (MSB-first within each nibble) — ONE digest per distinct
+    * word yields all 64 bits, and the family is EXACTLY expressible in
+    * DuckDB SQL (nibble arithmetic over the md5 hex string), so this
     * operator gets a real oracle instead of a rows-only check. Each bit
     * contributes ±occurrences; signature bits where the sum is positive;
     * candidates from 4x16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⟹ some
@@ -255,10 +256,10 @@ object Dedup {
         if (n.nonEmpty) n.split(' ').foreach(w => if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0L) + 1L))
         val acc = new Array[Long](64)
         counts.foreach { case (w, cnt) =>
+          val d = TextFns.md5BytesOf(w)
           var j = 0
           while (j < 64) {
-            // '0'-'9','a'-'f': chars ≥ '8' are exactly the top-bit nibbles.
-            if (TextFns.md5HexOf(w + ":" + j).charAt(0) >= '8') acc(j) += cnt else acc(j) -= cnt
+            if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) acc(j) += cnt else acc(j) -= cnt
             j += 1
           }
         }
@@ -299,10 +300,13 @@ object Dedup {
   val dedupSimhashSql: String =
     s"""WITH d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
        | w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM d),
-       | wc AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE len(word) > 0 GROUP BY 1, 2),
+       | wc AS (SELECT doc_id, md5(word) AS h, count(*) AS cnt
+       |        FROM w WHERE len(word) > 0 GROUP BY 1, 2),
        | bits AS (
        |  SELECT doc_id, j,
-       |         sum(CASE WHEN substr(md5(word || ':' || CAST(j AS VARCHAR)), 1, 1) >= '8' THEN cnt ELSE -cnt END) AS v
+       |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 + 1 AS INTEGER), 1)) - 1)
+       |                        >> CAST(3 - (j % 4) AS INTEGER)) & 1 = 1
+       |                  THEN cnt ELSE -cnt END) AS v
        |  FROM wc, unnest(range(0, 64)) AS t(j)
        |  GROUP BY 1, 2),
        | chunks AS (
