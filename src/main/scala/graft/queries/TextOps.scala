@@ -54,10 +54,10 @@ object TextOps {
 
   private val StopwordsRe = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
 
-  /** Quality scoring: structural ratios + a fixed-order composite score.
-    * Ratio denominators are guarded (documents are non-empty, but the
-    * operator shouldn't NaN on degenerate input). */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
+  /** Append the quality metric columns + composite score to any DataFrame
+    * with a `text` column (single projection; shared by [[textQuality]] and
+    * the one-pass [[corpusFilter]]). */
+  private def withQuality(df: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nWords = TextFns.wsTokenCount(col("text")).cast("long")
     val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
@@ -66,17 +66,14 @@ object TextOps {
     val stops = regexp_count(lower(col("text")), lit(StopwordsRe)).cast("long")
     val charsD = greatest(nChars, lit(1L)).cast("double")
     val wordsD = greatest(nWords, lit(1L)).cast("double")
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        nChars.as("n_chars"),
-        nWords.as("n_words"),
-        (nChars.cast("double") / wordsD).as("chars_per_word"),
-        (punct.cast("double") / charsD).as("punct_ratio"),
-        (digits.cast("double") / charsD).as("digit_ratio"),
-        (uppers.cast("double") / charsD).as("upper_ratio"),
-        (stops.cast("double") / wordsD).as("stopword_ratio")
-      )
+    df
+      .withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("chars_per_word", nChars.cast("double") / wordsD)
+      .withColumn("punct_ratio", punct.cast("double") / charsD)
+      .withColumn("digit_ratio", digits.cast("double") / charsD)
+      .withColumn("upper_ratio", uppers.cast("double") / charsD)
+      .withColumn("stopword_ratio", stops.cast("double") / wordsD)
       .withColumn(
         "quality_score",
         least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.5 +
@@ -85,6 +82,16 @@ object TextOps {
           col("digit_ratio") * 0.25
       )
   }
+
+  /** Quality scoring: structural ratios + a fixed-order composite score.
+    * Ratio denominators are guarded (documents are non-empty, but the
+    * operator shouldn't NaN on degenerate input). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    withQuality(docs(s, dir))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"), col("chars_per_word"),
+        col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),
+        col("stopword_ratio"), col("quality_score"))
 
   val textQualitySql: String =
     s"""WITH m AS (
@@ -118,18 +125,15 @@ object TextOps {
   )
   private val CjkRe = "[\\x{4e00}-\\x{9fff}]"
 
-  /** Language ID via stopword-hit counts (n-gram-free heuristic): count
-    * per-language stopword matches + CJK characters, argmax with a fixed
-    * priority order (en > de > fr > es > zh) on ties. */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(
-      (col("doc_id") +:
-        LangRes.map { case (l, re) => regexp_count(lower(col("text")), lit(re)).cast("long").as(s"${l}_hits") } :+
-        regexp_count(col("text"), lit(CjkRe)).cast("long").as("zh_hits")).toIndexedSeq: _*
-    )
+  /** Append per-language hit counts + argmax `detected_lang` to any
+    * DataFrame with a `text` column. */
+  private def withLangid(df: DataFrame): DataFrame = {
+    val withHits = LangRes.foldLeft(df) { case (d, (l, re)) =>
+      d.withColumn(s"${l}_hits", regexp_count(lower(col("text")), lit(re)).cast("long"))
+    }.withColumn("zh_hits", regexp_count(col("text"), lit(CjkRe)).cast("long"))
     val en = col("en_hits"); val de = col("de_hits"); val fr = col("fr_hits")
     val es = col("es_hits"); val zh = col("zh_hits")
-    base.withColumn(
+    withHits.withColumn(
       "detected_lang",
       when(en >= de && en >= fr && en >= es && en >= zh, "en")
         .when(de >= fr && de >= es && de >= zh, "de")
@@ -138,6 +142,14 @@ object TextOps {
         .otherwise("zh")
     )
   }
+
+  /** Language ID via stopword-hit counts (n-gram-free heuristic): count
+    * per-language stopword matches + CJK characters, argmax with a fixed
+    * priority order (en > de > fr > es > zh) on ties. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    withLangid(docs(s, dir)).select(
+      col("doc_id"), col("en_hits"), col("de_hits"), col("fr_hits"),
+      col("es_hits"), col("zh_hits"), col("detected_lang"))
 
   val textLangidSql: String = {
     val hitCols = LangRes
@@ -165,18 +177,22 @@ object TextOps {
     * operators exist for: keep documents that (a) clear the quality score,
     * (b) are detected-English, and (c) are the canonical (minimum-id) copy
     * of their content-fingerprint group. Output is the surviving doc ids
-    * with their scores — the manifest a downstream tokenizer run consumes. */
+    * with their scores — the manifest a downstream tokenizer run consumes.
+    *
+    * ONE scan: quality + langid + fingerprint are a single fused projection,
+    * and canonical selection is a min-over-fingerprint window on that same
+    * pass (the join-of-three-subqueries formulation scans documents three
+    * times; at 100 TB the scan IS the cost). */
   def corpusFilter(s: SparkSession, dir: String): DataFrame = {
-    val quality = textQuality(s, dir).select(col("doc_id"), col("quality_score"))
-    val lang = textLangid(s, dir).select(col("doc_id"), col("detected_lang"))
-    val canonical = textFingerprint(s, dir)
-      .groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    quality
-      .join(lang, "doc_id")
-      .join(canonical, "doc_id") // semi-style inner: only canonical copies survive
-      .filter(col("detected_lang") === "en" && col("quality_score") >= 0.2)
+    import org.apache.spark.sql.expressions.Window
+    val base = withLangid(withQuality(docs(s, dir)))
+      .select(
+        col("doc_id"), col("quality_score"), col("detected_lang"),
+        md5(TextFns.norm(col("text"))).as("fingerprint"))
+    base
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("doc_id") === col("min_id") &&
+        col("detected_lang") === "en" && col("quality_score") >= 0.2)
       .select(col("doc_id"), col("quality_score"))
   }
 
