@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.queries.{Analytics, Ann, DvQueries}
+import graft.queries.{Analytics, Ann, DvQueries, TextOps}
 
 /** Plan-quality guards: the properties that make these operators survive a
   * 100x scale-up are asserted here so a refactor can't silently lose them
@@ -40,6 +40,18 @@ class PlanSpec extends SparkSpec {
     val p = plan(Ann.knnBrute(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_cosine"), p)
+  }
+
+  test("corpus_filter: ONE documents scan (fused projection + window)") {
+    // The composition must not degrade back into a join of three subqueries,
+    // each rescanning documents — at 100 TB the scan is the cost.
+    val p = plan(TextOps.corpusFilter(spark, dir))
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q17: ONE lineitem scan (window, not self-agg join)") {
+    val p = plan(Analytics.q17SmallQty(spark, dir))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
   test("q1: partial aggregation before the exchange (map-side combine)") {
