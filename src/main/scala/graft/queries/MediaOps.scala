@@ -88,11 +88,52 @@ object MediaOps {
        |FROM media
        |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
 
+  private val NFrames = 4
+
+  /** #38 (frame sampling): the video frame-sample fan-out
+    * ([[Multimodal.sampleFrames]] — flatMap, one row per sampled frame, no
+    * shuffle) under the driver's oracle. The STUB decode's feature vector is
+    * not SQL-expressible, but the sampling GEOMETRY — which frames, which
+    * byte windows, how many bytes each — is pure arithmetic on payload
+    * length, so the distributed fan-out itself is verified cross-engine. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = stagedMedia(s, dir)
+      .withColumn(
+        "modality",
+        when(Multimodal.sniffModality(col("payload")) === "video/mp4", "video").otherwise("other"))
+    Multimodal.sampleFrames(media, NFrames)
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"))
+  }
+
+  val mediaFramesSql: String =
+    s"""WITH staged AS (
+       |  SELECT doc_id AS media_id, doc_id AS src_doc, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS media_id, doc_id AS src_doc, text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       | video AS (
+       |  SELECT media_id,
+       |         octet_length(unhex('${HeaderHex(2)}') || encode(text)) AS len
+       |  FROM staged WHERE src_doc % 3 = 2),
+       | f AS (
+       |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx, len,
+       |         greatest(1, len // $NFrames) AS w
+       |  FROM video, unnest(range(0, $NFrames)) AS t(i)),
+       | g AS (
+       |  SELECT media_id, frame_idx, len, w,
+       |         least(frame_idx * w, greatest(0, len - 1)) AS strt
+       |  FROM f)
+       |SELECT media_id, frame_idx,
+       |       CAST(least(strt + w, len) - strt AS INTEGER) AS n_bytes
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_dedup" -> (mediaDedup _)
+    "media_dedup" -> (mediaDedup _),
+    "media_frames" -> (mediaFrames _)
   )
 
   val oracles: Map[String, String] = Map(
-    "media_dedup" -> mediaDedupSql
+    "media_dedup" -> mediaDedupSql,
+    "media_frames" -> mediaFramesSql
   )
 }
