@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, NormalizeText}
 
 /** Session extension plugin: registers the native vector expressions as SQL
   * functions so they're usable from `spark.sql` / `expr(...)` as well as the
@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       binary("graft_cosine")(CosineSimilarity) _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_norm"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1)
+          throw new IllegalArgumentException(s"graft_norm requires exactly 1 argument, got ${children.size}")
+        NormalizeText(children.head)
+      }))
   }
 }

@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  private def ec(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def cc(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
   /** Canonical text normalization: lowercase, non-alphanumerics → space,
-    * collapse whitespace, trim. DuckDB twin: [[normSql]]. */
-  def norm(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    * collapse whitespace, trim. Native single-scan expression
+    * ([[NormalizeText]]) — the two-regex formulation walks every string
+    * twice through java.util.regex. DuckDB twin: [[normSql]]. */
+  def norm(text: Column): Column = cc(NormalizeText(ec(text)))
 
   def normSql(field: String): String =
     s"trim(regexp_replace(regexp_replace(lower($field), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"

@@ -57,12 +57,20 @@ object TextOps {
   /** Append the quality metric columns + composite score to any DataFrame
     * with a `text` column (single projection; shared by [[textQuality]] and
     * the one-pass [[corpusFilter]]). */
+  // Char-class COUNTS via single-pass `translate` (codegen'd) instead of
+  // java.util.regex: count(class) = len - len(text with class chars removed).
+  // ASCII classes only, so the counts are exactly regexp_count's.
+  private val AlnumChars = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+  private val WsChars = " \t\n" + "\u000B" + "\f\r" // java regex \s incl. vertical tab
+  private def countChars(c: org.apache.spark.sql.Column, chars: String) =
+    length(c) - length(translate(c, chars, ""))
+
   private def withQuality(df: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nWords = TextFns.wsTokenCount(col("text")).cast("long")
-    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
-    val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
-    val uppers = regexp_count(col("text"), lit("[A-Z]")).cast("long")
+    val punct = (nChars - countChars(col("text"), AlnumChars) - countChars(col("text"), WsChars)).cast("long")
+    val digits = countChars(col("text"), "0123456789").cast("long")
+    val uppers = countChars(col("text"), ('A' to 'Z').mkString).cast("long")
     val stops = regexp_count(lower(col("text")), lit(StopwordsRe)).cast("long")
     val charsD = greatest(nChars, lit(1L)).cast("double")
     val wordsD = greatest(nWords, lit(1L)).cast("double")

@@ -54,4 +54,24 @@ class PropertySpec extends SparkSpec {
       assert(bands.toSeq == TextFns.bandHashesOf(sigs.toArray, rows = 4).toSeq)
     }
   }
+
+  test("TextRuntime.normalize is byte-identical to the two-regex formulation") {
+    // Mixed generator: printable ascii, unicode letters, whitespace variants —
+    // the corners where a single-scan rewrite could drift from java.util.regex.
+    val messy = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "\u00A0"),
+      Gen.oneOf("Ärger", "ÇÖĞÜ", "K", "中文", "é", "𝒳𝒴"))).map(_.mkString)
+    forAllGen(messy, n = 500) { s =>
+      val viaRegex = java.util.regex.Pattern.compile("\\s+")
+        .matcher(
+          java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+            .matcher(org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString)
+            .replaceAll(" "))
+        .replaceAll(" ").strip()
+      val viaScan = graft.functions.TextRuntime
+        .normalize(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      assert(viaScan == viaRegex, s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
