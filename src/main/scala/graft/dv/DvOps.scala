@@ -168,7 +168,13 @@ object DvOps {
     * standard trick for making vault queries flat at warehouse scale. */
   def pitTable(keys: DataFrame, hk: String, sats: Seq[(String, DataFrame)], ts: Column): DataFrame =
     sats.foldLeft(keys.select(col(hk)).distinct()) { case (acc, (name, sat)) =>
-      val snap = asOfRows(sat, hk, ts).select(col(hk), col("load_dts").as(s"${name}_load_dts"))
+      // The as-of row's load_dts is by definition max(load_dts ≤ ts) per key,
+      // so aggregate ONLY that column — a full-row as-of ([[asOfRows]]'s
+      // max_by over a struct of every column) would drag the whole satellite
+      // payload through the shuffle just to drop it, and the struct blocks
+      // Catalyst's column pruning at the scan.
+      val snap = sat.filter(col("load_dts") <= ts)
+        .groupBy(col(hk)).agg(max(col("load_dts")).as(s"${name}_load_dts"))
       acc.join(snap, Seq(hk), "left")
     }
 }
