@@ -26,7 +26,11 @@ object Bench {
     // tables) — local[n] shares one JVM, so this removes first-call JIT noise
     // from whichever md5-heavy query happens to run first.
     var w = 0
-    while (w < 200000) { graft.functions.TextFns.md5HexOf("warmup:" + w); w += 1 }
+    while (w < 200000) {
+      graft.functions.TextFns.md5HexOf("warmup:" + w)
+      graft.functions.TextFns.md5BytesOf("warmup:" + w)
+      w += 1
+    }
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -59,7 +59,19 @@ object SkewBench {
     val results = Seq(
       time("plain_aqe", aqe = true)(probe.join(build, "l_orderkey")),
       time("plain_noaqe", aqe = false)(probe.join(build, "l_orderkey")),
-      time("salted_noaqe", aqe = false)(Joins.saltedJoin(probe, build, Seq("l_orderkey"), 8))
+      time("salted_noaqe", aqe = false)(Joins.saltedJoin(probe, build, Seq("l_orderkey"), 8)),
+      // AQE skew splitting only fires above skewedPartitionThresholdInBytes
+      // (256 MB default — sized for real clusters). Scale the thresholds to
+      // this dataset to demonstrate the runtime split engaging, as it would
+      // untouched at 100 TB partition sizes.
+      {
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        val r = time("plain_aqe_scaled_thresholds", aqe = true)(probe.join(build, "l_orderkey"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        r
+      }
     )
     val js = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"bench":"skew_join","hot_frac":0.5,"salt_factor":8,$js,"sf":"$sfDir"}""")
