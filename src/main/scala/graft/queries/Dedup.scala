@@ -114,6 +114,14 @@ object Dedup {
     * through the blocking self-join. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOTE on shared lineage: withSh feeds five operators below (the df
+    // aggregation, both sides of the blocking self-join, both verify joins)
+    // and Spark recomputes the scan + normalize + shingle pass per use.
+    // Measured: that recomputation is cheap (~0.5 s/pass at sf1) and
+    // materializing the intermediate to parquet makes the query 60% SLOWER —
+    // the staged table's small on-disk size misleads the planner's join-size
+    // estimates for the exploded self-join. The recompute is the right
+    // trade; the joins, not the shingling, dominate.
     val withSh = docNorms(s, dir)
       .as[(Long, String)]
       .map { case (id, n) => (id, TextFns.shinglesOf(n).toSeq) }

@@ -392,15 +392,18 @@ object DvQueries {
     java.nio.file.Files.createDirectories(srcDir)
     val src = java.nio.file.Paths.get(dir, "customer.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
-      val it = java.nio.file.Files.list(src).iterator()
-      var i = 0
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.toString.endsWith(".parquet")) {
-          java.nio.file.Files.copy(p, srcDir.resolve(s"part_$i.parquet"))
-          i += 1
+      val listing = java.nio.file.Files.list(src)
+      try {
+        val it = listing.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(p, srcDir.resolve(s"part_$i.parquet"))
+            i += 1
+          }
         }
-      }
+      } finally listing.close()
     } else java.nio.file.Files.copy(src, srcDir.resolve("customer.parquet"))
     val schema = s.read.parquet(s"$dir/customer.parquet").schema
     val staged = s.readStream.schema(schema).parquet(srcDir.toString)
