@@ -217,12 +217,45 @@ object TextOps {
        |JOIN canon ON q.doc_id = canon.doc_id
        |WHERE l.detected_lang = 'en' AND q.quality_score >= 0.2""".stripMargin
 
+  // --------------------------------------------------------------- corpus split
+
+  /** Deterministic train/val/test assignment — the reproducible-split
+    * primitive every training-data pipeline needs: bucket by the first hex
+    * nibble of md5(doc_id), so the same document lands in the same split on
+    * any engine, any run, any shard layout (never `rand()`). Nibble ranges:
+    * 0-b → train (12/16), c-d → val (2/16), e-f → test (2/16). Output is the
+    * per-split manifest summary (doc count + token budget) a run config
+    * consumes; the assignment itself is the `split` column. Scan-bound, one
+    * tiny 3-group aggregation — trivially 100 TB-safe. */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test").as("split"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  val corpusSplitSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+       |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM a GROUP BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_fingerprint" -> (textFingerprint _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "corpus_filter" -> (corpusFilter _)
+    "corpus_filter" -> (corpusFilter _),
+    "corpus_split" -> (corpusSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +263,7 @@ object TextOps {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "corpus_filter" -> corpusFilterSql
+    "corpus_filter" -> corpusFilterSql,
+    "corpus_split" -> corpusSplitSql
   )
 }
