@@ -259,15 +259,35 @@ object Dedup {
     import s.implicits._
     val sigs = docNorms(s, dir)
       .as[(Long, String)]
-      .map { case (id, n) =>
+      // mapPartitions for a per-partition word→bits memo: natural language
+      // repeats words heavily across documents, so most md5 calls hit the
+      // cache. Stays shuffle-free (the scale-right shape — a corpus-level
+      // vocabulary join would shuffle data-sized word rows at 100 TB).
+      .mapPartitions { rows =>
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        def bitsOf(w: String): Long = {
+          val hit = memo.get(w)
+          if (hit != null) hit.longValue
+          else {
+            val d = TextFns.md5BytesOf(w)
+            var b = 0L
+            var k = 0
+            while (k < 8) { b = (b << 8) | (d(k) & 0xffL); k += 1 }
+            if (memo.size < (1 << 20)) memo.put(w, java.lang.Long.valueOf(b))
+            b
+          }
+        }
+        rows.map { case (id, n) =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
         if (n.nonEmpty) n.split(' ').foreach(w => if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0L) + 1L))
         val acc = new Array[Long](64)
         counts.foreach { case (w, cnt) =>
-          val d = TextFns.md5BytesOf(w)
+          // packed MSB-first: bit j of the digest = bit (63-j) of bv —
+          // identical to the byte-indexed form the oracle mirrors.
+          val bv = bitsOf(w)
           var j = 0
           while (j < 64) {
-            if (((d(j >> 3) >> (7 - (j & 7))) & 1) == 1) acc(j) += cnt else acc(j) -= cnt
+            if (((bv >>> (63 - j)) & 1L) == 1L) acc(j) += cnt else acc(j) -= cnt
             j += 1
           }
         }
@@ -281,6 +301,7 @@ object Dedup {
         // oracle's `WHERE len(word) > 0` drops them too; an all-zero
         // signature would otherwise pair every contentless doc.
         (id, if (counts.isEmpty) Seq.empty[Int] else chunks.toSeq)
+        }
       }
       .toDF("doc_id", "chunks")
       .filter(size(col("chunks")) > 0)
