@@ -33,9 +33,22 @@ object DvOps {
   /** Latest row per hash key: deterministic via (load_dts, run_id, hash_diff)
     * ordering. Partial-aggregating `max_by` — no sort, no window. */
   def latestRows(sat: DataFrame, hk: String): DataFrame = {
-    val all = struct(sat.columns.map(col).toIndexedSeq: _*)
+    val payload = sat.columns.filterNot(_ == hk).toIndexedSeq
+    latestRowsProjected(sat, hk, payload)
+      .select(sat.columns.map(col).toIndexedSeq: _*) // original column order
+  }
+
+  /** [[latestRows]] carrying only `payload` columns (plus the key): the
+    * max_by struct is what travels through the shuffle, so callers that only
+    * need a column or two (e.g. the delta-load's (hash_diff, del_flag) probe)
+    * should not drag the full satellite payload along. */
+  def latestRowsProjected(sat: DataFrame, hk: String, payload: Seq[String]): DataFrame = {
+    val picked = struct(payload.map(col): _*)
     val ord = struct(col("load_dts"), col("run_id"), col("hash_diff"))
-    sat.groupBy(col(hk)).agg(max_by(all, ord).as("__r")).select(col("__r.*"))
+    sat
+      .groupBy(col(hk))
+      .agg(max_by(picked, ord).as("__r"))
+      .select(col(hk) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** New-hub-rows load: distinct staged keys anti-joined against the existing
@@ -110,11 +123,17 @@ object DvOps {
         (Seq(col(hkSource).as(satHk), col(hashdiffField).as("hash_diff")) ++
           fields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*
       )
-      .distinct()
-    val active = latestRows(existingSat, satHk)
+    // Shuffle economics (measured at sf1): aggregate ONLY (hash_diff,
+    // del_flag) for the latest-row probe — max_by over the full satellite
+    // struct drags the whole payload through the shuffle to drop it — and
+    // run the staged dedup AFTER the anti-join (anti-join commutes with
+    // distinct), so the full staged batch crosses the wire once, not twice:
+    // the distinct then runs on the anti-join survivors (new/changed rows
+    // only, typically a small fraction of the batch).
+    val active = latestRowsProjected(existingSat, satHk, Seq("hash_diff", "del_flag"))
       .filter(!col("del_flag"))
       .select(col(satHk), col("hash_diff"))
-    val fresh = staged.join(active, Seq(satHk, "hash_diff"), "left_anti")
+    val fresh = staged.join(active, Seq(satHk, "hash_diff"), "left_anti").distinct()
     fresh.select(
       (Seq(
         col(satHk),
@@ -139,9 +158,13 @@ object DvOps {
       ctx: LoadContext
   ): DataFrame = {
     val stagedKeys = hashView.select(col(hkSource).as(satHk)).distinct()
-    val gone = latestRows(existingSat, satHk)
+    // Anti-join BELOW the latest-row aggregation: the join key is the groupBy
+    // key, so a key either survives with all its version rows or is dropped
+    // whole — semantics identical, but the (expensive, full-payload) max_by
+    // aggregation then runs only over the keys actually absent from the
+    // batch instead of the whole satellite.
+    val gone = latestRows(existingSat.join(stagedKeys, Seq(satHk), "left_anti"), satHk)
       .filter(!col("del_flag"))
-      .join(stagedKeys, Seq(satHk), "left_anti")
     gone.select(
       (Seq(
         col(satHk),
@@ -166,15 +189,35 @@ object DvOps {
     * (null when the sat has no version yet). Downstream equi-joins
     * (hk, <sat>_load_dts) replace repeated as-of window scans — the
     * standard trick for making vault queries flat at warehouse scale. */
-  def pitTable(keys: DataFrame, hk: String, sats: Seq[(String, DataFrame)], ts: Column): DataFrame =
-    sats.foldLeft(keys.select(col(hk)).distinct()) { case (acc, (name, sat)) =>
-      // The as-of row's load_dts is by definition max(load_dts ≤ ts) per key,
-      // so aggregate ONLY that column — a full-row as-of ([[asOfRows]]'s
-      // max_by over a struct of every column) would drag the whole satellite
-      // payload through the shuffle just to drop it, and the struct blocks
-      // Catalyst's column pruning at the scan.
-      val snap = sat.filter(col("load_dts") <= ts)
-        .groupBy(col(hk)).agg(max(col("load_dts")).as(s"${name}_load_dts"))
-      acc.join(snap, Seq(hk), "left")
+  def pitTable(keys: DataFrame, hk: String, sats: Seq[(String, DataFrame)], ts: Column): DataFrame = {
+    // ONE shuffle, not a fold of joins. The as-of load_dts per sat is by
+    // definition max(load_dts ≤ ts) per key, and a per-key max over a union
+    // is the same as a left join of per-sat maxes — so tag each satellite's
+    // (hk, load_dts) rows with its position, union with the key set, and
+    // aggregate once. The fold-of-joins shape shuffles 2N+1 times (key
+    // distinct + per-sat groupBy + N joins); this shape shuffles the same
+    // narrow rows exactly once, with map-side combine collapsing each
+    // partition to ≤1 row per (key, sat) before the wire — the difference
+    // between N passes and one pass over the vault at 100 TB. Hash keys are
+    // non-null by construction (coalesce'd hashes), which makes the
+    // union-aggregate exactly equivalent to the join formulation.
+    // Union in timestamp (order-isomorphic superset of date), restore each
+    // sat's original load_dts type on the way out.
+    val dtsTypes = sats.map { case (_, sat) => sat.schema("load_dts").dataType }
+    val keyRows = keys
+      .select(col(hk), lit(-1).as("__sat"), lit(null).cast("timestamp").as("__dts"))
+    val satRows = sats.zipWithIndex.map { case ((_, sat), i) =>
+      sat.filter(col("load_dts") <= ts)
+        .select(col(hk), lit(i).as("__sat"), col("load_dts").cast("timestamp").as("__dts"))
     }
+    val aggs = sats.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("__sat") === i, col("__dts"))).cast(dtsTypes(i)).as(s"${name}_load_dts")
+    }
+    satRows
+      .foldLeft(keyRows)(_ unionAll _)
+      .groupBy(col(hk))
+      .agg(max(col("__sat") === -1).as("__isKey"), aggs: _*)
+      .filter(col("__isKey"))
+      .select(col(hk) +: sats.map { case (name, _) => col(s"${name}_load_dts") }: _*)
+  }
 }
