@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen-callable runtime for the native text expressions. */
@@ -44,6 +44,99 @@ object TextRuntime {
     }
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** Precompiled ASCII-word dictionary for [[WordSetCount]]: candidate words
+  * grouped by length so the scan compares a run only against same-length
+  * entries, allocation-free. Words must be lowercase [a-z0-9_]+. */
+final class WordDict(words: Seq[String]) extends Serializable {
+  require(words.nonEmpty, "empty word set")
+  require(
+    words.forall(_.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')),
+    s"WordDict words must be lowercase ASCII word chars: $words")
+  val maxLen: Int = words.map(_.length).max
+  // byLen(L) = concatenated byte images of all L-length words (L*k bytes).
+  val byLen: Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](maxLen + 1)
+    words.groupBy(_.length).foreach { case (l, ws) =>
+      out(l) = ws.distinct.sorted.flatMap(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+    }
+    out
+  }
+}
+
+object WordSetRuntime {
+
+  /** Count of word-char runs of `s.toLowerCase` equal to a dictionary word —
+    * byte-identical to `regexp_count(lower(s), '\b(w1|w2|…)\b')` for ASCII
+    * word lists: a `\b`-flanked alternative can only match a maximal
+    * [a-zA-Z0-9_]+ run in its entirety (word boundaries exist only at run
+    * edges), and after lowercasing the run chars are exactly [a-z0-9_].
+    * Non-ASCII bytes (UTF-8 lead/continuation, always ≥ 0x80) are non-word
+    * chars for Java's ASCII `\b`, so scanning raw bytes is exact. */
+  def countWords(s: UTF8String, dict: WordDict): Long = {
+    val b = s.toLowerCase.getBytes
+    val n = b.length
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+        val start = i
+        i += 1
+        while (i < n && {
+          val d = b(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') || d == '_'
+        }) i += 1
+        val len = i - start
+        if (len <= dict.maxLen) {
+          val cands = dict.byLen(len)
+          if (cands != null) {
+            var w = 0
+            var found = false
+            while (!found && w < cands.length) {
+              var j = 0
+              while (j < len && b(start + j) == cands(w + j)) j += 1
+              if (j == len) found = true else w += len
+            }
+            if (found) count += 1L
+          }
+        }
+      } else i += 1
+    }
+    count
+  }
+}
+
+/** `graft_word_count(text, 'w1,w2,…')` — native occurrence count of
+  * dictionary words between word boundaries (see
+  * [[WordSetRuntime.countWords]]). Replaces the stopword/language-marker
+  * `regexp_count(lower(text), '\b(…)\b')` hot path: one byte scan, no
+  * lowercased copy beyond UTF8String's own, no java.util.regex. */
+case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val dict = new WordDict(words)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordSetRuntime.countWords(input.asInstanceOf[UTF8String], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("wordDict", dict, classOf[WordDict].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordSetRuntime.countWords($c, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_count"
 }
 
 /** `graft_norm(text)` — native canonical normalization (see

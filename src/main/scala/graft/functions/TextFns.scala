@@ -140,6 +140,12 @@ object TextFns {
     Array.tabulate(nBands)(b => md5HexOf(sigs.slice(b * rows, b * rows + rows).mkString("|")))
   }
 
+  /** Occurrence count of `words` between word boundaries in `lower(text)` —
+    * native single-scan twin of `regexp_count(lower(text), '\b(w1|w2|…)\b')`
+    * (see [[WordSetCount]]). DuckDB twin stays the regex form. */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    cc(WordSetCount(ec(text), words))
+
   /** Whitespace token count of raw text (split on runs of whitespace). */
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))

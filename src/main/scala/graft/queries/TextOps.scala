@@ -52,7 +52,8 @@ object TextOps {
 
   // --------------------------------------------------------------- #35 quality
 
-  private val StopwordsRe = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val StopwordsRe = s"\\b(${Stopwords.mkString("|")})\\b"
 
   /** Append the quality metric columns + composite score to any DataFrame
     * with a `text` column (single projection; shared by [[textQuality]] and
@@ -71,7 +72,10 @@ object TextOps {
     val punct = (nChars - countChars(col("text"), AlnumChars) - countChars(col("text"), WsChars)).cast("long")
     val digits = countChars(col("text"), "0123456789").cast("long")
     val uppers = countChars(col("text"), ('A' to 'Z').mkString).cast("long")
-    val stops = regexp_count(lower(col("text")), lit(StopwordsRe)).cast("long")
+    // Native word-boundary scan (WordSetCount) — the regexp_count(lower(..))
+    // form was the last java.util.regex on the quality hot path (23x the
+    // DuckDB oracle's RE2 at sf1).
+    val stops = TextFns.wordSetCount(col("text"), Stopwords)
     val charsD = greatest(nChars, lit(1L)).cast("double")
     val wordsD = greatest(nWords, lit(1L)).cast("double")
     df
@@ -125,19 +129,21 @@ object TextOps {
 
   // --------------------------------------------------------------- #34 language ID
 
-  private val LangRes: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
-    "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
-    "fr" -> "\\b(le|la|les|et|est|une|que)\\b",
-    "es" -> "\\b(el|los|las|es|una|y|por)\\b"
+  private val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y", "por")
   )
+  private val LangRes: Seq[(String, String)] =
+    LangWords.map { case (l, ws) => l -> s"\\b(${ws.mkString("|")})\\b" }
   private val CjkRe = "[\\x{4e00}-\\x{9fff}]"
 
   /** Append per-language hit counts + argmax `detected_lang` to any
     * DataFrame with a `text` column. */
   private def withLangid(df: DataFrame): DataFrame = {
-    val withHits = LangRes.foldLeft(df) { case (d, (l, re)) =>
-      d.withColumn(s"${l}_hits", regexp_count(lower(col("text")), lit(re)).cast("long"))
+    val withHits = LangWords.foldLeft(df) { case (d, (l, ws)) =>
+      d.withColumn(s"${l}_hits", TextFns.wordSetCount(col("text"), ws))
     }.withColumn("zh_hits", regexp_count(col("text"), lit(CjkRe)).cast("long"))
     val en = col("en_hits"); val de = col("de_hits"); val fr = col("fr_hits")
     val es = col("es_hits"); val zh = col("zh_hits")

@@ -74,4 +74,27 @@ class PropertySpec extends SparkSpec {
       assert(viaScan == viaRegex, s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
   }
+
+  test("WordSetRuntime.countWords is identical to regexp_count(lower, \\b(..)\\b)") {
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val dict = new graft.functions.WordDict(words)
+    val pattern = java.util.regex.Pattern.compile(s"\\b(${words.mkString("|")})\\b")
+    // Adversarial mix: the dictionary words themselves, near-misses sharing
+    // prefixes/suffixes, digits/underscores extending runs, unicode
+    // non-word chars acting as boundaries, uppercase needing the lower().
+    val messy = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(words),
+      Gen.oneOf("THE", "The", "thee", "xthe", "the1", "the_", "_the", "a", "A", "of2", "1of"),
+      Gen.asciiPrintableStr,
+      Gen.oneOf(" ", "\t", "\n", ",", ".", "-", "中", "é", "K", "𝒳"))).map(_.mkString(""))
+    forAllGen(messy, n = 500) { s =>
+      val lowered = org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+      val m = pattern.matcher(lowered)
+      var viaRegex = 0L
+      while (m.find()) viaRegex += 1
+      val viaScan = graft.functions.WordSetRuntime
+        .countWords(org.apache.spark.unsafe.types.UTF8String.fromString(s), dict)
+      assert(viaScan == viaRegex, s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
