@@ -68,12 +68,18 @@ final class WordDict(words: Seq[String]) extends Serializable {
 object WordSetRuntime {
 
   /** Count of word-char runs of `s.toLowerCase` equal to a dictionary word —
-    * byte-identical to `regexp_count(lower(s), '\b(w1|w2|…)\b')` for ASCII
-    * word lists: a `\b`-flanked alternative can only match a maximal
-    * [a-zA-Z0-9_]+ run in its entirety (word boundaries exist only at run
-    * edges), and after lowercasing the run chars are exactly [a-z0-9_].
-    * Non-ASCII bytes (UTF-8 lead/continuation, always ≥ 0x80) are non-word
-    * chars for Java's ASCII `\b`, so scanning raw bytes is exact. */
+    * byte-identical to `regexp_count(lower(s), '\b(w1|w2|…)\b')` under
+    * RE2/DuckDB semantics (the driver oracle), where `\b` is ASCII-only:
+    * word chars are [a-zA-Z0-9_], an alternative can only match a maximal
+    * such run in its entirety, and after lowercasing the run chars are
+    * exactly [a-z0-9_]. Non-ASCII bytes (UTF-8 lead/continuation, always
+    * ≥ 0x80) are non-word chars to RE2, so scanning raw bytes is exact.
+    *
+    * NOTE this deliberately DIVERGES from java.util.regex's `\b`, which is
+    * Unicode-aware: Java treats e.g. 𝒳 (U+1D4B3) as a word char, so in
+    * `𝒳a` it sees no boundary before `a` while RE2 (and this scan) does.
+    * The equivalent Java pattern is the ASCII-boundary lookaround form
+    * `(?<![a-z0-9_])(w1|…)(?![a-z0-9_])` on the lowered string. */
   def countWords(s: UTF8String, dict: WordDict): Long = {
     val b = s.toLowerCase.getBytes
     val n = b.length

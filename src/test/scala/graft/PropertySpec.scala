@@ -75,10 +75,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("WordSetRuntime.countWords is identical to regexp_count(lower, \\b(..)\\b)") {
+  test("WordSetRuntime.countWords matches ASCII-\\b regexp_count(lower, (..)) — the RE2/DuckDB oracle") {
     val words = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     val dict = new graft.functions.WordDict(words)
-    val pattern = java.util.regex.Pattern.compile(s"\\b(${words.mkString("|")})\\b")
+    // Reference semantics are RE2/DuckDB's ASCII `\b` (word chars = [a-z0-9_]
+    // after lower()), which is what the driver oracle evaluates. Java's `\b`
+    // is Unicode-aware and DIVERGES: in `𝒳a`, Java treats 𝒳 (U+1D4B3, a
+    // word char to java.util.regex) as extending the run, so it sees no
+    // boundary before `a`; RE2 and the production byte scan do. So the
+    // reference here is ASCII-boundary lookarounds, not Java's `\b`.
+    val pattern = java.util.regex.Pattern.compile(
+      s"(?<![a-z0-9_])(${words.mkString("|")})(?![a-z0-9_])")
     // Adversarial mix: the dictionary words themselves, near-misses sharing
     // prefixes/suffixes, digits/underscores extending runs, unicode
     // non-word chars acting as boundaries, uppercase needing the lower().
