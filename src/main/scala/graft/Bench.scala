@@ -17,11 +17,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def jstr(s: String): String = graft.core.Json.str(s)
+    // Median-of-N per query (default 3): identical bits measured by the r4/r5
+    // driver artifacts swung 4× per-query on single-shot timings, so a single
+    // run is not decision-grade. Override with SPARK_GRAFT_BENCH_REPS=1 for
+    // quick local iteration.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // Untimed warmup: JVM/codegen/parquet-reader initialization otherwise
-    // lands on whichever query happens to run first (~3s of noise).
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // lands on whichever query happens to run first (~3s of noise). The
+    // second query also covers the md5/upper/concat_ws codegen first-hit
+    // path every DV hash view and dedup query exercises.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(md5(upper(concat_ws("||", col("n_name"), col("n_nationkey")))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // Warm the JVM paths the typed dedup passes hammer (MessageDigest, hex
     // tables) — local[n] shares one JVM, so this removes first-call JIT noise
     // from whichever md5-heavy query happens to run first.
@@ -33,16 +45,25 @@ object Bench {
     }
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column — count()
       // lets Catalyst prune projections, so pure-projection queries (hash
       // views, text ops) would bench their scan instead of their work.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+      val times = (0 until reps).flatMap { _ =>
+        if (errors.contains(name)) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+              Some((System.nanoTime() - t0) / 1e9)
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = times.sorted
+      name -> sorted(sorted.length / 2)
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

@@ -120,7 +120,10 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     if (df.columns.contains("hk_bucket"))
       df.repartition(col("hk_bucket"))
         .write.partitionBy("hk_bucket").parquet(staged.toString)
-    else df.coalesce(math.max(1, df.rdd.getNumPartitions / 8)).write.parquet(staged.toString)
+    // inputFiles length instead of df.rdd.getNumPartitions (the latter
+    // materializes the physical RDD driver-side); compaction targets ~8
+    // input files per output file.
+    else df.coalesce(math.max(1, df.inputFiles.length / 8)).write.parquet(staged.toString)
     val backup = new Path(tablePath(layer, s"__backup_$name"))
     fs.delete(backup, true)
     // Hadoop FileSystem.rename signals most failures by RETURNING FALSE —

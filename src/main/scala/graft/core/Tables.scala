@@ -16,7 +16,11 @@ object Tables {
     * this is a no-op (no extra exchange). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles (driver-side file listing) instead of df.rdd.getNumPartitions:
+    // the latter materializes the physical RDD eagerly on the driver. File
+    // count under-approximates split count for large multi-row-group files,
+    // which is exactly the no-op case we want at production scale.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =

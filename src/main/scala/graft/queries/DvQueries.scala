@@ -339,10 +339,11 @@ object DvQueries {
     * Exercises the whole orchestration path (runinfo ledger, run-id alloc,
     * bucketed appends) under the driver's oracle compare. */
   def flowHub(s: SparkSession, dir: String): DataFrame = {
-    // Fixed per-process scratch root, wiped on entry — repeated bench/verify
-    // invocations must not accumulate temp lakes.
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_flow_lake"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // Unique per-call scratch root (concurrent sessions/bench reps must not
+    // clobber each other's lake), reaped at JVM exit — the returned DataFrame
+    // lazily reads this lake, so we can't delete earlier.
+    val root = java.nio.file.Files.createTempDirectory("graft_flow_lake_").toString
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
     val lake = new graft.core.Lake(s, root, buckets = 4)
     val meta = graft.meta.MetaStore(
       tables = Seq(
@@ -379,8 +380,11 @@ object DvQueries {
     * input file lands in micro-batch 0, so run_id (= batchId) and the pinned
     * load_dts are deterministic and the WHOLE row is hash-comparable. */
   def streamHub(s: SparkSession, dir: String): DataFrame = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_lake"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // Unique per-call scratch root (concurrent sessions/bench reps must not
+    // clobber each other's lake/checkpoint), reaped at JVM exit — the
+    // returned DataFrame lazily reads this lake, so we can't delete earlier.
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_lake_").toString
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
     val lake = new graft.core.Lake(s, root, buckets = 4)
     val transitions = Seq(
       Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
@@ -406,7 +410,12 @@ object DvQueries {
       } finally listing.close()
     } else java.nio.file.Files.copy(src, srcDir.resolve("customer.parquet"))
     val schema = s.read.parquet(s"$dir/customer.parquet").schema
-    val staged = s.readStream.schema(schema).parquet(srcDir.toString)
+    // maxFilesPerTrigger pinned far above any staged file count: the oracle
+    // asserts run_id = 0, which requires ALL files to land in micro-batch 0
+    // (AvailableNow would otherwise split at the 1000-file default).
+    val staged = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(srcDir.toString)
     val q = graft.streaming.StreamingDv.hubSink(
       lake, staged, transitions, "hub_customer", "customer",
       Seq("c_custkey" -> "c_custkey_bk"), "verify", s"$root/ckpt",

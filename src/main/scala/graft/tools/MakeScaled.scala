@@ -33,8 +33,10 @@ object MakeScaled {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // max() preserves the input type, so an INT32 key in regenerated testdata
+    // would make getLong throw — go through Number for type robustness.
     def off(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1L
+      df.agg(max(col(key))).head().getAs[Number](0).longValue + 1L
 
     /** Replicate ×factor, shifting each named key by r*offset(key). */
     def scale(df: DataFrame, keys: Seq[String], parts: Int): DataFrame = {
