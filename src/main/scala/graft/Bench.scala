@@ -43,8 +43,13 @@ object Bench {
       graft.functions.TextFns.md5BytesOf("warmup:" + w)
       w += 1
     }
+    // Optional comma-separated query filter for focused local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=dv_sat_delta,dv_pit_table).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // noop sink forces FULL evaluation of every output column — count()
       // lets Catalyst prune projections, so pure-projection queries (hash
       // views, text ops) would bench their scan instead of their work.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, NormalizeText}
+import graft.functions.{CosineSimilarity, DotProduct, DvHash, DvHashRuntime, NormalizeText}
 
 /** Session extension plugin: registers the native vector expressions as SQL
   * functions so they're usable from `spark.sql` / `expr(...)` as well as the
@@ -35,6 +35,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 1)
           throw new IllegalArgumentException(s"graft_norm requires exactly 1 argument, got ${children.size}")
         NormalizeText(children.head)
+      }))
+    // graft_dv_hash(algo, f1, f2, …): first arg is a literal algorithm name.
+    ext.injectFunction((
+      FunctionIdentifier("graft_dv_hash"),
+      new ExpressionInfo(classOf[DvHash].getName, "graft_dv_hash"),
+      (children: Seq[Expression]) => {
+        if (children.size < 2)
+          throw new IllegalArgumentException(
+            s"graft_dv_hash requires (algo, field, ...), got ${children.size} arguments")
+        val algo = children.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString match {
+              case "md5"    => DvHashRuntime.Md5
+              case "sha1"   => DvHashRuntime.Sha1
+              case "sha256" => DvHashRuntime.Sha256
+              case other    => throw new IllegalArgumentException(s"unknown hash algo: $other")
+            }
+          case _ => throw new IllegalArgumentException("graft_dv_hash: algo must be a literal string")
+        }
+        DvHash(children.tail, algo)
       }))
   }
 }

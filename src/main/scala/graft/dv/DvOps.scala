@@ -118,32 +118,66 @@ object DvOps {
       satHk: String,
       ctx: LoadContext
   ): DataFrame = {
-    val staged = hashView
-      .select(
-        (Seq(col(hkSource).as(satHk), col(hashdiffField).as("hash_diff")) ++
-          fields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*
-      )
-    // Shuffle economics (measured at sf1): aggregate ONLY (hash_diff,
-    // del_flag) for the latest-row probe — max_by over the full satellite
-    // struct drags the whole payload through the shuffle to drop it — and
-    // run the staged dedup AFTER the anti-join (anti-join commutes with
-    // distinct), so the full staged batch crosses the wire once, not twice:
-    // the distinct then runs on the anti-join survivors (new/changed rows
-    // only, typically a small fraction of the batch).
-    val active = latestRowsProjected(existingSat, satHk, Seq("hash_diff", "del_flag"))
-      .filter(!col("del_flag"))
-      .select(col(satHk), col("hash_diff"))
-    val fresh = staged.join(active, Seq(satHk, "hash_diff"), "left_anti").distinct()
-    fresh.select(
-      (Seq(
-        col(satHk),
-        lit(ctx.loadDts).as("load_dts"),
-        lit(false).as("del_flag"),
-        col("hash_diff"),
-        lit(ctx.recordSource).as("record_source"),
-        lit(ctx.runId).as("run_id")
-      ) ++ fields.map { case (_, t) => col(t) }).toIndexedSeq: _*
+    // ONE shuffle (measured at sf1 vs the anti-join + distinct shape this
+    // replaces, which crossed the wire three times: probe aggregation,
+    // join, output dedup). Both halves of the delta check are per-key
+    // aggregations — "latest active (hash_diff, del_flag) for the key" and
+    // "distinct staged (hash_diff, payload) for the key" — so tag a union
+    // of the narrow satellite rows and the staged batch and compute both in
+    // a single groupBy(hk):
+    //   * the probe is max_by over satellite-tagged rows only (staged rows
+    //     carry a null ordering, which max_by skips);
+    //   * the staged dedup is collect_set over staged-tagged rows only
+    //     (satellite rows carry null, which collect_set skips). Same
+    //     (hk, hash_diff) implies same payload (hash_diff is the payload
+    //     hash), so set-of-structs dedup ≡ the old output distinct().
+    // Per-key staged cardinality is batch-bounded (a handful of versions),
+    // so the sets stay small no matter the corpus size.
+    val payload = struct(fields.map { case (s, t) => col(s).as(t) }: _*)
+    val stagedRows = hashView.select(
+      col(hkSource).as(satHk),
+      lit(null).cast("timestamp").as("load_dts"),
+      lit(null).cast("long").as("run_id"),
+      lit(false).as("del_flag"),
+      col(hashdiffField).as("hash_diff"),
+      payload.as("__p"),
+      lit(1).as("__src")
     )
+    val payloadType = stagedRows.schema("__p").dataType
+    val satRows = existingSat.select(
+      col(satHk),
+      col("load_dts").cast("timestamp").as("load_dts"),
+      col("run_id").cast("long").as("run_id"),
+      col("del_flag"),
+      col("hash_diff"),
+      lit(null).cast(payloadType).as("__p"),
+      lit(0).as("__src")
+    )
+    val isSat = col("__src") === 0
+    val grouped = satRows.unionAll(stagedRows)
+      .groupBy(col(satHk))
+      .agg(
+        max_by(
+          when(isSat, struct(col("hash_diff"), col("del_flag"))),
+          when(isSat, struct(col("load_dts"), col("run_id"), col("hash_diff")))
+        ).as("__active"),
+        collect_set(when(!isSat, struct(col("hash_diff"), col("__p")))).as("__staged")
+      )
+    grouped
+      .select(col(satHk), col("__active"), explode(col("__staged")).as("__s"))
+      .filter(
+        col("__active").isNull || col("__active.del_flag") ||
+          col("__active.hash_diff") =!= col("__s.hash_diff"))
+      .select(
+        (Seq(
+          col(satHk),
+          lit(ctx.loadDts).as("load_dts"),
+          lit(false).as("del_flag"),
+          col("__s.hash_diff").as("hash_diff"),
+          lit(ctx.recordSource).as("record_source"),
+          lit(ctx.runId).as("run_id")
+        ) ++ fields.map { case (_, t) => col(s"__s.__p.$t").as(t) }).toIndexedSeq: _*
+      )
   }
 
   /** Full-load delete detection: latest active satellite rows whose key is
@@ -157,6 +191,10 @@ object DvOps {
       satHk: String,
       ctx: LoadContext
   ): DataFrame = {
+    // distinct() on the probe side is semantically redundant for an
+    // anti-join, but measured FASTER at sf1 (1.4s vs 2.1s): the aggregation
+    // exchange it introduces is exactly the partitioning the join needs, and
+    // AQE plans the join off the aggregated exchange's statistics.
     val stagedKeys = hashView.select(col(hkSource).as(satHk)).distinct()
     // Anti-join BELOW the latest-row aggregation: the join key is the groupBy
     // key, so a key either survives with all its version rows or is dropped

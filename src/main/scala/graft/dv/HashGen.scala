@@ -46,14 +46,22 @@ object HashGen {
   /** `hash(fields)` — the Data Vault key/diff hash over the given columns.
     * Fields must already be stringify-ed ([[stringify]] / [[stringifyFloating]])
     * if NULL-safety or floating canonicalization is required; raw columns are
-    * accepted and stringified plainly. */
+    * accepted and stringified plainly.
+    *
+    * Implemented as the fused native [[graft.functions.DvHash]] expression
+    * (one buffer pass + thread-local digest) — bit-identical to
+    * `hex(digest(upper(concat_ws('||', coalesce(f::string,''), …))))` but
+    * without the per-row intermediate copies and per-row
+    * MessageDigest.getInstance of the composed built-ins. */
   def hashCols(fields: Seq[Column], algo: Algo = Sha1): Column = {
-    val joined = concat_ws("||", fields.map(stringify): _*)
-    val upped  = upper(joined)
-    algo match {
-      case Sha1   => sha1(upped)
-      case Md5    => md5(upped)
-      case Sha256 => sha2(upped, 256)
+    import org.apache.spark.sql.GraftColumnBridge
+    val algoId = algo match {
+      case Md5    => graft.functions.DvHashRuntime.Md5
+      case Sha1   => graft.functions.DvHashRuntime.Sha1
+      case Sha256 => graft.functions.DvHashRuntime.Sha256
     }
+    // Plain cast only: DvHash hashes NULL children as '' (the coalesce).
+    val exprs = fields.map(f => GraftColumnBridge.expression(f.cast(StringType)))
+    GraftColumnBridge.column(graft.functions.DvHash(exprs, algoId))
   }
 }
