@@ -379,22 +379,21 @@ object DvQueries {
     * into a fresh temp lake; result is the streamed hub table. The single
     * input file lands in micro-batch 0, so run_id (= batchId) and the pinned
     * load_dts are deterministic and the WHOLE row is hash-comparable. */
-  def streamHub(s: SparkSession, dir: String): DataFrame = {
-    // Unique per-call scratch root (concurrent sessions/bench reps must not
-    // clobber each other's lake/checkpoint), reaped at JVM exit — the
-    // returned DataFrame lazily reads this lake, so we can't delete earlier.
+  /** Scratch lake + staged file-stream source for the streaming oracle
+    * queries. The file-stream source watches a DIRECTORY; stage the input
+    * into one (testdata is read-only, so copy rather than symlink). The
+    * table may be a single file (driver testdata) or a Spark-written
+    * directory of part files (scaled bench data) — flatten either shape.
+    * The lake root is unique per call (concurrent sessions/bench reps must
+    * not clobber each other's lake/checkpoint) and reaped at JVM exit —
+    * the returned DataFrame lazily reads this lake, so not earlier. */
+  private def stagedStream(s: SparkSession, dir: String, table: String): (graft.core.Lake, DataFrame, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_lake_").toString
     org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
     val lake = new graft.core.Lake(s, root, buckets = 4)
-    val transitions = Seq(
-      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
-    // The file-stream source watches a DIRECTORY; stage the input into one
-    // (testdata is read-only, so copy rather than symlink). The table may be
-    // a single file (driver testdata) or a Spark-written directory of part
-    // files (scaled bench data) — flatten either shape.
     val srcDir = java.nio.file.Paths.get(root, "src")
     java.nio.file.Files.createDirectories(srcDir)
-    val src = java.nio.file.Paths.get(dir, "customer.parquet")
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
       val listing = java.nio.file.Files.list(src)
       try {
@@ -408,14 +407,21 @@ object DvQueries {
           }
         }
       } finally listing.close()
-    } else java.nio.file.Files.copy(src, srcDir.resolve("customer.parquet"))
-    val schema = s.read.parquet(s"$dir/customer.parquet").schema
+    } else java.nio.file.Files.copy(src, srcDir.resolve(s"$table.parquet"))
+    val schema = s.read.parquet(s"$dir/$table.parquet").schema
     // maxFilesPerTrigger pinned far above any staged file count: the oracle
     // asserts run_id = 0, which requires ALL files to land in micro-batch 0
     // (AvailableNow would otherwise split at the 1000-file default).
     val staged = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1000000")
       .parquet(srcDir.toString)
+    (lake, staged, root)
+  }
+
+  def streamHub(s: SparkSession, dir: String): DataFrame = {
+    val (lake, staged, root) = stagedStream(s, dir, "customer")
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
     val q = graft.streaming.StreamingDv.hubSink(
       lake, staged, transitions, "hub_customer", "customer",
       Seq("c_custkey" -> "c_custkey_bk"), "verify", s"$root/ckpt",
@@ -431,6 +437,41 @@ object DvQueries {
        |       'verify' AS record_source,
        |       CAST(0 AS BIGINT) AS run_id,
        |       c_custkey AS c_custkey_bk
+       |FROM customer""".stripMargin
+
+  /** #39a: streaming satellite (SCD2) ingestion under the driver's oracle —
+    * customer.parquet through [[graft.streaming.StreamingDv.satSink]] into a
+    * fresh temp lake (empty initial satellite, so every distinct staged
+    * version row inserts); result is the streamed satellite table. Single
+    * micro-batch ⇒ run_id (= batchId) 0 and the pinned load_dts are
+    * deterministic, making the whole row hash-comparable. */
+  def streamSat(s: SparkSession, dir: String): DataFrame = {
+    val (lake, staged, root) = stagedStream(s, dir, "customer")
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+      Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"))
+    val q = graft.streaming.StreamingDv.satSink(
+      lake, staged, transitions, "hsat_customer",
+      hkSource = "customer_hk", hashdiffField = "customer_details_hashdiff",
+      fields = Seq("c_name" -> "c_name", "c_mktsegment" -> "c_mktsegment"),
+      satHk = "customer_hk", "verify", s"$root/ckpt",
+      Algo, loadDts = Some(ctx.loadDts))
+    q.awaitTermination()
+    lake.read("dv", "hsat_customer")
+      .select(
+        col("customer_hk"), col("load_dts"), col("del_flag"), col("hash_diff"),
+        col("record_source"), col("run_id"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val streamSatSql: String =
+    s"""SELECT DISTINCT ${sqlHash("c_custkey")} AS customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       FALSE AS del_flag,
+       |       ${sqlHash("c_name", "c_mktsegment")} AS hash_diff,
+       |       'verify' AS record_source,
+       |       CAST(0 AS BIGINT) AS run_id,
+       |       c_name, c_mktsegment
        |FROM customer""".stripMargin
 
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
@@ -459,7 +500,8 @@ object DvQueries {
     "dv_pit_asof" -> (pitAsOf _),
     "dv_pit_table" -> (pitTableQ _),
     "dv_flow_hub" -> (flowHub _),
-    "dv_stream_hub" -> (streamHub _)
+    "dv_stream_hub" -> (streamHub _),
+    "dv_stream_sat" -> (streamSat _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,6 +518,7 @@ object DvQueries {
     "dv_pit_asof" -> pitAsOfSql,
     "dv_pit_table" -> pitTableSql,
     "dv_flow_hub" -> flowHubSql,
-    "dv_stream_hub" -> streamHubSql
+    "dv_stream_hub" -> streamHubSql,
+    "dv_stream_sat" -> streamSatSql
   )
 }
