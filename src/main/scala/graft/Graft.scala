@@ -61,53 +61,122 @@ final class Graft(
   /** A lake table as a DataFrame (`layer.name`). */
   def table(layer: String, name: String): DataFrame = lake.read(layer, name)
 
+  /** When set, per-entity create/load calls echo what they are about to do
+    * and the optimized Spark plan of each load — the Spark counterpart of
+    * the reference's `verbose=True` SQL echo (mallarddv.py:100-172 prints
+    * the generated SQL before executing it). */
+  @volatile var verbose: Boolean = false
+
+  private def echo(what: String, df: => DataFrame): Unit =
+    if (verbose) {
+      println(s"[graft] $what")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    }
+
+  /** Layer databases in the session catalog, so user scripts written for the
+    * reference (`... from stg.customer`, `create view stg.customer_vw ...`)
+    * run verbatim through spark.sql. Idempotent. */
+  private def ensureLayerDatabases(): Unit =
+    Seq("stg", "dv", "bv", "dm").foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
+
+  // Data creation happens only when missing, but catalog/view registration
+  // runs UNCONDITIONALLY: a new session re-opening an existing lake has an
+  // empty in-memory catalog and still needs `stg.<name>` and `<sat>_cv`.
+  private def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Option[String] = {
+    val made =
+      if (lake.exists(layer, name)) None
+      else {
+        if (verbose) println(s"[graft] create $layer.$name (${schema.map(_.name).mkString(", ")})")
+        // repartition(1) forces one (empty) part file so the location carries
+        // a readable schema for the catalog table below.
+        lake.overwrite(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1), layer, name)
+        Some(s"$layer.$name")
+      }
+    // Staging tables are flat (truncate-and-load) → safe to expose as
+    // catalog tables; vault tables are hk-bucketed partitioned dirs and
+    // stay DataFrame/current-view surfaces. Drop-then-create so a
+    // leftover registration from another lake in this session can't
+    // shadow this one (the catalog holds one `stg.<name>` per session).
+    if (layer == "stg") {
+      spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
+      spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
+    }
+    made
+  }
+
+  private def metaEntities(relTypes: Set[String], baseName: Option[String]): Seq[((String, String), Seq[graft.meta.TableColumn])] =
+    meta.tables.groupBy(t => (t.relType, t.baseName)).toSeq.sortBy(_._1)
+      .filter { case ((rt, base), _) => relTypes(rt) && baseName.forall(_ == base) }
+
+  /** Create staging tables from metadata, optionally for one entity —
+    * reference create_staging_table_from_metadata (mallarddv.py:341-356).
+    * Returns the `layer.name`s actually created (existing ones are left
+    * alone, like the reference's IF NOT EXISTS DDL). */
+  def createStagingTable(baseName: Option[String] = None): Seq[String] = {
+    ensureLayerDatabases()
+    metaEntities(Set("stg"), baseName).flatMap { case ((_, base), cols) =>
+      ensure("stg", base, VaultSchemas.staging(cols))
+    }
+  }
+
+  /** Create hub tables from metadata, optionally for one entity — reference
+    * create_hub_from_metadata (mallarddv.py:264-278). The incremental
+    * schema-evolution entry point: `createHub(Some("order"))` adds one hub
+    * to a live vault without re-running initVault. */
+  def createHub(baseName: Option[String] = None): Seq[String] = {
+    ensureLayerDatabases()
+    metaEntities(Set("hub"), baseName).flatMap { case ((_, base), cols) =>
+      ensure("dv", s"hub_$base", VaultSchemas.hub(base, cols))
+    }
+  }
+
+  /** Create link / non-historized-link tables — reference
+    * create_link_from_metadata (mallarddv.py:280-297); `relType` filters to
+    * "link" or "nhl" like the reference's rel_type arg. */
+  def createLink(baseName: Option[String] = None, relType: Option[String] = None): Seq[String] = {
+    ensureLayerDatabases()
+    metaEntities(Set("link", "nhl").filter(rt => relType.forall(_ == rt)), baseName)
+      .flatMap { case ((rt, base), cols) =>
+        ensure("dv", s"${rt}_$base", VaultSchemas.link(base, cols))
+      }
+  }
+
+  /** Create satellite tables — reference create_sat_from_metadata
+    * (mallarddv.py:299-317); `relType` filters to "hsat" or "lsat". Also
+    * registers the `<sat>_cv` current view (the reference creates those in
+    * the same metadata sweep). */
+  def createSat(baseName: Option[String] = None, relType: Option[String] = None): Seq[String] = {
+    ensureLayerDatabases()
+    metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
+      .flatMap { case ((rt, base), cols) =>
+        val made = ensure("dv", s"${rt}_$base", VaultSchemas.sat(satHkOf(base, cols), cols))
+        registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        made
+      }
+  }
+
+  /** (Re-)register latest-row current views over satellites — reference
+    * create_current_sat_from_metadata (mallarddv.py:319-339). Returns the
+    * view names registered. */
+  def createCurrentSat(baseName: Option[String] = None, relType: Option[String] = None): Seq[String] =
+    metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
+      .filter { case ((rt, base), _) => lake.exists("dv", s"${rt}_$base") }
+      .map { case ((rt, base), cols) =>
+        registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        s"${rt}_${base}_cv"
+      }
+
   /** Initialize the vault: materialize empty hub/link/sat/staging tables
     * from metadata so first loads and views have a schema to bind to, and
     * register script views when a scripts path is set (reference
     * init_mallard_db). Idempotent — existing tables are left alone. */
   def initVault(): Seq[String] = {
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
-    // Layer databases in the session catalog, so user scripts written for the
-    // reference (`... from stg.customer`, `create view stg.customer_vw ...`)
-    // run verbatim through spark.sql.
-    Seq("stg", "dv", "bv", "dm").foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
-    // Data creation happens only when missing, but catalog/view registration
-    // runs UNCONDITIONALLY: a new session re-opening an existing lake has an
-    // empty in-memory catalog and still needs `stg.<name>` and `<sat>_cv`.
-    def ensure(layer: String, name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
-      if (!lake.exists(layer, name)) {
-        // repartition(1) forces one (empty) part file so the location carries
-        // a readable schema for the catalog table below.
-        lake.overwrite(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1), layer, name)
-        created += s"$layer.$name"
-      }
-      // Staging tables are flat (truncate-and-load) → safe to expose as
-      // catalog tables; vault tables are hk-bucketed partitioned dirs and
-      // stay DataFrame/current-view surfaces. Drop-then-create so a
-      // leftover registration from another lake in this session can't
-      // shadow this one (the catalog holds one `stg.<name>` per session).
-      if (layer == "stg") {
-        spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
-        spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
-      }
-    }
-    val byTable = meta.tables.groupBy(t => (t.relType, t.baseName))
-    byTable.toSeq.sortBy(_._1).foreach { case ((relType, base), cols) =>
-      relType match {
-        case "stg" => ensure("stg", base, VaultSchemas.staging(cols))
-        case "hub" => ensure("dv", s"hub_$base", VaultSchemas.hub(base, cols))
-        case "link" => ensure("dv", s"link_$base", VaultSchemas.link(base, cols))
-        case "nhl" => ensure("dv", s"nhl_$base", VaultSchemas.link(base, cols))
-        case "hsat" | "lsat" =>
-          ensure("dv", s"${relType}_$base", VaultSchemas.sat(satHkOf(base, cols), cols))
-          // Current views exist from init (reference creates bv.<sat>_cv in
-          // init_mallard_db before applying scripts); refreshed after every
-          // executeFlow since the registered plan pins the file listing.
-          registerCurrentView(s"${relType}_$base", satHkOf(base, cols))
-        case _ => () // view layers are registered below, not materialized
-      }
-    }
+    created ++= createStagingTable()
+    created ++= createHub()
+    created ++= createLink()
+    created ++= createSat()
     scriptsPath.foreach { p =>
       Seq("stg_vw", "bv_vw", "dm_vw").foreach { rt =>
         if (meta.getTables(relType = Some(rt)).nonEmpty)
@@ -160,10 +229,13 @@ final class Graft(
     cv
   }
 
-  /** Apply one script-view layer (reference apply_script_from_metadata). */
+  /** Apply one script-view layer (reference apply_script_from_metadata).
+    * No scripts path configured → typed DVConfigurationError, matching the
+    * reference's raise (exceptions.py:31-33). */
   def applyScripts(relType: String): Seq[String] =
     ScriptViews.apply(spark, meta, relType,
-      scriptsPath.getOrElse(throw new IllegalArgumentException("no scripts path configured")))
+      scriptsPath.getOrElse(throw new graft.etl.DvException(
+        graft.etl.DvError.Configuration("no scripts path configured"))))
 
   /** Run a complete load flow (reference execute_flow). Catalog-registered
     * staging tables are refreshed afterwards so `stg.<table>` views see the
@@ -183,6 +255,37 @@ final class Graft(
     if (!r.skipped) refreshCurrentViews(Some(r.loaded.keySet.filter(t => t.startsWith("hsat_") || t.startsWith("lsat_"))))
     r
   }
+
+  /** Load just the hubs fed by one staging table — reference
+    * load_related_hubs (mallarddv.py:189-215). Pair with [[nextRunId]] for
+    * a hand-rolled partial flow; `executeFlow` remains the orchestrated
+    * path. Returns target table → rows appended. */
+  def loadRelatedHubs(stgTable: String, runId: Long, recordSource: String,
+      loadDts: Option[Timestamp] = None): Map[String, Long] = {
+    echo(s"loadRelatedHubs($stgTable, run=$runId)", hashView(stgTable))
+    flow.loadRelatedHubs(stgTable, runId, recordSource, loadDts)
+  }
+
+  /** Reference load_related_links (mallarddv.py:215-240). */
+  def loadRelatedLinks(stgTable: String, runId: Long, recordSource: String,
+      loadDts: Option[Timestamp] = None): Map[String, Long] = {
+    echo(s"loadRelatedLinks($stgTable, run=$runId)", hashView(stgTable))
+    flow.loadRelatedLinks(stgTable, runId, recordSource, loadDts)
+  }
+
+  /** Reference load_related_sats (mallarddv.py:240-262); refreshes the
+    * touched `<sat>_cv` views (registered plans pin their file listing). */
+  def loadRelatedSats(stgTable: String, runId: Long, recordSource: String,
+      loadDts: Option[Timestamp] = None): Map[String, Long] = {
+    echo(s"loadRelatedSats($stgTable, run=$runId)", hashView(stgTable))
+    val r = flow.loadRelatedSats(stgTable, runId, recordSource, loadDts)
+    refreshCurrentViews(Some(r.keySet.filter(t => t.startsWith("hsat_") || t.startsWith("lsat_"))))
+    r
+  }
+
+  /** Next run id from the ledger (reference GET_RUN_ID) — for driving the
+    * per-entity loads above outside executeFlow. */
+  def nextRunId(): Long = flow.nextRunId()
 
   /** The run ledger (reference metadata.runinfo). */
   def runinfo: DataFrame = flow.runinfo

@@ -10,12 +10,13 @@ import graft.core.Lake
 import graft.dv.{DvOps, HashGen, HashView, LoadContext}
 import graft.meta.{MetaStore, Transition}
 
-/** One vault-load flow outcome. */
+/** One vault-load flow outcome. Errors are typed ([[DvError]]) so callers
+  * dispatch on the failure kind like the reference's DVException handlers. */
 final case class FlowResult(
     runId: Long,
     status: String, // success | failure | skipped
     skipped: Boolean,
-    errors: Seq[String],
+    errors: Seq[DvError],
     loaded: Map[String, Long] // target table -> rows appended
 )
 
@@ -103,91 +104,156 @@ final class FlowExecutor(
         }
       }
 
-      val stg =
-        if (isStgTable) lake.read("stg", sourceTable)
-        else spark.table(sourceTable)
       val transitions = meta.getTransitions(sourceTable)
-      val hv = HashView.build(stg, transitions, algo)
+      val hv = HashView.build(stagingDf(sourceTable), transitions, algo)
       // The hash view feeds every hub/link/sat load below — materialize it
       // once instead of recomputing the projection per target. Unpersisted
       // in the finally so a failing load can't leak the cached copy.
       hv.cache()
       try {
-
-      var loaded = Map.empty[String, Long]
-
-      // Hubs: bk transitions grouped by (target_table, group_name).
-      val hubGroups = transitions
-        .filter(t => t.transferType == "bk" && t.targetTable.startsWith("hub_"))
-        .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
-      hubGroups.foreach { case ((target, group), fields) =>
-        val hkName = s"${target.stripPrefix("hub_")}_hk"
-        val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
-        val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
-        val existing = lake.readOr("dv", target, existingSchema)
-        val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
-        val n = appendCounted(rows, target, hkName)
-        // several bk groups may feed one hub (self-referencing entities) —
-        // accumulate, don't overwrite
-        loaded += target -> (loaded.getOrElse(target, 0L) + n)
-      }
-
-      // Links: ll/dk transitions grouped by (target_table, group_name).
-      val linkGroups = transitions
-        .filter(t =>
-          (t.transferType == "ll" || t.transferType == "dk") &&
-            (t.targetTable.startsWith("link_") || t.targetTable.startsWith("nhl_")))
-        .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
-      linkGroups.foreach { case ((target, group), fields) =>
-        val base = target.stripPrefix("link_").stripPrefix("nhl_")
-        val hkName = s"${base}_hk"
-        val legFields = fields.sortBy(_.position).map { f =>
-          if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
-          else f.sourceField -> f.targetField
-        }
-        val existing = lake.readOr("dv", target, StructType(StructField(hkName, StringType) :: Nil))
-        val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
-        val n = appendCounted(rows, target, hkName)
-        loaded += target -> (loaded.getOrElse(target, 0L) + n)
-      }
-
-      // Satellites: one per sat_delta / sat_full transition; the transition's
-      // source_field is the hash-view hk column, target_field the sat key
-      // base, group_name the `f` payload group.
-      val satLoads = transitions.filter(t => t.transferType == "sat_delta" || t.transferType == "sat_full")
-      satLoads.foreach { satT =>
-        val satName = satT.targetTable
-        val satHk = s"${satT.targetField}_hk"
-        val fields = transitions
-          .filter(t => t.targetTable == satName && t.groupName == satT.groupName && t.transferType == "f")
-          .sortBy(_.position).map(f => f.sourceField -> f.targetField)
-        val hashdiffField =
-          if (fields.nonEmpty) s"${satT.groupName}_hashdiff" else satT.sourceField
-        val satSchema =
-          graft.dv.VaultSchemas.satFromFields(satHk, fields.map(f => f._2 -> (StringType: DataType)))
-        val existing = lake.readOr("dv", satName, satSchema)
-        val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
-        var n = appendCounted(newRows, satName, satHk)
-        if (satT.transferType == "sat_full") {
-          // Delete detection must see the vault INCLUDING this run's inserts
-          // (reference runs the two INSERTs sequentially on the same table).
-          val afterNew = lake.readOr("dv", satName, satSchema)
-          val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
-          n += appendCounted(delRows, satName, satHk)
-        }
-        loaded += satName -> (loaded.getOrElse(satName, 0L) + n)
-      }
-
-      logRun(sourceTable, runId, filePath, "success",
-        loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
-      FlowResult(runId, "success", skipped = false, Nil, loaded)
+        val loaded =
+          merge(hubLoads(hv, transitions, ctx),
+            merge(linkLoads(hv, transitions, ctx), satLoads(hv, transitions, ctx)))
+        logRun(sourceTable, runId, filePath, "success",
+          loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
+        FlowResult(runId, "success", skipped = false, Nil, loaded)
       } finally hv.unpersist()
     } catch {
       case e: Exception =>
         logRun(sourceTable, runId, filePath, "failure",
           Option(e.getMessage).getOrElse(e.getClass.getName).take(4095))
-        FlowResult(runId, "failure", skipped = false, Seq(e.toString), Map.empty)
+        FlowResult(runId, "failure", skipped = false, Seq(DvError.from(e, s"flow $sourceTable")), Map.empty)
     }
+  }
+
+  /** The staging relation a flow reads: the lake's `stg` table when the
+    * metadata declares one, otherwise a session-catalog view (flows can run
+    * off curated stg_vw views exactly like the reference). */
+  def stagingDf(sourceTable: String): DataFrame =
+    if (meta.getTables(Some(sourceTable), Some("stg")).nonEmpty) lake.read("stg", sourceTable)
+    else spark.table(sourceTable)
+
+  /** Load just the hubs fed by `stgTable` — the reference's standalone
+    * `load_related_hubs(stg_table, run_id, record_source, load_date)`
+    * (mallarddv.py:189-215, hub_manager.py). Used by executeFlow and
+    * callable on its own for incremental/partial loads. */
+  def loadRelatedHubs(
+      stgTable: String,
+      runId: Long,
+      recordSource: String,
+      loadDts: Option[Timestamp] = None
+  ): Map[String, Long] =
+    withHashView(stgTable) { (hv, transitions) =>
+      hubLoads(hv, transitions, ctxOf(runId, recordSource, loadDts))
+    }
+
+  /** Standalone link loads (reference load_related_links, mallarddv.py:215-240). */
+  def loadRelatedLinks(
+      stgTable: String,
+      runId: Long,
+      recordSource: String,
+      loadDts: Option[Timestamp] = None
+  ): Map[String, Long] =
+    withHashView(stgTable) { (hv, transitions) =>
+      linkLoads(hv, transitions, ctxOf(runId, recordSource, loadDts))
+    }
+
+  /** Standalone satellite loads (reference load_related_sats, mallarddv.py:240-262). */
+  def loadRelatedSats(
+      stgTable: String,
+      runId: Long,
+      recordSource: String,
+      loadDts: Option[Timestamp] = None
+  ): Map[String, Long] =
+    withHashView(stgTable) { (hv, transitions) =>
+      satLoads(hv, transitions, ctxOf(runId, recordSource, loadDts))
+    }
+
+  private def ctxOf(runId: Long, recordSource: String, loadDts: Option[Timestamp]): LoadContext =
+    LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, runId)
+
+  private def withHashView[A](stgTable: String)(f: (DataFrame, Seq[Transition]) => A): A = {
+    val transitions = meta.getTransitions(stgTable)
+    val hv = HashView.build(stagingDf(stgTable), transitions, algo)
+    hv.cache()
+    try f(hv, transitions) finally hv.unpersist()
+  }
+
+  private def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (k, v)) => acc + (k -> (acc.getOrElse(k, 0L) + v)) }
+
+  /** Hubs: bk transitions grouped by (target_table, group_name). */
+  private def hubLoads(hv: DataFrame, transitions: Seq[Transition], ctx: LoadContext): Map[String, Long] = {
+    var loaded = Map.empty[String, Long]
+    val hubGroups = transitions
+      .filter(t => t.transferType == "bk" && t.targetTable.startsWith("hub_"))
+      .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
+    hubGroups.foreach { case ((target, group), fields) =>
+      val hkName = s"${target.stripPrefix("hub_")}_hk"
+      val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
+      val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
+      val existing = lake.readOr("dv", target, existingSchema)
+      val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
+      val n = appendCounted(rows, target, hkName)
+      // several bk groups may feed one hub (self-referencing entities) —
+      // accumulate, don't overwrite
+      loaded += target -> (loaded.getOrElse(target, 0L) + n)
+    }
+    loaded
+  }
+
+  /** Links: ll/dk transitions grouped by (target_table, group_name). */
+  private def linkLoads(hv: DataFrame, transitions: Seq[Transition], ctx: LoadContext): Map[String, Long] = {
+    var loaded = Map.empty[String, Long]
+    val linkGroups = transitions
+      .filter(t =>
+        (t.transferType == "ll" || t.transferType == "dk") &&
+          (t.targetTable.startsWith("link_") || t.targetTable.startsWith("nhl_")))
+      .groupBy(t => (t.targetTable, t.groupName)).toSeq.sortBy(_._1)
+    linkGroups.foreach { case ((target, group), fields) =>
+      val base = target.stripPrefix("link_").stripPrefix("nhl_")
+      val hkName = s"${base}_hk"
+      val legFields = fields.sortBy(_.position).map { f =>
+        if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
+        else f.sourceField -> f.targetField
+      }
+      val existing = lake.readOr("dv", target, StructType(StructField(hkName, StringType) :: Nil))
+      val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
+      val n = appendCounted(rows, target, hkName)
+      loaded += target -> (loaded.getOrElse(target, 0L) + n)
+    }
+    loaded
+  }
+
+  /** Satellites: one per sat_delta / sat_full transition; the transition's
+    * source_field is the hash-view hk column, target_field the sat key
+    * base, group_name the `f` payload group. */
+  private def satLoads(hv: DataFrame, transitions: Seq[Transition], ctx: LoadContext): Map[String, Long] = {
+    var loaded = Map.empty[String, Long]
+    val sats = transitions.filter(t => t.transferType == "sat_delta" || t.transferType == "sat_full")
+    sats.foreach { satT =>
+      val satName = satT.targetTable
+      val satHk = s"${satT.targetField}_hk"
+      val fields = transitions
+        .filter(t => t.targetTable == satName && t.groupName == satT.groupName && t.transferType == "f")
+        .sortBy(_.position).map(f => f.sourceField -> f.targetField)
+      val hashdiffField =
+        if (fields.nonEmpty) s"${satT.groupName}_hashdiff" else satT.sourceField
+      val satSchema =
+        graft.dv.VaultSchemas.satFromFields(satHk, fields.map(f => f._2 -> (StringType: DataType)))
+      val existing = lake.readOr("dv", satName, satSchema)
+      val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
+      var n = appendCounted(newRows, satName, satHk)
+      if (satT.transferType == "sat_full") {
+        // Delete detection must see the vault INCLUDING this run's inserts
+        // (reference runs the two INSERTs sequentially on the same table).
+        val afterNew = lake.readOr("dv", satName, satSchema)
+        val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
+        n += appendCounted(delRows, satName, satHk)
+      }
+      loaded += satName -> (loaded.getOrElse(satName, 0L) + n)
+    }
+    loaded
   }
 
   private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long =

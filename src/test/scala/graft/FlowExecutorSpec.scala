@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Lake
 import graft.dv.HashGen
-import graft.etl.FlowExecutor
+import graft.etl.{DvError, FlowExecutor}
 import graft.meta.{MetaStore, TableColumn, Transition}
 
 class FlowExecutorSpec extends SparkSpec {
@@ -119,7 +119,7 @@ class FlowExecutorSpec extends SparkSpec {
     assert(lsat.columns.contains("order_customer_hk") && lsat.columns.contains("o_status"))
   }
 
-  test("executeFlow records failure in the ledger and reports errors") {
+  test("executeFlow records failure in the ledger and reports typed errors") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)
     val flow = new FlowExecutor(lake, meta, HashGen.Md5)
@@ -128,5 +128,52 @@ class FlowExecutorSpec extends SparkSpec {
     val r = flow.executeFlow("customer", "unit", Some(s"$root/nope.csv"))
     assert(r.status == "failure" && r.errors.nonEmpty)
     assert(flow.runinfo.filter(col("status") === "failure").count() == 1)
+    // Callers dispatch on the error kind, not on message strings (reference
+    // DVException taxonomy, exceptions.py:7-36). A missing input path
+    // surfaces as a plan-analysis failure -> DVSQLError with the plan text.
+    r.errors.head match {
+      case DvError.Sql(msg, sql, cause) =>
+        assert(msg.nonEmpty && cause.nonEmpty, s"expected cause on $msg / $sql")
+      case DvError.Entity(msg, cause) =>
+        assert(msg.nonEmpty && cause.nonEmpty)
+      case other => fail(s"expected Sql or Entity error, got $other")
+    }
+    assert(r.errors.head.render.contains("Error") || r.errors.head.render.contains("nope"))
+  }
+
+  test("per-entity loads: loadRelatedHubs/Links/Sats load exactly their family") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val m = MetaStore(
+      tables = Seq(
+        TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+        TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c")
+      ),
+      transitions = Seq(
+        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
+      ))
+    val flow = new FlowExecutor(lake, m, HashGen.Md5)
+    // Stage directly (per-entity loads read the staged table, like the
+    // reference's load_related_* which assume staging is already populated).
+    import spark.implicits._
+    lake.overwrite(
+      Seq((1L, "ann"), (2L, "bob")).toDF("c_custkey", "c_name"), "stg", "customer")
+
+    val ts = Some(Timestamp.valueOf("2026-01-01 00:00:00"))
+    val hubs = flow.loadRelatedHubs("customer", 1L, "unit", ts)
+    assert(hubs == Map("hub_customer" -> 2L))
+    assert(!lake.exists("dv", "hsat_customer"), "hub load must not touch satellites")
+
+    val sats = flow.loadRelatedSats("customer", 1L, "unit", ts)
+    assert(sats == Map("hsat_customer" -> 2L))
+
+    // idempotent on re-run with the same data: anti-joins find nothing new
+    assert(flow.loadRelatedHubs("customer", 2L, "unit", ts) == Map("hub_customer" -> 0L))
+    assert(flow.loadRelatedSats("customer", 2L, "unit", ts) == Map("hsat_customer" -> 0L))
+
+    // no link transitions -> link load is a no-op, not an error
+    assert(flow.loadRelatedLinks("customer", 2L, "unit", ts).isEmpty)
   }
 }

@@ -67,4 +67,71 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g.sql("SELECT count(*) FROM big_customers WHERE c_name LIKE :p", Map("p" -> "a%"))
       .as[Long].head() == 2L)
   }
+
+  test("facade: per-entity creates evolve a live vault without initVault") {
+    val root = tmpDir("graft")
+    val g = new Graft(spark, s"$root/lake", meta, None, HashGen.Md5)
+    assert(g.initVault().nonEmpty)
+    val f = s"$root/c.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      "c_custkey,c_name\n1,ann\n2,bob")
+    assert(g.executeFlow("customer", "t", Some(f),
+      Some(Timestamp.valueOf("2026-01-01 00:00:00"))).status == "success")
+
+    // Schema evolution: metadata grows an `order` entity; only the new hub
+    // is created — the live customer vault is untouched (the reference's
+    // create_hub_from_metadata(base_name=...) motion, mallarddv.py:264-278).
+    val evolved = MetaStore(
+      tables = meta.tables ++ Seq(
+        TableColumn("order", "stg", "o_orderkey", "BIGINT", 1, "c"),
+        TableColumn("order", "hub", "o_orderkey", "BIGINT", 1, "bk")),
+      transitions = meta.transitions :+
+        Transition("order", "o_orderkey", "hub_order", "o_orderkey_bk", "order", 1, raw = false, None, "bk"))
+    val g2 = new Graft(spark, s"$root/lake", evolved, None, HashGen.Md5)
+    assert(g2.createHub(Some("order")) == Seq("dv.hub_order"))
+    assert(g2.createHub(Some("order")).isEmpty) // idempotent
+    assert(g2.createStagingTable(Some("order")) == Seq("stg.order"))
+    // existing entities are left alone by the filtered create
+    assert(g2.createHub(Some("customer")).isEmpty)
+    assert(g2.table("dv", "hub_customer").count() == 2) // untouched
+
+    // Per-entity loads drive a hand-rolled partial flow on the new entity.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/o.csv"),
+      "o_orderkey\n10\n11\n12")
+    g2.lake.overwrite(
+      spark.read.option("header", "true").schema("o_orderkey BIGINT").csv(s"$root/o.csv"),
+      "stg", "order")
+    val runId = g2.nextRunId()
+    assert(g2.loadRelatedHubs("order", runId, "t",
+      Some(Timestamp.valueOf("2026-01-02 00:00:00"))) == Map("hub_order" -> 3L))
+    assert(g2.table("dv", "hub_order").count() == 3)
+    // re-register current views over the evolved vault: no-op list is fine
+    assert(g2.createCurrentSat().forall(_.endsWith("_cv")))
+  }
+
+  test("facade: applyScripts without a scripts path raises a typed configuration error") {
+    val g = new Graft(spark, s"${tmpDir("graft")}/lake", meta, None, HashGen.Md5)
+    val e = intercept[graft.etl.DvException](g.applyScripts("bv_vw"))
+    assert(e.error.isInstanceOf[graft.etl.DvError.Configuration])
+  }
+
+  test("facade: verbose mode echoes load plans") {
+    val root = tmpDir("graft")
+    val g = new Graft(spark, s"$root/lake", meta, None, HashGen.Md5)
+    g.initVault()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/c.csv"),
+      "c_custkey,c_name\n1,ann")
+    g.executeFlow("customer", "t", Some(s"$root/c.csv"),
+      Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+    g.verbose = true
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      g.loadRelatedHubs("customer", g.nextRunId(), "t",
+        Some(Timestamp.valueOf("2026-01-02 00:00:00")))
+    }
+    g.verbose = false
+    val echoed = out.toString
+    assert(echoed.contains("loadRelatedHubs") && echoed.contains("== Physical Plan =="),
+      s"expected plan echo, got: ${echoed.take(200)}")
+  }
 }
