@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY §2 #38).
   *
   * Media (image/audio/video) are opaque `binary` columns with typed
-  * metadata, processed in bounded per-partition batches. The actual codecs
-  * are NOT available in this environment, so the decode step is a
-  * clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
-  * contract (schema, partitioning, batch shape, iterator-to-iterator
-  * processing) is real and tested, and a production deployment swaps the
-  * stub for a JNI/FFmpeg/libvips call without touching the plumbing.
+  * metadata, processed in bounded per-partition batches. Image decode is
+  * REAL — JDK `javax.imageio` JPEG/PNG → luminance thumbnail
+  * ([[decodeImage]]). Audio/video codecs are NOT available in this
+  * environment, so their decode step is a clearly-marked deterministic STUB
+  * ([[stubDecode]]) — the Spark-side contract (schema, partitioning, batch
+  * shape, iterator-to-iterator processing) is real and tested, and a
+  * production deployment swaps the stub for a JNI/FFmpeg/libvips call
+  * without touching the plumbing.
   */
 object Multimodal {
 
@@ -30,6 +32,37 @@ object Multimodal {
   ))
 
   final case class MediaFeature(media_id: Long, modality: String, n_bytes: Int, feature: Array[Float])
+
+  /** REAL image decode via the JDK's `javax.imageio` (JPEG/PNG/GIF/BMP —
+    * no external codec libraries needed): payload bytes → (width, height,
+    * row-major luminance grid in [0,1]). Returns None when the bytes are
+    * not a decodable image, so callers can fall back to [[stubDecode]].
+    * Runs entirely inside an executor task — no driver involvement. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 luma from sRGB bytes, normalized to [0,1].
+            val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+            grid(y * w + x) = lum / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, grid))
+      }
+    } catch { case _: Exception => None }
+
+  /** Feature dimension for decoded images: an 8×8 luminance thumbnail. */
+  val ImageFeatureDim: Int = 64
 
   /** STUB decode: a real implementation decodes the payload with a codec and
     * emits a feature vector (resized pixels, mel spectrogram, sampled
@@ -60,7 +93,17 @@ object Multimodal {
           // One "codec call" per batch in a real deployment.
           batch.iterator.map { case (id, modality, payload) =>
             val bytes = Option(payload).getOrElse(Array.emptyByteArray)
-            MediaFeature(id, modality, bytes.length, stubDecode(bytes))
+            // Images get a REAL decode (javax.imageio → 8×8 luminance
+            // thumbnail); audio/video (no codecs in the JDK) and
+            // undecodable image bytes fall back to the stub fingerprint.
+            val feature = modality match {
+              case "image" => decodeImage(bytes) match {
+                case Some((w, h, grid)) => resizeStub(grid, w, h, 8, 8)
+                case None               => stubDecode(bytes)
+              }
+              case _ => stubDecode(bytes)
+            }
+            MediaFeature(id, modality, bytes.length, feature)
           }
         }
       }

@@ -30,6 +30,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.zip(rows2).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("extractFeatures REALLY decodes generated JPEG/PNG images via javax.imageio") {
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // 16x16 solid mid-gray -> every luminance sample is exactly 128/255.
+    val gray = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = gray.createGraphics(); g2.setColor(new java.awt.Color(128, 128, 128)); g2.fillRect(0, 0, 16, 16); g2.dispose()
+    // 16x16 horizontal black->white ramp: left thumbnail cells darker than right.
+    val ramp = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) { val v = x * 17; ramp.setRGB(x, y, new java.awt.Color(v, v, v).getRGB) }
+
+    val media = Seq(
+      (1L, "image", encode(gray, "png")),
+      (2L, "image", encode(gray, "jpg")),
+      (3L, "image", encode(ramp, "png")),
+      (4L, "audio", Array[Byte](1, 2, 3)) // non-image: stub fallback, 8-dim
+    ).toDF("media_id", "modality", "payload")
+
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.length == Multimodal.ImageFeatureDim)
+    assert(feats(1L).feature.forall(v => math.abs(v - 128f / 255f) < 1e-6), "png gray decodes exactly")
+    assert(feats(2L).feature.forall(v => math.abs(v - 128f / 255f) < 0.05), "jpeg gray decodes approximately")
+    val r = feats(3L).feature
+    assert(r.length == 64 && r(0) < r(7) && r(56) < r(63), "ramp thumbnail preserves left-to-right gradient")
+    assert(feats(4L).feature.length == 8, "non-image stays on the stub path")
+    // direct decode roundtrip: dimensions survive
+    val Some((w, h, grid)) = Multimodal.decodeImage(encode(ramp, "png"))
+    assert(w == 16 && h == 16 && grid.length == 256)
+    assert(Multimodal.decodeImage(Array[Byte](0x42, 0x42)).isEmpty, "garbage bytes -> None, not a throw")
+  }
+
   test("resizeStub: deterministic nearest-neighbor shape change") {
     val grid = Array.tabulate(16)(_.toFloat) // 4x4
     val out = Multimodal.resizeStub(grid, 4, 4, 2, 2)
