@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share this heap (local-mode execution memory pool +
+  // GC headroom); 8g measurably throttles sort/shuffle stages at sf1 on the
+  // 128 GiB bench box (dv_sat_current 6.1s@8g -> see BENCH history).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
