@@ -380,8 +380,95 @@ object Analytics {
       |WHERE sum_qty > 150.0
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** q4-shape: order-priority checking — count orders per priority that have
+    * at least one heavily-discounted line. EXISTS = left_semi join: at scale
+    * the semi join short-circuits per key (no fan-out, no dedup pass), and
+    * the discount predicate pushes into the lineitem scan so only matching
+    * line keys shuffle. (The canonical q4 EXISTS predicate is
+    * l_commitdate < l_receiptdate; this corpus carries neither column.) */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val discounted = t(s, dir, "lineitem")
+      .filter(col("l_discount") > lit(0.08)).select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(discounted, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4OracleSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q19-shape: discounted revenue under a DISJUNCTION of brand/size/qty
+    * conjunctions. The OR-of-ANDs must not break pushdown: the shared
+    * conjuncts (join key presence, quantity ceiling) still reach the scans,
+    * and Catalyst turns the per-branch brand+size conjuncts into a partition-
+    * prunable filter on the (broadcast-joined) part side rather than a
+    * post-join residual only. */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 35)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2)
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  val q19OracleSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)""".stripMargin
+
+  /** q22-shape: rich idle customers — above-global-average balance, zero
+    * orders, rolled up by nation. The global average is a scalar-subquery
+    * aggregate: one tiny all-reduce broadcast to every filter task (no
+    * data-sized shuffle), then anti join against order keys, then a
+    * 25-group rollup. (Canonical q22 buckets by phone country code; this
+    * corpus has no phone column, so nation plays that role.) */
+  def q22IdleRich(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    t(s, dir, "customer")
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  val q22OracleSql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q22_idle_rich" -> (q22IdleRich _),
     "q3_priority" -> (q3Priority _),
     "q5_volume" -> (q5Volume _),
     "q6_revenue" -> (q6Revenue _),
@@ -400,6 +487,9 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1OracleSql,
+    "q4_priority_exists" -> q4OracleSql,
+    "q19_disjunct" -> q19OracleSql,
+    "q22_idle_rich" -> q22OracleSql,
     "q3_priority" -> q3OracleSql,
     "q5_volume" -> q5OracleSql,
     "q6_revenue" -> q6OracleSql,
