@@ -515,6 +515,41 @@ object DvQueries {
        |       c_name, c_mktsegment
        |FROM customer""".stripMargin
 
+  /** #39b: streaming link ingestion under the driver's oracle —
+    * orders.parquet through [[graft.streaming.StreamingDv.linkSink]] into a
+    * fresh temp lake (empty initial link, so every distinct staged
+    * relationship inserts); result is the streamed link table. Single
+    * micro-batch ⇒ run_id (= batchId) 0 and the pinned load_dts are
+    * deterministic, making the whole row hash-comparable. Completes the
+    * streaming trio: hub + sat + link all oracle-checked end-to-end. */
+  def streamLink(s: SparkSession, dir: String): DataFrame = {
+    val (lake, staged, root) = stagedStream(s, dir, "orders")
+    val transitions = Seq(
+      Transition("orders", "o_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("orders", "o_orderkey", "hub_order", "o_orderkey_bk", "order", 1, raw = false, None, "bk"),
+      Transition("orders", "customer", "link_order_customer", "customer_hk", "oc", 1, raw = false, None, "ll"),
+      Transition("orders", "order", "link_order_customer", "order_hk", "oc", 2, raw = false, None, "ll"))
+    val q = graft.streaming.StreamingDv.linkSink(
+      lake, staged, transitions, "link_order_customer", "oc",
+      Seq("customer_hk" -> "customer_hk", "order_hk" -> "order_hk"),
+      "order_customer_hk", "verify", s"$root/ckpt",
+      Algo, loadDts = Some(ctx.loadDts))
+    q.awaitTermination()
+    lake.read("dv", "link_order_customer")
+      .select(
+        col("order_customer_hk"), col("load_dts"), col("record_source"),
+        col("run_id"), col("customer_hk"), col("order_hk"))
+  }
+
+  val streamLinkSql: String =
+    s"""SELECT DISTINCT ${sqlHash("o_custkey", "o_orderkey")} AS order_customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(0 AS BIGINT) AS run_id,
+       |       ${sqlHash("o_custkey")} AS customer_hk,
+       |       ${sqlHash("o_orderkey")} AS order_hk
+       |FROM orders""".stripMargin
+
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
   def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq(
@@ -542,7 +577,8 @@ object DvQueries {
     "dv_pit_table" -> (pitTableQ _),
     "dv_flow_hub" -> (flowHub _),
     "dv_stream_hub" -> (streamHub _),
-    "dv_stream_sat" -> (streamSat _)
+    "dv_stream_sat" -> (streamSat _),
+    "dv_stream_link" -> (streamLink _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,6 +596,7 @@ object DvQueries {
     "dv_pit_table" -> pitTableSql,
     "dv_flow_hub" -> flowHubSql,
     "dv_stream_hub" -> streamHubSql,
-    "dv_stream_sat" -> streamSatSql
+    "dv_stream_sat" -> streamSatSql,
+    "dv_stream_link" -> streamLinkSql
   )
 }

@@ -63,4 +63,27 @@ class PlanSpec extends SparkSpec {
     // aggregate must exist below the exchange.
     assert(p.lastIndexOf("HashAggregate") > exchange, p)
   }
+
+  test("q4: EXISTS planned as a semi join with the discount filter pushed") {
+    val p = formatted(Analytics.q4PriorityExists(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThan(l_discount,0.08)"), p)
+    // the semi-join probe side reads only the join key
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_discount:double>"), p)
+  }
+
+  test("q19: disjunctive predicate still prunes scan columns; part joined broadcast") {
+    val p = formatted(Analytics.q19Disjunct(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    // OR-of-ANDs must not widen the lineitem scan beyond the 4 used columns
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
+    // per-branch part conjuncts reach the part scan as a pushed disjunction
+    assert(p.contains("Or(And("), p)
+  }
+
+  test("q22: scalar average broadcast (no data-sized shuffle for the threshold)") {
+    val p = plan(Analytics.q22IdleRich(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
