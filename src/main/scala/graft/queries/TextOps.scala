@@ -255,7 +255,138 @@ object TextOps {
        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM a GROUP BY split""".stripMargin
 
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the n-gram overlap check every serious
+    * pretraining pipeline runs before training (flag a training document if
+    * it shares any long n-gram with an evaluation set). The held-out set
+    * here is the deterministic doc_id % 97 == 0 slice standing in for a
+    * benchmark suite; the n-gram width is 5 over normalized words (the
+    * corpus' ~40-word docs make 5 the proportional analogue of the
+    * industry 13-gram rule over web pages).
+    *
+    * Scale shape: eval suites are tiny (MBs) next to the corpus (TBs) —
+    * the distinct eval-shingle set builds locally and broadcast-joins
+    * against the training-side shingle stream, so the corpus-sized side
+    * never shuffles by shingle; the per-doc hit count aggregates on the
+    * already-doc-partitioned stream. AQE does exactly this at bench scale
+    * (eval side under the broadcast threshold). */
+  def corpusDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sh(df: DataFrame) = df
+      .select(col("doc_id"), TextFns.norm(col("text")).as("norm"))
+      .as[(Long, String)]
+      .flatMap { case (id, n) => TextFns.shinglesOf(n, 5).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val evalGrams = sh(docs(s, dir).filter(col("doc_id") % 97 === 0))
+      .select(col("gram")).distinct()
+    sh(docs(s, dir).filter(col("doc_id") % 97 =!= 0))
+      .join(evalGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  private def gram5Sql: String =
+    "list_distinct(list_transform(range(1, greatest(len(w) - 3, 1)), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
+
+  val corpusDecontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(${TextFns.normSql("text")}, ' ') AS w FROM documents),
+       | g AS (SELECT doc_id, unnest($gram5Sql) AS gram FROM d WHERE len(w) >= 5),
+       | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+       |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+       |FROM g JOIN ev USING (gram)
+       |WHERE g.doc_id % 97 <> 0
+       |GROUP BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Sequence-packing manifest — concat-and-chunk pretraining prep: documents
+    * are concatenated in deterministic doc_id order and cut into fixed
+    * 512-token sequences; each document's manifest row says which sequence
+    * it starts in and at what offset (what a sharded tokenizer consumes to
+    * build packed examples in parallel).
+    *
+    * The prefix sum is TWO-LEVEL, not a global window: a naive
+    * `Window.orderBy(doc_id)` with no partition key collapses the whole
+    * corpus onto one task. Instead docs bucket by deterministic doc_id
+    * blocks; the per-bucket token totals (one row per 8k docs — metadata-
+    * sized at any corpus scale) get their own tiny running sum, broadcast
+    * back as bucket offsets, and the per-doc cumsum runs partitioned by
+    * bucket — every stage parallel, the only serial window being over
+    * bucket COUNTS, never rows. Deterministic blocks (not
+    * repartitionByRange) keep the two passes' partitionings identical
+    * without a persist. */
+  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 512L
+    val block = 8192L
+    val toks = docs(s, dir)
+      .select(col("doc_id"), TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("pid", (col("doc_id") / lit(block)).cast("long"))
+    val offsets = toks.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn(
+        "bucket_offset",
+        coalesce(
+          sum(col("bucket_tokens")).over(
+            Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("bucket_offset"))
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .join(broadcast(offsets), "pid")
+      .withColumn("end_tok", sum(col("n_tokens")).over(local) + col("bucket_offset"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (((col("end_tok") - col("n_tokens")) / seqLen).cast("long")).as("seq_id"),
+        ((col("end_tok") - col("n_tokens")) % seqLen).as("seq_offset"))
+  }
+
+  val corpusPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       | c AS (SELECT doc_id, n_tokens,
+       |              CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+       |       FROM t)
+       |SELECT doc_id, n_tokens,
+       |       CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_id,
+       |       CAST((end_tok - n_tokens) % 512 AS BIGINT) AS seq_offset
+       |FROM c""".stripMargin
+
+  // ------------------------------------------------------- source data card
+
+  /** Per-(source, lang) data card — the governance rollup a corpus release
+    * ships with: volume, token budget, and exact-dup rate per provenance
+    * slice. Single scan + one small aggregation (fingerprint distinct-count
+    * is per-group); trivially scan-bound at 100 TB. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("source"), col("lang"), col("n_chars"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(TextFns.norm(col("text"))).as("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("fp")).as("n_distinct"))
+
+  val corpusStatsSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |       CAST(sum(CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT)) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(count(DISTINCT md5(${TextFns.normSql("text")})) AS BIGINT) AS n_distinct
+       |FROM documents GROUP BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_decontaminate" -> (corpusDecontaminate _),
+    "corpus_pack" -> (corpusPack _),
+    "corpus_stats" -> (corpusStats _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -265,6 +396,9 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_pack" -> corpusPackSql,
+    "corpus_stats" -> corpusStatsSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
