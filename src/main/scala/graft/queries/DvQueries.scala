@@ -550,6 +550,58 @@ object DvQueries {
        |       ${sqlHash("o_orderkey")} AS order_hk
        |FROM orders""".stripMargin
 
+  /** #39c: streaming event-time windowed aggregation under the driver's
+    * oracle — events.parquet through a file stream, 1-hour tumbling windows
+    * with per-type counts and exact decimal sums, parquet-sunk per batch via
+    * foreachBatch. Single micro-batch (maxFilesPerTrigger pinned high) in
+    * complete output mode ⇒ batch 0 holds every window and the result is
+    * hash-comparable to the batch twin. The watermark is declared (bounded
+    * state at production scale, where batches keep arriving); complete mode
+    * ignores it for emission, which is exactly what makes the one-shot
+    * verification deterministic. n_users (count DISTINCT) is intentionally
+    * absent: per-key exact distinct over an unbounded stream is not a
+    * streaming-supported aggregate — the batch `events_hourly` row carries
+    * that column. */
+  def streamEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (_, staged, root) = stagedStream(s, dir, "events")
+    // Driver testdata carries TIMESTAMP(NANOS) (long under nanosAsLong);
+    // scaled copies are plain micros timestamps — same dual handling as
+    // Tables.loadEvents.
+    val events = staged.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => staged
+    }
+    val out = s"$root/out"
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  val streamEventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
   def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq(
@@ -578,7 +630,8 @@ object DvQueries {
     "dv_flow_hub" -> (flowHub _),
     "dv_stream_hub" -> (streamHub _),
     "dv_stream_sat" -> (streamSat _),
-    "dv_stream_link" -> (streamLink _)
+    "dv_stream_link" -> (streamLink _),
+    "events_stream_hourly" -> (streamEventsHourly _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -597,6 +650,7 @@ object DvQueries {
     "dv_flow_hub" -> flowHubSql,
     "dv_stream_hub" -> streamHubSql,
     "dv_stream_sat" -> streamSatSql,
-    "dv_stream_link" -> streamLinkSql
+    "dv_stream_link" -> streamLinkSql,
+    "events_stream_hourly" -> streamEventsHourlySql
   )
 }
