@@ -19,7 +19,9 @@ object SparkEntry {
       graft.queries.MediaOps.queries
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
-    * Every registered query has an oracle — no rows-only checks. */
+    * Every registered query has an oracle except `knn_ivf_kmeans`
+    * (iterative float training has no SQL twin; it gets the driver's
+    * rows-only check plus AnnSpec's recall@10 ≥ 0.9 gate vs knn_brute). */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.DvQueries.oracles ++

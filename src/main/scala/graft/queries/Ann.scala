@@ -127,10 +127,21 @@ object Ann {
     * float training) → rows-only driver check; AnnSpec gates recall@10
     * ≥ 0.9 vs knn_brute. */
   def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
-    // Tuned on the testdata corpus: recall@10 = 0.93 vs brute while scanning
-    // ~3/25+spill of the corpus per query; the scanned fraction falls as
-    // nlist grows with n (nprobe·replicate/nlist).
-    ivfKmeans(s, dir, nlistOf = n => math.max(4, (n / 25).toInt), nProbe = 3, iters = 10, replicate = 2)
+    // nlist ∝ √n, the standard IVF sizing: centroid assignment then costs
+    // n·√n (a linear-factor-√n scan, amortizable by training on a sample)
+    // instead of the n²/k a linear-in-n list count implies — the difference
+    // between an index build and a disguised all-pairs pass at 100 TB.
+    // Clamped by the recall regime: on a small (or weakly clustered)
+    // corpus, recall@k tracks the SCANNED FRACTION nprobe·replicate/nlist,
+    // so nlist must stay ≤ n/25 (≈30% scanned at the gate's n=500) — while
+    // past the n=10k crossover the √n term binds and per-query cost falls
+    // as the corpus grows. min of the two regimes, floor 4. Recall@10 vs
+    // brute is gated ≥ 0.9 in AnnSpec.
+    ivfKmeans(s, dir,
+      nlistOf = n => math.max(4, math.min(
+        (4.0 * math.sqrt(n.toDouble)).toInt,
+        (n / 25).toInt)),
+      nProbe = 3, iters = 10, replicate = 2)
 
   private[graft] def ivfKmeans(s: SparkSession, dir: String,
       nlistOf: Long => Int, nProbe: Int, iters: Int, replicate: Int = 1): DataFrame = {
