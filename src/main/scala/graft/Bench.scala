@@ -13,6 +13,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      // Let AQE SIZE each exchange instead of pinning it to the core count:
+      // exchanges start at 16×cores partitions and coalesce down to ~cores
+      // when map output is small (same task count as before for sf0.1), but
+      // a ×100 input keeps the width and each task's spill stays bounded.
+      // Without this, 32-way shuffles at sf10 put ~4 GB in one sorter task
+      // and dedup_minhash dies in spill — partition count must be a
+      // function of DATA, not cluster size; this is how you express that
+      // declaratively.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shuffleParts.toInt * 16).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -189,18 +189,25 @@ object Dedup {
       }
       .toDF("doc_id", "sh", "bands")
       .filter(size(col("sh")) > 0)
+    // Candidate generation carries IDS ONLY: the band self-join inflates to
+    // Σ(bucket²) rows pre-dedup, and shipping the shingle arrays through
+    // that shuffle multiplied its width ~50× (measured at ×100 scale: the
+    // array-carrying formulation exhausted 80 GB of spill disk; this shape
+    // completes). Arrays rejoin AFTER the pair-dedup, candidate-bounded —
+    // the same shape as dedupNgramJaccard and the oracle twin.
     val buckets = withBands.select(
       col("doc_id"),
-      col("sh"),
       posexplode(col("bands")).as(Seq("band_id", "bhash")))
     val cands = buckets.as("a")
       .join(
         buckets.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("a.sh").as("sha"), col("b.doc_id").as("b_id"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands
+      .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(withBands.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn(
         "jaccard",
