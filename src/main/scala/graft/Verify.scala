@@ -17,7 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var errors = Map.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated filter for focused local iteration (the
+    // driver never sets it); oracle_sql.json is filtered to match so
+    // tools/preverify.py only checks what was dumped.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val target = new java.io.File(s"$outDir/$name")
       // A failed query must leave NO output behind — a stale result from a
       // previous run would otherwise be compared (and could pass) in its
@@ -38,6 +44,7 @@ object Verify {
     }
     def q(s: String): String = graft.core.Json.str(s)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

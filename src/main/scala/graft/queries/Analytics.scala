@@ -464,6 +464,181 @@ object Analytics {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY n_name""".stripMargin
 
+  /** q8-shape: national market share — of all MEDIUM-part volume bought by
+    * ASIA-region customers in 1995-1996, what fraction was supplied by
+    * NATION_3, per order year. Two independent dimension chains hang off one
+    * fact scan (part + supplier-nation on lineitem; customer-nation-region
+    * through orders); the share is a conditional/total decimal-sum ratio so
+    * only ONE aggregation pass runs — no self-join on the fact. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val p = t(s, dir, "part").filter(col("p_type") === "MEDIUM").select("p_partkey")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  val q8OracleSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** q15-shape: top supplier by quarterly revenue. The max is a one-row
+    * aggregate of the (|suppliers|-sized) revenue rollup, broadcast back as
+    * a join — no global window sort, no second fact scan. Decimal revenue
+    * keeps the max-equality comparison exact in both engines. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") && col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).as("rev"))
+    val maxRev = rev.agg(max(col("rev")).as("m"))
+    rev.join(broadcast(maxRev), col("rev") === col("m"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("total_revenue"))
+  }
+
+  val q15OracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = (SELECT MAX(rev) FROM rev)""".stripMargin
+
+  /** Grouping-sets shape: ROLLUP over (returnflag, linestatus) — exercises
+    * Catalyst's Expand operator (each input row fans to 3 grouping sets
+    * BEFORE partial aggregation, so map-side combine still collapses the
+    * fan-out to ≤ 3×|groups| rows per task; no extra fact shuffle). */
+  def salesRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+
+  val salesRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact discrete quantiles (p50/p90/p99 of `value` per event_type),
+    * computed scale-first: a naive window (`row_number() OVER (PARTITION BY
+    * event_type ORDER BY value)`) sorts ALL rows within 5 partition keys —
+    * 5 tasks own 100 TB. Instead: histogram pruning.
+    *   1. per-key min/max/count (one cheap agg);
+    *   2. per-(key, bucket) counts over a fixed 4096-bin value histogram —
+    *      second agg, map-side combined, histogram is KB-sized;
+    *   3. prefix-sum the histogram (window over ≤ 4096·keys rows — metadata,
+    *      not data) to find, for each target index floor((n-1)·q)+1, the ONE
+    *      bucket containing it;
+    *   4. re-scan only rows falling in target buckets (≤ 3 buckets/key,
+    *      ~n/4096 rows), sort those few by (value, event_id), and pick
+    *      global_rank = bucket_offset + local_rank = target.
+    * Equal values always share a bucket, so bucket-local (value, event_id)
+    * order extends to the exact global order the oracle's window states.
+    * The oracle expresses the SAME selection rule with the naive window —
+    * fine at sf0.01, which is the point: semantics identical, algorithm
+    * scale-aware. */
+  def eventsQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 4096
+    val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val e = Tables.loadEvents(s, dir).select(col("event_type"), col("value"), col("event_id"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"), count(lit(1)).as("n"))
+    // Bucket index: monotone in value, equal values collide, degenerate
+    // vmin==vmax key collapses to bucket 0.
+    val bkt = when(col("vmax") === col("vmin"), lit(0))
+      .otherwise(least(
+        lit(nBuckets - 1),
+        floor((col("value") - col("vmin")) / ((col("vmax") - col("vmin")) / nBuckets)).cast("int")))
+    val bucketed = e.join(broadcast(stats), "event_type").withColumn("bkt", bkt)
+    val hist = bucketed.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLower = hist.withColumn("lower", coalesce(sum(col("c")).over(cumW), lit(0L)))
+    // One (event_type, label, target-index) row per requested quantile.
+    val targets = qs.map { case (label, q) =>
+      stats.select(
+        col("event_type"), lit(label).as("q_label"),
+        (floor((col("n") - 1) * lit(q)) + 1).as("ti"))
+    }.reduce(_ unionAll _)
+    // The single bucket holding each target index. Histogram side is tiny →
+    // broadcast; output is ≤ |keys|·|quantiles| rows.
+    val targetBuckets = targets
+      .join(withLower,
+        targets("event_type") === withLower("event_type") &&
+          col("ti") > col("lower") && col("ti") <= col("lower") + col("c"))
+      .select(targets("event_type"), col("q_label"), col("ti"), col("bkt"), col("lower"))
+    // Second pass touches only rows inside target buckets (~n/4096 per key).
+    // Rank per (key, quantile label): two targets sharing a bucket duplicate
+    // that bucket's rows through the join, and each copy must rank alone.
+    val localW = Window.partitionBy(col("event_type"), col("q_label"))
+      .orderBy(col("value"), col("event_id"))
+    bucketed.join(
+        broadcast(targetBuckets.select(col("event_type").as("t_et"), col("q_label"), col("ti"), col("bkt").as("t_bkt"), col("lower"))),
+        col("event_type") === col("t_et") && col("bkt") === col("t_bkt"))
+      .withColumn("rank", col("lower") + row_number().over(localW))
+      .filter(col("rank") === col("ti"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("q_label") === "p50", col("value"))).as("p50"),
+        max(when(col("q_label") === "p90", col("value"))).as("p90"),
+        max(when(col("q_label") === "p99", col("value"))).as("p99"))
+  }
+
+  val eventsQuantilesSql: String =
+    """WITH b AS (
+      |  SELECT event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = FLOOR((n - 1) * CAST(0.5 AS DOUBLE)) + 1 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = FLOOR((n - 1) * CAST(0.9 AS DOUBLE)) + 1 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = FLOOR((n - 1) * CAST(0.99 AS DOUBLE)) + 1 THEN value END) AS p99
+      |FROM b GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
@@ -482,7 +657,11 @@ object Analytics {
     "q13_custdist" -> (q13Custdist _),
     "q14_promo" -> (q14Promo _),
     "q17_small_qty" -> (q17SmallQty _),
-    "q18_large_volume" -> (q18LargeVolume _)
+    "q18_large_volume" -> (q18LargeVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "sales_rollup" -> (salesRollup _),
+    "events_quantiles" -> (eventsQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +682,10 @@ object Analytics {
     "q13_custdist" -> q13OracleSql,
     "q14_promo" -> q14OracleSql,
     "q17_small_qty" -> q17OracleSql,
-    "q18_large_volume" -> q18OracleSql
+    "q18_large_volume" -> q18OracleSql,
+    "q8_market_share" -> q8OracleSql,
+    "q15_top_supplier" -> q15OracleSql,
+    "sales_rollup" -> salesRollupSql,
+    "events_quantiles" -> eventsQuantilesSql
   )
 }
