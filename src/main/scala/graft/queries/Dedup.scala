@@ -427,12 +427,73 @@ object Dedup {
        |WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95""".stripMargin
   }
 
+  // --------------------------------------------------------------- #31a SemDedup
+
+  /** SemDedup-style semantic dedup: partition the embedding space into
+    * centroid cells, then inside each cell drop every vector that has a
+    * lower-id neighbor with cosine ≥ 0.95, reporting the dropped id and its
+    * canonical keeper (the minimum such neighbor). Complements
+    * [[dedupEmbedding]]: hyperplane LSH catches near-EXACT duplicates
+    * (parallel vectors always collide), while centroid cells express the
+    * "one representative per semantic neighborhood" policy — the pruning is
+    * an explicit clustering you can size, not a hash family.
+    *
+    * Centroids here are the same deterministic corpus sample knn_ivf uses
+    * (vec_id % 100 == 17), so DuckDB replays the identical clustering and
+    * the approximation itself is hash-checked; the production path swaps in
+    * [[graft.functions.KMeans]] centroids exactly as knn_ivf_kmeans does.
+    *
+    * Scale shape: centroids broadcast (no vector shuffle to assign); the
+    * within-cell pair join keys on cell id, so the quadratic term is
+    * Σ|cell|² — bounded by sizing nlist ∝ n (constant expected cell size),
+    * which the sampled-centroid rule (n/100) does by construction. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val v = stagedVecs(s, dir)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
+    val cents = embeddings(s, dir)
+      .filter(col("vec_id") % 100 === 17)
+      .select(col("vec_id").as("cent_id"), VectorFns.toDouble(col("embedding")).as("cv"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+      .join(v, "vec_id")
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFns.cosine(col("a.vd"), col("b.vd")) >= 0.95)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("keeper_id"))
+  }
+
+  val dedupSemanticSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM aug),
+      | c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings WHERE vec_id % 100 = 17),
+      | assign AS (
+      |  SELECT vec_id, vd, cent_id AS cell FROM (
+      |    SELECT v.vec_id, v.vd, c.cent_id,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |                              ORDER BY list_cosine_similarity(v.vd, c.cv) DESC, c.cent_id) AS rn
+      |    FROM v CROSS JOIN c) x WHERE rn = 1)
+      |SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
+      |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _)
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,6 +501,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql
   )
 }

@@ -383,7 +383,117 @@ object TextOps {
        |       CAST(count(DISTINCT md5(${TextFns.normSql("text")})) AS BIGINT) AS n_distinct
        |FROM documents GROUP BY source, lang""".stripMargin
 
+  /** Gopher-style repetition metrics per document: total/distinct word
+    * counts plus the peak word and peak bigram multiplicities (the
+    * numerators of the "fraction of tokens in the most common n-gram"
+    * filters; counts stay integers so the driver hash is
+    * float-rounding-free, and the downstream filter fraction is
+    * `max_*_cnt / n_words`).
+    *
+    * Scale shape: one typed flatMap emits (doc_id, gram) pairs — words and
+    * bigrams in the same pass, tagged — then one shuffle keyed on
+    * (doc_id, gram, tag) with map-side combine, and a second doc_id-keyed
+    * (pre-combined, |distinct grams|-sized) aggregation. Both keys embed
+    * doc_id, so hot grams cannot skew a partition; cost is linear in corpus
+    * token count. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm")))
+      .as[(Long, String)]
+      .flatMap { case (id, n) =>
+        val ws = n.split(' ').filter(_.nonEmpty)
+        val words = ws.iterator.map(w => (id, w, 0))
+        val bigrams = ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => (id, a + " " + b, 1) }
+        words ++ bigrams
+      }
+      .toDF("doc_id", "gram", "is_bigram")
+      .groupBy(col("doc_id"), col("gram"), col("is_bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(col("is_bigram") === 0, col("cnt"))), lit(0L)).as("n_words"),
+        count(when(col("is_bigram") === 0, lit(1))).as("n_distinct_words"),
+        coalesce(max(when(col("is_bigram") === 0, col("cnt"))), lit(0L)).as("max_word_cnt"),
+        coalesce(max(when(col("is_bigram") === 1, col("cnt"))), lit(0L)).as("max_bigram_cnt"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(${TextFns.normSql("text")}, ' '), x -> len(x) > 0) AS words
+       |  FROM documents),
+       | g AS (
+       |  SELECT doc_id, unnest(words) AS gram, 0 AS is_bigram FROM d
+       |  UNION ALL
+       |  SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram, 1 AS is_bigram
+       |  FROM d, unnest(range(1, len(words))) AS t(i)),
+       | c AS (SELECT doc_id, gram, is_bigram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  CAST(coalesce(sum(CASE WHEN is_bigram = 0 THEN cnt END), 0) AS BIGINT) AS n_words,
+       |  CAST(count(CASE WHEN is_bigram = 0 THEN 1 END) AS BIGINT) AS n_distinct_words,
+       |  CAST(coalesce(max(CASE WHEN is_bigram = 0 THEN cnt END), 0) AS BIGINT) AS max_word_cnt,
+       |  CAST(coalesce(max(CASE WHEN is_bigram = 1 THEN cnt END), 0) AS BIGINT) AS max_bigram_cnt
+       |FROM c GROUP BY doc_id""".stripMargin
+
+  /** Domain-mixture rebalance sampling — the "downweight over-represented
+    * sources to a token budget" step of a pretraining data recipe. Each
+    * source's sampling rate is `min(1, target / source_tokens)` with the
+    * target set from the data itself (half the mean per-source token mass),
+    * and each document keeps/drops by a deterministic md5-derived uniform —
+    * so the sample is reproducible row-for-row across engines and runs, and
+    * adding machines never changes the output (no RNG state, no
+    * per-partition sequence).
+    *
+    * Scale shape: one corpus scan computes (source, tokens, u); the
+    * per-source totals are a |sources|-sized aggregate whose rate table
+    * broadcast-joins back — the corpus never shuffles, only its per-source
+    * rollup does. Output is the per-source before/after audit (the
+    * manifest a mixture step must emit), not the sampled rows themselves. */
+  def corpusSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"), col("source"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("u", u)
+    val bySrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_in"), sum(col("n_tokens")).as("tokens_in"))
+    val target = bySrc
+      .agg((sum(col("tokens_in")).cast("double") / count(lit(1)).cast("double") * 0.5).as("target"))
+    val rates = bySrc.join(broadcast(target))
+      .withColumn("rate", least(lit(1.0), col("target") / col("tokens_in").cast("double")))
+      .select(col("source"), col("n_docs_in"), col("tokens_in"), col("rate"))
+    d.join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs_in"), col("tokens_in"))
+      .agg(
+        count(when(col("u") < col("rate"), lit(1))).as("n_docs_kept"),
+        coalesce(sum(when(col("u") < col("rate"), col("n_tokens"))), lit(0L)).as("tokens_kept"))
+  }
+
+  val corpusSampleSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |         CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS DOUBLE) / 65536.0 AS u
+       |  FROM documents),
+       | src AS (SELECT source, count(*) AS n_docs_in, sum(n_tokens) AS tokens_in FROM d GROUP BY source),
+       | t AS (SELECT CAST(sum(tokens_in) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 0.5 AS target FROM src),
+       | r AS (SELECT source, n_docs_in, tokens_in,
+       |              least(CAST(1 AS DOUBLE), target / CAST(tokens_in AS DOUBLE)) AS rate
+       |       FROM src, t)
+       |SELECT d.source, CAST(r.n_docs_in AS BIGINT) AS n_docs_in, CAST(r.tokens_in AS BIGINT) AS tokens_in,
+       |       CAST(count(CASE WHEN d.u < r.rate THEN 1 END) AS BIGINT) AS n_docs_kept,
+       |       CAST(coalesce(sum(CASE WHEN d.u < r.rate THEN d.n_tokens END), 0) AS BIGINT) AS tokens_kept
+       |FROM d JOIN r ON d.source = r.source
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "corpus_sample" -> (corpusSample _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_pack" -> (corpusPack _),
     "corpus_stats" -> (corpusStats _),
@@ -396,6 +506,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_pack" -> corpusPackSql,
     "corpus_stats" -> corpusStatsSql,
