@@ -602,6 +602,79 @@ object DvQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming gap sessionization, end-to-end: the `events` table replayed
+    * through a file stream into `StreamingDv.sessionize`
+    * (flatMapGroupsWithState, Append mode, event-time timeout), landed via
+    * foreachBatch, equal to the batch lag-window query.
+    *
+    * Append mode only emits CLOSED sessions — each user's final session
+    * would stay in state forever on a finite replay. The flush is a
+    * SENTINEL event per user, two gaps past the global max event time,
+    * appended to the staged source before the stream starts: in batch 0 it
+    * closes every real session (gap exceeded), while the sentinel's own
+    * singleton session stays un-emitted — open in state, and its timeout
+    * (end + gap) sits strictly past the final watermark (max ts, delay 0)
+    * by construction. Emitted rows are therefore exactly the batch
+    * sessionization, with no reliance on timeout batches at all. */
+  def streamEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (_, staged, root) = stagedStream(s, dir, "events")
+    val srcDir = s"$root/src"
+    val gapUs = 1800L * 1000000L
+    val raw = s.read.parquet(srcDir)
+    val isNanos = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val usCol = if (isNanos) expr("ts div 1000") else expr("unix_micros(ts)")
+    val maxUs = raw.select(max(usCol).as("m"))
+    val sentinels = raw.select(col("user_id")).distinct()
+      .crossJoin(broadcast(maxUs))
+      .withColumn("sent_us", col("m") + lit(2L * gapUs))
+    val sentCols = raw.schema.fields.map { f =>
+      (f.name match {
+        case "user_id" => col("user_id")
+        case "ts" => if (isNanos) col("sent_us") * 1000L else expr("timestamp_micros(sent_us)")
+        case "event_id" => lit(-1L)
+        case "event_type" => lit("__sentinel__")
+        case "value" => lit(0.0)
+        case _ => lit("")
+      }).cast(f.dataType).as(f.name)
+    }
+    sentinels.select(sentCols.toIndexedSeq: _*).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val events = staged.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => staged
+    }
+    val out = s"$root/out"
+    val q = graft.streaming.StreamingDv.sessionize(events, gapMinutes = 30, delayThreshold = "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingDv.SessionOut], _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Batch twin of the streaming sessionizer's emission (sessions without
+    * the per-user ordinal — a closed session is identified by its bounds). */
+  val streamEventsSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      | s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** #2: metadata-typed staging load (projection + cast from metadata types). */
   def stgLoadCustomer(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq(
@@ -631,7 +704,8 @@ object DvQueries {
     "dv_stream_hub" -> (streamHub _),
     "dv_stream_sat" -> (streamSat _),
     "dv_stream_link" -> (streamLink _),
-    "events_stream_hourly" -> (streamEventsHourly _)
+    "events_stream_hourly" -> (streamEventsHourly _),
+    "events_stream_sessions" -> (streamEventsSessions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,6 +725,7 @@ object DvQueries {
     "dv_stream_hub" -> streamHubSql,
     "dv_stream_sat" -> streamSatSql,
     "dv_stream_link" -> streamLinkSql,
-    "events_stream_hourly" -> streamEventsHourlySql
+    "events_stream_hourly" -> streamEventsHourlySql,
+    "events_stream_sessions" -> streamEventsSessionsSql
   )
 }
