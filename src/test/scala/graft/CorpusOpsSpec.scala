@@ -51,6 +51,54 @@ class CorpusOpsSpec extends SparkSpec {
     } finally { d.unpersist(); () }
   }
 
+  test("text_repetition: counts conserved; one doc recounted by hand matches") {
+    val r = TextOps.textRepetition(spark, dir).cache()
+    try {
+      assert(r.filter(col("max_word_cnt") > col("n_words")).count() == 0)
+      assert(r.filter(col("n_distinct_words") > col("n_words")).count() == 0)
+      assert(r.filter(col("max_bigram_cnt") > greatest(col("n_words") - 1, lit(0L))).count() == 0)
+      val doc = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").head()
+      val ws = doc.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9\\s]", " ").trim.split("\\s+").filter(_.nonEmpty)
+      val row = r.filter(col("doc_id") === doc.getLong(0)).head()
+      assert(row.getAs[Long]("n_words") == ws.length.toLong)
+      assert(row.getAs[Long]("n_distinct_words") == ws.distinct.length.toLong)
+      assert(row.getAs[Long]("max_word_cnt") ==
+        ws.groupBy(identity).values.map(_.size).max.toLong)
+      val bigrams = ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => a + " " + b }.toSeq
+      assert(row.getAs[Long]("max_bigram_cnt") ==
+        (if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.size).max.toLong))
+    } finally { r.unpersist(); () }
+  }
+
+  test("corpus_sample: never upsamples; sources already under target keep every doc") {
+    val m = TextOps.corpusSample(spark, dir).cache()
+    try {
+      assert(m.filter(col("n_docs_kept") > col("n_docs_in")).count() == 0)
+      assert(m.filter(col("tokens_kept") > col("tokens_in")).count() == 0)
+      val nSrc = m.count()
+      val target = m.agg(sum("tokens_in")).head().getLong(0).toDouble / nSrc * 0.5
+      assert(
+        m.filter(col("tokens_in").cast("double") <= target)
+          .filter(col("n_docs_kept") =!= col("n_docs_in")).count() == 0)
+    } finally { m.unpersist(); () }
+  }
+
+  test("dedup_semantic: every re-ingested near-copy is dropped toward a lower keeper") {
+    val d = graft.queries.Dedup.dedupSemantic(spark, dir).cache()
+    try {
+      assert(d.filter(col("keeper_id") >= col("vec_id")).count() == 0)
+      // The staged slice (vec_id%25==0 re-ingested as id+100000, direction
+      // preserved) must be caught: same cell as its original, cosine ~1.
+      val staged = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 25 === 0).count()
+      val caught = d.filter(col("vec_id") >= 100000L)
+      assert(caught.count() == staged)
+      assert(caught.filter(col("keeper_id") > col("vec_id") - 100000L).count() == 0)
+    } finally { d.unpersist(); () }
+  }
+
   test("corpus_stats: groups partition the corpus; dup-rate bounded") {
     val s2 = TextOps.corpusStats(spark, dir)
     val total = s2.agg(sum("n_docs")).head().getLong(0)

@@ -86,4 +86,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("q8: all three bounded dims broadcast; one aggregation pass (no fact self-join)") {
+    val p = plan(Analytics.q8MarketShare(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q15: scalar max joins back broadcast (no global window sort)") {
+    val p = plan(Analytics.q15TopSupplier(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sales_rollup: Expand feeds a partial aggregate (map-side combine kept)") {
+    val p = plan(Analytics.salesRollup(spark, dir))
+    assert(p.contains("Expand"), p)
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.lastIndexOf("HashAggregate") > exchange, p)
+  }
+
+  test("events_quantiles: histogram + targets broadcast, no data-sized window") {
+    val p = plan(Analytics.eventsQuantiles(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // The only window sorts are the KB-sized histogram prefix sum and the
+    // target-bucket rows (~n/4096) — never a per-key sort of the full input.
+    // The full-input path (scan → broadcast-join → partial agg) must carry
+    // no Sort below its aggregation exchange.
+    val firstSort = p.indexOf("Sort ")
+    assert(firstSort == -1 || p.contains("row_number"), p)
+  }
+
+  test("text_repetition: exactly the three planned exchanges (spread + two aggs)") {
+    val p = plan(TextOps.textRepetition(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 3, p)
+  }
+
+  test("corpus_sample: rate table broadcast back — the corpus never shuffles") {
+    val p = plan(TextOps.corpusSample(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_semantic: centroids broadcast for assignment") {
+    val p = plan(graft.queries.Dedup.dedupSemantic(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
