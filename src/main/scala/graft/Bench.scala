@@ -64,6 +64,14 @@ object Bench {
       // noop sink forces FULL evaluation of every output column — count()
       // lets Catalyst prune projections, so pure-projection queries (hash
       // views, text ops) would bench their scan instead of their work.
+      //
+      // Untimed per-query warmup: the first executions pay whole-stage
+      // codegen compilation AND an AQE replan whose runtime stats differ
+      // from later runs — measured ~1.3s of constant overhead that showed
+      // up in TWO of three reps (so median-of-3 still reported it) and is
+      // identical at sf0.1 and sf1, i.e. pure compilation, not data work.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () /* the timed loop records the error */ }
       val times = (0 until reps).flatMap { _ =>
         if (errors.contains(name)) None
         else {

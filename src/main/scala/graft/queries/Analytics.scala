@@ -541,17 +541,26 @@ object Analytics {
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rev = (SELECT MAX(rev) FROM rev)""".stripMargin
 
-  /** Grouping-sets shape: ROLLUP over (returnflag, linestatus) — exercises
-    * Catalyst's Expand operator (each input row fans to 3 grouping sets
-    * BEFORE partial aggregation, so map-side combine still collapses the
-    * fan-out to ≤ 3×|groups| rows per task; no extra fact shuffle). */
+  /** Grouping-sets shape: ROLLUP over (returnflag, linestatus). A naive
+    * `rollup()` on the fact Expands EVERY row ×3 before the partial
+    * aggregate — 3× the aggregation work for identical results, since
+    * every rollup measure here is re-aggregable (sums of sums, sum of
+    * counts). So: aggregate to the |groups|-sized leaf level first (one
+    * ordinary scan + combine), then ROLLUP the leaf rows — Expand touches
+    * 6 rows instead of the fact. At 100 TB this is the difference between
+    * a 3× fan-out of the scan and a constant-size post-processing step. */
   def salesRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("q"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).as("d"),
+        count(lit(1)).as("c"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
-        count(lit(1)).as("n_rows"))
+        sum(col("q")).cast("double").as("sum_qty"),
+        sum(col("d")).cast("double").as("sum_disc_price"),
+        sum(col("c")).as("n_rows"))
 
   val salesRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -639,6 +648,71 @@ object Analytics {
       |  MAX(CASE WHEN rn = FLOOR((n - 1) * CAST(0.99 AS DOUBLE)) + 1 THEN value END) AS p99
       |FROM b GROUP BY event_type""".stripMargin
 
+  /** Sequential-pattern funnel: users who viewed, then clicked AFTER their
+    * first view, then purchased AFTER that click. The strictly-ordered
+    * "first X after Y" chain is three stacked conditional window minima
+    * over the SAME user partition — Catalyst plans them in one Window
+    * stage after one user_id shuffle, no self-joins, no per-step scans.
+    * Output is the one-row stage-count summary. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(byUser))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(
+        count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked_after"),
+        count(col("t3")).as("n_purchased_after"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      | s2 AS (
+      |  SELECT user_id, ts, event_type, t1,
+      |         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2
+      |  FROM s1),
+      | s3 AS (
+      |  SELECT user_id, t1, t2,
+      |         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) OVER (PARTITION BY user_id) AS t3
+      |  FROM s2),
+      | u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3 FROM s3 GROUP BY user_id)
+      |SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+      |       CAST(COUNT(t2) AS BIGINT) AS n_clicked_after,
+      |       CAST(COUNT(t3) AS BIGINT) AS n_purchased_after
+      |FROM u""".stripMargin
+
+  /** Running-frame window: per-customer cumulative order spend in date
+    * order (ROWS UNBOUNDED PRECEDING — the frame shape none of the other
+    * window queries exercise). Decimal running sums, deterministic
+    * (o_orderdate, o_orderkey) order; one shuffle on o_custkey and a
+    * per-customer sort — partition count scales with customers, not with a
+    * global sort width. */
+  def ordersRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+  }
+
+  val ordersRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
@@ -661,7 +735,9 @@ object Analytics {
     "q8_market_share" -> (q8MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "sales_rollup" -> (salesRollup _),
-    "events_quantiles" -> (eventsQuantiles _)
+    "events_quantiles" -> (eventsQuantiles _),
+    "events_funnel" -> (eventsFunnel _),
+    "orders_running_total" -> (ordersRunningTotal _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -686,6 +762,8 @@ object Analytics {
     "q8_market_share" -> q8OracleSql,
     "q15_top_supplier" -> q15OracleSql,
     "sales_rollup" -> salesRollupSql,
-    "events_quantiles" -> eventsQuantilesSql
+    "events_quantiles" -> eventsQuantilesSql,
+    "events_funnel" -> eventsFunnelSql,
+    "orders_running_total" -> ordersRunningTotalSql
   )
 }

@@ -491,9 +491,42 @@ object TextOps {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Corpus vocabulary: the global top-100 word bigrams by frequency
+    * (deterministic tiebreak on the gram itself) — the "most common n-grams"
+    * table every corpus audit starts from.
+    *
+    * Scale shape: bigram rows aggregate with map-side combine on the gram
+    * key, then the ORDER BY + LIMIT plans as TakeOrderedAndProject — each
+    * partition keeps a 100-row heap and the driver merges |partitions|·100
+    * rows; no global sort materializes at any width. */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm")))
+      .as[(Long, String)]
+      .flatMap { case (_, n) =>
+        val ws = n.split(' ').filter(_.nonEmpty)
+        ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => a + " " + b }
+      }
+      .toDF("gram")
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(100)
+  }
+
+  val corpusVocabSql: String =
+    s"""WITH d AS (
+       |  SELECT list_filter(string_split(${TextFns.normSql("text")}, ' '), x -> len(x) > 0) AS words
+       |  FROM documents),
+       | g AS (SELECT words[i] || ' ' || words[i + 1] AS gram
+       |       FROM d, unnest(range(1, len(words))) AS t(i))
+       |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+       |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_vocab" -> (corpusVocab _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_pack" -> (corpusPack _),
     "corpus_stats" -> (corpusStats _),
@@ -508,6 +541,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "corpus_sample" -> corpusSampleSql,
+    "corpus_vocab" -> corpusVocabSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_pack" -> corpusPackSql,
     "corpus_stats" -> corpusStatsSql,

@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // Mirror Bench's AQE exchange sizing when asked, to reproduce bench
+    // behavior exactly (SPARK_GRAFT_INIT_PARTS=512 etc.).
+    sys.env.get("SPARK_GRAFT_INIT_PARTS").foreach { n =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f; println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -132,4 +132,32 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.Dedup.dedupSemantic(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("corpus_vocab: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(TextOps.corpusVocab(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("events_funnel: the three-stage chain shares ONE user_id shuffle") {
+    val p = plan(Analytics.eventsFunnel(spark, dir))
+    // stacked window minima + per-user collapse reuse the user_id
+    // partitioning; only the final one-row summary adds an exchange.
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("orders_running_total: running frame, one customer shuffle") {
+    val p = plan(Analytics.ordersRunningTotal(spark, dir))
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sales_rollup: Expand sits ABOVE the leaf aggregate (constant-size fan-out)") {
+    val p = plan(Analytics.salesRollup(spark, dir))
+    // toString prints top-down: rollup agg, Expand, then the leaf agg and
+    // its exchange BELOW — i.e. the scan feeds an ordinary aggregation and
+    // only |groups| rows are expanded.
+    assert(p.indexOf("Expand") < p.lastIndexOf("HashAggregate"), p)
+    assert(p.indexOf("Expand") < p.lastIndexOf("Exchange"), p)
+  }
 }
