@@ -713,6 +713,213 @@ object Analytics {
       |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
       |FROM orders""".stripMargin
 
+  /** q9 shape: product-profit rollup by nation and order-year. The p_name
+    * LIKE filter prunes part FIRST (the most selective predicate), so the
+    * fact table shrinks before the orders join — the only big-big shuffle.
+    * nation (25 rows) is broadcast; part/supplier are SF-proportional and
+    * left to AQE (broadcast at test scale, shuffle at 100 TB).
+    * Reference semantics: TPC-H Q9 profit rollup (no partsupp table in the
+    * test layout, so profit = revenue without supply cost). */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_name").contains("gear")).select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("profit"))
+  }
+
+  val q9OracleSql: String =
+    """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q11 shape: per-supplier inventory value with a HAVING threshold derived
+    * from a global scalar over the SAME aggregate. The fact table scans and
+    * shuffles exactly once (on l_suppkey); the threshold is an empty-frame
+    * window over the per-supplier result, so only the dim-sized aggregate
+    * funnels through one partition — no second fact scan.
+    * Determinism: the threshold averages the DECIMAL per-supplier sums
+    * (exact, order-independent) and only the final compare is double —
+    * summing the per-supplier doubles instead would be order-dependent
+    * across engines. */
+  def q11ValueShare(s: SparkSession, dir: String): DataFrame = {
+    val euroSupp = t(s, dir, "supplier")
+      .join(broadcast(
+        t(s, dir, "nation").join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val per = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value_dec"))
+    // Global threshold as a window over the aggregate, NOT a re-aggregation
+    // join: a scalar-agg branch would re-plan (and re-scan) the whole fact
+    // subtree. The empty-frame window funnels only the supplier-cardinality
+    // aggregate through one partition — dim-sized, never fact-sized.
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    per
+      .withColumn("thr", sum(col("value_dec")).over(all).cast("double") / count(lit(1)).over(all))
+      .filter(col("value_dec").cast("double") > col("thr"))
+      .select(col("suppkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  val q11OracleSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey AS suppkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation ON s_nationkey = n_nationkey
+      |   JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE' GROUP BY 1)
+      |SELECT suppkey, CAST(value_dec AS DOUBLE) AS value
+      |FROM per
+      |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM per)""".stripMargin
+
+  /** q16 shape: distinct-supplier count per part attribute group, with an
+    * exclusion list anti-joined out. The ONLY fact-scale shuffle is the
+    * (partkey, suppkey) pair dedup on a 2-column projection; the exclusion
+    * list (negative-balance suppliers) is tiny → broadcast anti join; part
+    * attributes join onto the already-deduped pair set. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(t(s, dir, "part").filter(col("p_size") <= 15).select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16OracleSql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+      | JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 15
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q20 shape: nested-aggregate semi chain — suppliers holding a dominant
+    * (>60%) share of some part's 1995 shipped quantity, on parts with
+    * material volume (total ≥ 80). Part totals come from a window over the
+    * (partkey, suppkey) aggregate (one fact scan); the dominant-supplier
+    * id set is small → broadcast semi join into supplier. Share compare in
+    * double over exact decimal sums. */
+  def q20ShareSemi(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") && col("l_shipdate") < ts("1996-01-01 00:00:00"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    // Part totals as a window over ps, not a groupBy+join-back — the
+    // join-back branch would re-plan (and re-scan) the fact subtree. The
+    // window repartitions only the already-aggregated (partkey, suppkey)
+    // set, orders of magnitude smaller than lineitem.
+    import org.apache.spark.sql.expressions.Window
+    val dominant = ps
+      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty").cast("double") > col("total").cast("double") * 0.6 &&
+        col("total").cast("double") >= 80)
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  val q20OracleSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      | p AS (SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN p USING (l_partkey)
+      |  WHERE CAST(qty AS DOUBLE) > 0.6 * CAST(total AS DOUBLE) AND CAST(total AS DOUBLE) >= 80)""".stripMargin
+
+  /** q21 shape: suppliers who are the SOLE supplier on multi-line orders.
+    * The naive formulation is exists/not-exists double self-join on
+    * lineitem (two extra fact shuffles); the min=max-distinct trick gets
+    * the same answer from ONE groupBy(orderkey) pass over a 2-column
+    * projection. Top-10 with explicit suppkey tiebreak. */
+  def q21SoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), min(col("l_suppkey")).as("mn"), max(col("l_suppkey")).as("mx"))
+      .filter(col("n") > 1 && col("mn") === col("mx"))
+    perOrder.groupBy(col("mn"))
+      .agg(count(lit(1)).as("sole_orders"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")), col("mn") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("sole_orders"))
+      .orderBy(col("sole_orders").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  val q21OracleSql: String =
+    """WITH o AS (
+      |  SELECT l_orderkey, COUNT(*) AS n, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s_suppkey, s_name, COUNT(*) AS sole_orders
+      |FROM o JOIN supplier ON mn = s_suppkey
+      |WHERE n > 1 AND mn = mx
+      |GROUP BY 1, 2
+      |ORDER BY sole_orders DESC, s_suppkey
+      |LIMIT 10""".stripMargin
+
+  /** Cohort retention matrix: per event type, users active in week N after
+    * their first event of that type. ONE user-partitioned window (min over
+    * (user, type)) replaces the naive first-seen self-join — a single
+    * fact shuffle; the count-distinct re-shuffles only (type, week) groups.
+    * At 100 TB the window key (user_id, event_type) is high-cardinality →
+    * no skew; week arithmetic is exact integer date math. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .withColumn("first_day", min(col("day")).over(w))
+      .withColumn("week_n", floor(datediff(col("day"), col("first_day")) / 7))
+      .groupBy(col("event_type"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH d AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      | f AS (SELECT user_id, event_type, day,
+      |        MIN(day) OVER (PARTITION BY user_id, event_type) AS first_day FROM d)
+      |SELECT event_type,
+      |  CAST(FLOOR(datediff('day', first_day, day) / 7) AS BIGINT) AS week_n,
+      |  COUNT(DISTINCT user_id) AS active_users
+      |FROM f GROUP BY 1, 2""".stripMargin
+
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate it. Scan-bound single pass — the JSON parse stays
+    * inside whole-stage codegen (get_json_object is a codegen'd native
+    * expression, not a UDF) and the agg keeps map-side combine. */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).as("max_k"))
+
+  val eventsJsonSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
@@ -737,7 +944,14 @@ object Analytics {
     "sales_rollup" -> (salesRollup _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_funnel" -> (eventsFunnel _),
-    "orders_running_total" -> (ordersRunningTotal _)
+    "orders_running_total" -> (ordersRunningTotal _),
+    "q9_profit" -> (q9Profit _),
+    "q11_value_share" -> (q11ValueShare _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_share_semi" -> (q20ShareSemi _),
+    "q21_sole_supplier" -> (q21SoleSupplier _),
+    "events_retention" -> (eventsRetention _),
+    "events_json" -> (eventsJson _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -764,6 +978,13 @@ object Analytics {
     "sales_rollup" -> salesRollupSql,
     "events_quantiles" -> eventsQuantilesSql,
     "events_funnel" -> eventsFunnelSql,
-    "orders_running_total" -> ordersRunningTotalSql
+    "orders_running_total" -> ordersRunningTotalSql,
+    "q9_profit" -> q9OracleSql,
+    "q11_value_share" -> q11OracleSql,
+    "q16_supplier_cnt" -> q16OracleSql,
+    "q20_share_semi" -> q20OracleSql,
+    "q21_sole_supplier" -> q21OracleSql,
+    "events_retention" -> eventsRetentionSql,
+    "events_json" -> eventsJsonSql
   )
 }

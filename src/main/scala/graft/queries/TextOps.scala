@@ -523,7 +523,38 @@ object TextOps {
        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
        |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin
 
+  /** Blocklist scrub metrics (C4-style badwords filtering): per document,
+    * how many whitespace tokens hit a deny list and what fraction of the
+    * doc they are. Scan-bound single pass, zero shuffles — the token
+    * filter is a codegen'd higher-order array function (filter +
+    * array_contains over a literal array), not a UDF. A real deny list is
+    * thousands of terms: same plan, the literal array becomes a broadcast
+    * lookup; the per-row cost stays O(tokens). The ratio divides two exact
+    * ints in double — cross-engine deterministic. */
+  def textBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val deny = array(BlockTerms.map(lit): _*)
+    val toks = split(col("text"), " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, x => array_contains(deny, x))).cast("long").as("n_blocked"))
+      .withColumn("blocked_ratio", col("n_blocked").cast("double") / col("n_tokens"))
+  }
+
+  private val BlockTerms = Seq("spark", "table", "query")
+
+  val textBlocklistSql: String = {
+    val inList = BlockTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS n_blocked,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS blocked_ratio
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist" -> (textBlocklist _),
     "text_repetition" -> (textRepetition _),
     "corpus_sample" -> (corpusSample _),
     "corpus_vocab" -> (corpusVocab _),
@@ -539,6 +570,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_blocklist" -> textBlocklistSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_vocab" -> corpusVocabSql,

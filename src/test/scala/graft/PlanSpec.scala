@@ -160,4 +160,61 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Expand") < p.lastIndexOf("HashAggregate"), p)
     assert(p.indexOf("Expand") < p.lastIndexOf("Exchange"), p)
   }
+
+  test("q9: part LIKE filter prunes the fact BEFORE the orders join; 2-col part probe") {
+    val p = formatted(Analytics.q9Profit(spark, dir))
+    // the part side reads only partkey+name (pruned), and the lineitem scan
+    // reads only the 5 referenced columns
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q11: HAVING threshold windows over the per-supplier result (ONE fact scan)") {
+    val p = plan(Analytics.q11ValueShare(spark, dir))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q16: exclusion list is a broadcast anti join over the deduped pair set") {
+    val p = plan(Analytics.q16SupplierCnt(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the pair dedup reads only the two key columns from lineitem
+    val f = formatted(Analytics.q16SupplierCnt(spark, dir))
+    assert(f.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), f)
+  }
+
+  test("q20: two-level aggregate shares ONE lineitem scan; dominant set semi-joins") {
+    val p = plan(Analytics.q20ShareSemi(spark, dir))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q21: sole-supplier via one groupBy pass — NO lineitem self-join") {
+    val p = plan(Analytics.q21SoleSupplier(spark, dir))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    // top-k with limit plans as TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("events_retention: first-seen via window — one (user,type) shuffle, no self-join") {
+    val p = plan(Analytics.eventsRetention(spark, dir))
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("events_json: native JSON parse feeds a partial aggregate (map-side combine)") {
+    val p = formatted(Analytics.eventsJson(spark, dir))
+    // codegen'd native expression, not a UDF
+    assert(p.contains("get_json_object"), p)
+    // partial agg sits below the exchange — the parse + combine happen
+    // scan-side, only |event_type| groups shuffle. (Formatted mode numbers
+    // operators bottom-up, so the partial agg prints BEFORE the exchange.)
+    assert(p.indexOf("partial_sum") < p.indexOf("Arguments: hashpartitioning"), p)
+  }
+
+  test("text_blocklist: scan-bound, zero exchanges") {
+    val p = plan(TextOps.textBlocklist(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
 }
