@@ -596,6 +596,37 @@ object DvQueries {
     s.read.parquet(out)
   }
 
+  /** Streaming stateful dedup, end-to-end: distinct (user_id, event_type)
+    * pairs from a file-replayed event stream via `dropDuplicates` — Spark
+    * keeps one state row per key and Append mode emits exactly the
+    * first-sights. State is bounded by KEY cardinality (users × types),
+    * not stream length, so it holds at 100 TB for dimension-like keys; an
+    * unbounded key (event_id, content hash) would instead use
+    * `dropDuplicatesWithinWatermark` so state stays inside the watermark
+    * horizon. Equal to batch SELECT DISTINCT. */
+  def streamEventsDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (_, staged, root) = stagedStream(s, dir, "events")
+    val out = s"$root/out"
+    val q = staged
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  val streamEventsDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val streamEventsHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       | COUNT(*) AS n_events,
@@ -705,7 +736,8 @@ object DvQueries {
     "dv_stream_sat" -> (streamSat _),
     "dv_stream_link" -> (streamLink _),
     "events_stream_hourly" -> (streamEventsHourly _),
-    "events_stream_sessions" -> (streamEventsSessions _)
+    "events_stream_sessions" -> (streamEventsSessions _),
+    "events_stream_dedup" -> (streamEventsDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -726,6 +758,7 @@ object DvQueries {
     "dv_stream_sat" -> streamSatSql,
     "dv_stream_link" -> streamLinkSql,
     "events_stream_hourly" -> streamEventsHourlySql,
-    "events_stream_sessions" -> streamEventsSessionsSql
+    "events_stream_sessions" -> streamEventsSessionsSql,
+    "events_stream_dedup" -> streamEventsDedupSql
   )
 }
