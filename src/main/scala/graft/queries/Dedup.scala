@@ -216,7 +216,10 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  val dedupMinhashSql: String = {
+  /** The minhash pipeline's CTE list (norm → shingles → sigs → bands →
+    * candidates → verified pairs), shared by [[dedupMinhashSql]] and the
+    * [[dedupClustersSql]] oracle that builds on its pair set. */
+  private val minhashPairsCtes: String = {
     val sigExprs = (0 until NumSigs).map(i => s"${TextFns.minhashSigSql("shingles", i)} AS sig$i").mkString(",\n    ")
     val bandExprs = (0 until NumBands)
       .map(b => s"md5(sig${4 * b} || '|' || sig${4 * b + 1} || '|' || sig${4 * b + 2} || '|' || sig${4 * b + 3}) AS band$b")
@@ -224,7 +227,7 @@ object Dedup {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, shingles, $b AS band_id, band$b AS bhash FROM bands")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
+    s"""d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
        | w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
        | sh AS (SELECT doc_id, ${TextFns.shinglesSql("words")} AS shingles FROM w),
        | nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
@@ -248,9 +251,91 @@ object Dedup {
        |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
        |  FROM cands c
        |  JOIN nz sa ON c.a_id = sa.doc_id
-       |  JOIN nz sb ON c.b_id = sb.doc_id)
-       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+       |  JOIN nz sb ON c.b_id = sb.doc_id)""".stripMargin
   }
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+
+  // --------------------------------------------------------- #29a Dedup clusters
+
+  /** Iteration cap for cluster label propagation. LSH-verified near-dup
+    * components are near-cliques (every pair that survives Jaccard ≥ 0.5
+    * verification tends to connect directly), so propagation converges in
+    * 2–4 rounds; the cap is a loud failure mode for pathological chains,
+    * not a silent truncation. */
+  private val MaxCcRounds = 25
+
+  /** Near-dup CLUSTER assignment: connected components over the MinHash
+    * verified-pair graph, labels = min doc_id reachable. This is the step a
+    * real dedup pipeline runs after pair generation — pairs alone don't say
+    * which documents to keep; components + a canonical min-id label do.
+    *
+    * Distributed shape: min-label propagation. Each round is one join +
+    * one groupBy over the PAIR GRAPH (edges ≪ corpus — candidate pairs,
+    * not documents), with the edge set persisted so the upstream
+    * shingle/LSH pipeline runs exactly once. Rounds = component diameter;
+    * near-dup components are dense so this is 2–4 in practice (an
+    * adversarial million-node chain would want star-contraction's
+    * O(log n) rounds instead — noted, not needed for near-dup graphs).
+    * The driver loop only orchestrates; all data work is distributed, and
+    * convergence is checked with a per-round aggregate, not a collect. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxCcRounds) {
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbl"))
+      val updated = labels
+        .join(nbr.select(col("src").as("node"), col("nbl")), Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
+          (col("nbl") < col("label")).as("__chg"))
+        .persist()
+      // One distributed action per round: materializes `updated` and counts
+      // label changes (no collect of the labels themselves).
+      converged = updated.agg(sum(when(col("__chg"), 1L).otherwise(0L))).head().getLong(0) == 0L
+      labels.unpersist()
+      labels = updated.drop("__chg")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"cluster propagation did not converge in $MaxCcRounds rounds")
+    // Land the (tiny) label table and drop the cached iteration state so
+    // bench reps don't accumulate persisted lineage.
+    val out = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(out))
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .write.mode("overwrite").parquet(out)
+    labels.unpersist()
+    edges.unpersist()
+    s.read.parquet(out)
+  }
+
+  /** Oracle: the same component semantics via transitive closure — min
+    * reachable id per node. Closure rows = Σ component², fine at oracle
+    * scales; the Spark side never materializes the closure. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       | pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       | nodes AS (SELECT a_id AS node FROM pairs UNION SELECT b_id FROM pairs),
+       | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |           UNION SELECT b_id, a_id FROM pairs),
+       | reach(node, r) AS (
+       |   SELECT node, node FROM nodes
+       |   UNION
+       |   SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------- #30 SimHash
 
@@ -491,6 +576,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _)
@@ -500,6 +586,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql

@@ -106,4 +106,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(total == nDocs)
     assert(s2.filter(col("n_distinct") > col("n_docs")).count() == 0)
   }
+
+  test("dedup_clusters: label propagation equals a reference union-find on the same pairs") {
+    // sf0.01 — sf0.001 has too few docs for minhash collisions to form
+    // interesting (multi-edge, transitive) components.
+    val d10 = "/root/testdata/sf0.01"
+    val pairs = graft.queries.Dedup.dedupMinhash(spark, d10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.queries.Dedup.dedupClusters(spark, d10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Reference: path-compressed union-find over the collected pairs.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    assert(labels.keySet == expected.keySet)
+    // Same components AND the same canonical representative (min id): the
+    // union above always parents toward the smaller root, so find() IS the
+    // component minimum.
+    assert(labels == expected, s"diff=${labels.toSet.diff(expected.toSet).take(5)}")
+    // Sanity: the graph actually exercises transitivity at this scale.
+    assert(pairs.nonEmpty && labels.values.toSet.size < labels.size)
+  }
 }
