@@ -596,6 +596,55 @@ object DvQueries {
     s.read.parquet(out)
   }
 
+  /** Stream-stream interval join, end-to-end: views joined to the same
+    * user's purchases within 10 minutes, both sides of the SAME replayed
+    * event stream. Watermarks on both sides plus the event-time range
+    * condition are what bound the join state at scale — Spark evicts a
+    * buffered view once the purchase-side watermark passes view_ts + 10 min
+    * (without them, state grows with the stream). Inner join in Append
+    * mode; on a finite AvailableNow replay every in-window pair lands in
+    * batch 0, so the result equals the batch interval self-join exactly. */
+  def streamEventsJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (_, staged, root) = stagedStream(s, dir, "events")
+    val ev = staged.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => staged
+    }
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val out = s"$root/out"
+    val q = views.join(
+        purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  val streamEventsJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin
+
   /** Streaming stateful dedup, end-to-end: distinct (user_id, event_type)
     * pairs from a file-replayed event stream via `dropDuplicates` — Spark
     * keeps one state row per key and Append mode emits exactly the
@@ -737,7 +786,8 @@ object DvQueries {
     "dv_stream_link" -> (streamLink _),
     "events_stream_hourly" -> (streamEventsHourly _),
     "events_stream_sessions" -> (streamEventsSessions _),
-    "events_stream_dedup" -> (streamEventsDedup _)
+    "events_stream_dedup" -> (streamEventsDedup _),
+    "events_stream_join" -> (streamEventsJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,6 +809,7 @@ object DvQueries {
     "dv_stream_link" -> streamLinkSql,
     "events_stream_hourly" -> streamEventsHourlySql,
     "events_stream_sessions" -> streamEventsSessionsSql,
-    "events_stream_dedup" -> streamEventsDedupSql
+    "events_stream_dedup" -> streamEventsDedupSql,
+    "events_stream_join" -> streamEventsJoinSql
   )
 }
