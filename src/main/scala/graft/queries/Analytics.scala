@@ -929,6 +929,65 @@ object Analytics {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Pivot matrix: daily event counts, one column per event type. The
+    * explicit value list matters at scale — `pivot("event_type")` without
+    * it runs an extra distinct-collect job over the fact to discover the
+    * columns; with it the plan is a single scan + one (day)-keyed agg with
+    * map-side combine, exactly a conditional-aggregation matrix. Missing
+    * (day, type) cells coalesce to 0 (Spark's pivot yields null there,
+    * the SQL twin's conditional count yields 0). */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.loadEvents(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val eventsPivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Time-series gap fill (resample): hourly event counts on a COMPLETE
+    * hour grid, absent hours zero-filled. ONE dataflow, ONE fact scan: each
+    * aggregated row emits itself plus zero-rows for the gap to its lead()
+    * neighbor (grid-and-join would re-plan — and re-scan — the hourly
+    * aggregate for the grid branch; column pruning makes the two branches
+    * non-identical so ReuseExchange can't dedup them). The lead window is a
+    * single partition of the AGGREGATE — timeline-sized (hours, not
+    * events), the same bounded-small shape as the quantile targets. */
+  def eventsResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = expr("interval 1 hour")
+    val w = Window.partitionBy().orderBy(col("hour"))
+    Tables.loadEvents(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("next", lead(col("hour"), 1).over(w))
+      .select(explode(concat(
+        array(struct(col("hour"), col("n"))),
+        when(col("next").isNull || col("next") <= col("hour") + hour, array().cast("array<struct<hour:timestamp,n:bigint>>"))
+          .otherwise(transform(
+            sequence(col("hour") + hour, col("next") - hour, hour),
+            h => struct(h.as("hour"), lit(0L).as("n"))))
+      )).as("r"))
+      .select(col("r.hour").as("hour"), col("r.n").as("n_events"))
+  }
+
+  val eventsResampleSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n FROM events GROUP BY 1),
+      | b AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM h),
+      | grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b)
+      |SELECT hour, COALESCE(n, 0) AS n_events
+      |FROM grid LEFT JOIN h USING (hour)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
@@ -960,7 +1019,9 @@ object Analytics {
     "q20_share_semi" -> (q20ShareSemi _),
     "q21_sole_supplier" -> (q21SoleSupplier _),
     "events_retention" -> (eventsRetention _),
-    "events_json" -> (eventsJson _)
+    "events_json" -> (eventsJson _),
+    "events_pivot" -> (eventsPivot _),
+    "events_resample" -> (eventsResample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -994,6 +1055,8 @@ object Analytics {
     "q20_share_semi" -> q20OracleSql,
     "q21_sole_supplier" -> q21OracleSql,
     "events_retention" -> eventsRetentionSql,
-    "events_json" -> eventsJsonSql
+    "events_json" -> eventsJsonSql,
+    "events_pivot" -> eventsPivotSql,
+    "events_resample" -> eventsResampleSql
   )
 }

@@ -217,4 +217,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(TextOps.textBlocklist(spark, dir))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("events_pivot: explicit value list — ONE scan, no distinct-discovery job") {
+    val p = plan(Analytics.eventsPivot(spark, dir))
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    // conditional-agg matrix keeps map-side combine
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Exchange"), p)
+  }
+
+  test("events_resample: single dataflow — ONE fact scan, no grid self-join") {
+    val p = plan(Analytics.eventsResample(spark, dir))
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_resample: complete grid, gaps zero-filled (sf0.001 has real gaps)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val r = Analytics.eventsResample(spark, dir).cache()
+    try {
+      val hours = r.select("hour").collect().map(_.getTimestamp(0).getTime).sorted
+      // contiguous hourly grid from min to max
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L }, "grid has holes")
+      val zeros = r.filter(col("n_events") === 0).count()
+      val nonzero = r.filter(col("n_events") > 0)
+        .agg(sum("n_events")).head().getLong(0)
+      val total = spark.read.parquet(s"$dir/events.parquet").count()
+      assert(nonzero == total, s"count conservation: $nonzero != $total")
+      assert(zeros > 0, "sf0.001 should have empty hours — zero-fill path unexercised")
+    } finally { r.unpersist(); () }
+  }
 }
