@@ -283,9 +283,14 @@ object Dedup {
     * convergence is checked with a per-round aggregate, not a collect. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(s, dir).select(col("a_id"), col("b_id"))
+    // Symmetrize in ONE pass: a union of (pairs, pairs.swapped) is two
+    // plan branches, and materializing the persist would run the whole
+    // upstream minhash pipeline twice (measured: ~2× the pair cost at sf1).
     val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
