@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Plain-SQL DV hash sites get the fused native expression automatically.
+    ext.injectOptimizerRule(_ => graft.plans.FuseDvHash)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
