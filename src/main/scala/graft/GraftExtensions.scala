@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"graft_norm requires exactly 1 argument, got ${children.size}")
         NormalizeText(children.head)
       }))
+    // graft_topk(v, k): bounded top-k aggregate; k must be a literal int.
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKDoubles].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(s"graft_topk requires (value, k), got ${children.size} arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException("graft_topk: k must be a literal int")
+        }
+        graft.functions.TopKDoubles(children.head, k)
+      }))
     // graft_dv_hash(algo, f1, f2, …): first arg is a literal algorithm name.
     ext.injectFunction((
       FunctionIdentifier("graft_dv_hash"),

@@ -29,6 +29,11 @@ object VectorFns {
   /** Cosine similarity — native fused single-pass expression. */
   def cosine(a: Column, b: Column): Column = cc(CosineSimilarity(ec(a), ec(b)))
 
+  /** Bounded top-k aggregate (k largest doubles per group, descending
+    * array) — native size-k heap, see [[TopKDoubles]]. */
+  def topK(v: Column, k: Int): Column =
+    cc(TopKDoubles(ec(v), k).toAggregateExpression())
+
   /** Dot product against a fixed plane (driver-side constant weights). */
   def dotConst(v: Column, weights: Array[Double]): Column =
     dot(v, array(weights.map(lit).toIndexedSeq: _*))

@@ -988,6 +988,22 @@ object Analytics {
       |SELECT hour, COALESCE(n, 0) AS n_events
       |FROM grid LEFT JOIN h USING (hour)""".stripMargin
 
+  /** Group top-k via the native bounded-heap aggregate ([[graft.functions
+    * .TopKDoubles]]): top-3 order totals per customer as a descending
+    * array. Against the window formulation (`topk_orders_per_cust`) this
+    * ships at most k doubles per (partition, group) through the shuffle and
+    * never sorts a group — the window sorts EVERY order of every customer.
+    * ObjectHashAggregate with partial merge (plan-guarded). */
+  def topkSpendPerCust(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.VectorFns.topK(col("o_totalprice"), 3).as("top_spend"))
+
+  val topkSpendSql: String =
+    """SELECT o_custkey,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_spend
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
@@ -1021,7 +1037,8 @@ object Analytics {
     "events_retention" -> (eventsRetention _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),
-    "events_resample" -> (eventsResample _)
+    "events_resample" -> (eventsResample _),
+    "topk_spend_per_cust" -> (topkSpendPerCust _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1057,6 +1074,7 @@ object Analytics {
     "events_retention" -> eventsRetentionSql,
     "events_json" -> eventsJsonSql,
     "events_pivot" -> eventsPivotSql,
-    "events_resample" -> eventsResampleSql
+    "events_resample" -> eventsResampleSql,
+    "topk_spend_per_cust" -> topkSpendSql
   )
 }

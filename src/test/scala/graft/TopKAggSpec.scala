@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** The native bounded-heap top-k aggregate ([[graft.functions.TopKDoubles]]):
+  * window-formulation equivalence, SQL registration, plan shape. */
+class TopKAggSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("graft_topk equals the sort-window top-k on every group") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val viaAgg = orders.groupBy(col("o_custkey"))
+      .agg(VectorFns.topK(col("o_totalprice"), 3).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice")), asc = false).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (k, v) => assert(v == viaWindow(k), s"cust $k") }
+    // groups smaller than k return all their values
+    assert(viaAgg.values.exists(_.size < 3) || viaAgg.values.forall(_.size == 3))
+  }
+
+  test("graft_topk is SQL-registered via GraftExtensions") {
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_tk")
+    val r = spark.sql(
+      "SELECT o_custkey, graft_topk(o_totalprice, 2) AS top FROM orders_tk GROUP BY 1")
+    val row = r.filter(col("o_custkey").isNotNull).limit(1).collect().head
+    val top = row.getSeq[Double](1)
+    assert(top.size <= 2 && top == top.sorted.reverse)
+  }
+
+  test("plan: ObjectHashAggregate with map-side partial (k doubles per partition-group)") {
+    val p = graft.queries.Analytics.topkSpendPerCust(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk"), p)
+    assert(p.indexOf("Exchange") < p.lastIndexOf("ObjectHashAggregate"), p)
+  }
+}
