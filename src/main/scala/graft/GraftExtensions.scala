@@ -38,18 +38,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(s"graft_norm requires exactly 1 argument, got ${children.size}")
         NormalizeText(children.head)
       }))
-    // graft_topk(v, k): bounded top-k aggregate; k must be a literal int.
+    // graft_topk(v, k): bounded top-k aggregate; k must be constant at
+    // analysis time — any foldable integral expression (3, 3L, 1+2, …).
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.TopKDoubles].getName, "graft_topk"),
       (children: Seq[Expression]) => {
         if (children.size != 2)
           throw new IllegalArgumentException(s"graft_topk requires (value, k), got ${children.size} arguments")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new IllegalArgumentException("graft_topk: k must be a literal int")
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val kExpr = children(1)
+        val integral = kExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
         }
-        graft.functions.TopKDoubles(children.head, k)
+        val k = kExpr match {
+          case e if e.foldable && integral =>
+            e.eval() match {
+              case null       => throw new IllegalArgumentException("graft_topk: k must not be null")
+              case b: Byte    => b.toLong
+              case s: Short   => s.toLong
+              case i: Int     => i.toLong
+              case l: Long    => l
+              case other      => throw new IllegalArgumentException(s"graft_topk: unexpected k value $other")
+            }
+          case _ => throw new IllegalArgumentException("graft_topk: k must be a foldable integer expression")
+        }
+        if (k < 1 || k > Int.MaxValue)
+          throw new IllegalArgumentException(s"graft_topk: k out of range: $k")
+        graft.functions.TopKDoubles(children.head, k.toInt)
       }))
     // graft_dv_hash(algo, f1, f2, …): first arg is a literal algorithm name.
     ext.injectFunction((

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Ties: values compare by value alone; equal doubles are interchangeable,
   * so the emitted (sorted) array is deterministic even under ties. NULL
-  * inputs are skipped, mirroring SQL aggregate semantics. */
+  * inputs are skipped, mirroring SQL aggregate semantics. Doubles compare
+  * in the java.lang.Double total order (NaN greatest), matching Spark's
+  * sort-desc ranking of NaN above all values. */
 case class TopKDoubles(
     child: Expression,
     k: Int,
@@ -45,7 +47,7 @@ case class TopKDoubles(
 
   private def offer(heap: java.util.PriorityQueue[java.lang.Double], d: Double): Unit = {
     if (heap.size < k) heap.add(d)
-    else if (heap.peek() < d) { heap.poll(); heap.add(d); () }
+    else if (java.lang.Double.compare(heap.peek(), d) < 0) { heap.poll(); heap.add(d); () }
   }
 
   override def update(
@@ -65,10 +67,17 @@ case class TopKDoubles(
   }
 
   override def eval(heap: java.util.PriorityQueue[java.lang.Double]): Any = {
+    // Non-destructive: window frames evaluate the same buffer once per
+    // output row (UnboundedWindowFunctionFrame), so copy the heap out
+    // instead of polling it empty (cf. Percentile/ApproximatePercentile).
     val arr = new Array[Double](heap.size)
-    var i = arr.length - 1
-    // poll ascending from the min-heap, fill back-to-front → descending
-    while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+    val it = heap.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr) // ascending, NaN last — total order
+    var lo = 0
+    var hi = arr.length - 1
+    while (lo < hi) { val t = arr(lo); arr(lo) = arr(hi); arr(hi) = t; lo += 1; hi -= 1 }
     new GenericArrayData(arr)
   }
 

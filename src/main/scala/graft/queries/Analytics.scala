@@ -924,7 +924,7 @@ object Analytics {
 
   val eventsJsonSql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(json_extract_string(props, '$.k')) AS n_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
@@ -989,20 +989,27 @@ object Analytics {
       |FROM grid LEFT JOIN h USING (hour)""".stripMargin
 
   /** Group top-k via the native bounded-heap aggregate ([[graft.functions
-    * .TopKDoubles]]): top-3 order totals per customer as a descending
-    * array. Against the window formulation (`topk_orders_per_cust`) this
-    * ships at most k doubles per (partition, group) through the shuffle and
-    * never sorts a group — the window sorts EVERY order of every customer.
-    * ObjectHashAggregate with partial merge (plan-guarded). */
+    * .TopKDoubles]]): top-3 order totals per customer. Against the window
+    * formulation (`topk_orders_per_cust`) this ships at most k doubles per
+    * (partition, group) through the shuffle and never sorts a group — the
+    * window sorts EVERY order of every customer. ObjectHashAggregate with
+    * partial merge (plan-guarded). The array result is posexploded to
+    * scalar `(o_custkey, rnk, spend)` rows — the verification harness
+    * canonicalizes via pandas sort, which cannot hash array cells; tied
+    * spends make row_number's tiebreak immaterial to the output multiset. */
   def topkSpendPerCust(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(graft.functions.VectorFns.topK(col("o_totalprice"), 3).as("top_spend"))
+      .select(col("o_custkey"), posexplode(col("top_spend")).as(Seq("pos", "spend")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"), col("spend"))
 
   val topkSpendSql: String =
-    """SELECT o_custkey,
-      |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_spend
-      |FROM orders GROUP BY 1""".stripMargin
+    """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, spend FROM (
+      |  SELECT o_custkey, o_totalprice AS spend,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),

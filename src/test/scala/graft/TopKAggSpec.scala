@@ -38,6 +38,41 @@ class TopKAggSpec extends SparkSpec {
     assert(top.size <= 2 && top == top.sorted.reverse)
   }
 
+  test("graft_topk over a window is non-destructive across output rows") {
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_tkw")
+    val rows = spark.sql(
+      """SELECT o_custkey, graft_topk(o_totalprice, 2) OVER (PARTITION BY o_custkey) AS top
+        |FROM orders_tkw""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    // every row of a partition must carry the same non-empty array — a
+    // destructive eval returns it only for the first row of each partition
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      val tops = rs.map(_.getSeq[Double](1)).distinct
+      assert(tops.size == 1 && tops.head.nonEmpty, s"cust $cust: ${tops.toSeq}")
+    }
+  }
+
+  test("NaN ranks above all doubles, matching Spark's sort-desc order") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", Double.NaN), ("a", 5.0), ("a", 3.0)).toDF("g", "v")
+    val top = df.groupBy($"g").agg(VectorFns.topK($"v", 2).as("top"))
+      .collect().head.getSeq[Double](1)
+    assert(top.head.isNaN, top)
+    assert(top(1) == 5.0, top)
+  }
+
+  test("k accepts any foldable integral expression (BIGINT literal, 1+2)") {
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_tkf")
+    val viaLong = spark.sql(
+      "SELECT graft_topk(o_totalprice, CAST(2 AS BIGINT)) AS top FROM orders_tkf")
+      .collect().head.getSeq[Double](0)
+    assert(viaLong.size <= 2)
+    val viaFold = spark.sql(
+      "SELECT graft_topk(o_totalprice, 1 + 2) AS top FROM orders_tkf")
+      .collect().head.getSeq[Double](0)
+    assert(viaFold.size <= 3)
+  }
+
   test("plan: ObjectHashAggregate with map-side partial (k doubles per partition-group)") {
     val p = graft.queries.Analytics.topkSpendPerCust(spark, dir)
       .queryExecution.executedPlan.toString

@@ -68,6 +68,34 @@ def main():
             print(f"COLS     {name}: spark={sorted(got_cols)} oracle={sorted(want_cols)}")
             failed.append(name)
             continue
+        # Mirror the driver's pandas canonicalization: value hashes are
+        # computed over pandas frames, so (a) a dtype drift (e.g. DuckDB
+        # HUGEINT -> float64 vs Spark int64) flips the hash even when
+        # fetchall() values compare equal, and (b) array/list cells crash
+        # the driver's sort_values with "unhashable type". Catch both here.
+        try:
+            gdf = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            wdf = con.sql(oracles[name]).df()
+            # The driver's value hash survives width drift (int32 vs int64 —
+            # r07 hashed those green) but not kind drift (int64 vs float64,
+            # the DuckDB HUGEINT trap). Compare numpy kind, not exact dtype.
+            kind = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                    "M": "datetime", "m": "timedelta"}
+            def kinds(df):
+                return {c.lower(): kind.get(t.kind, str(t)) for c, t in df.dtypes.items()}
+            gdt, wdt = kinds(gdf), kinds(wdf)
+            if gdt != wdt:
+                drift = {c: (gdt[c], wdt[c]) for c in gdt if gdt[c] != wdt.get(c)}
+                print(f"DTYPES   {name}: spark-vs-oracle pandas dtype drift {drift}")
+                failed.append(name)
+                continue
+            for df, side in ((gdf, "spark"), (wdf, "oracle")):
+                if len(df):
+                    df.sort_values(by=list(df.columns), inplace=False)
+        except Exception as e:
+            print(f"HARNESS  {name}: pandas canonicalization failed ({type(e).__name__}: {e})")
+            failed.append(name)
+            continue
         gk, wk = table_key(got_rows, got_cols), table_key(want_rows, want_cols)
         if len(gk) != len(wk):
             print(f"ROWS     {name}: spark={len(gk)} oracle={len(wk)}")
