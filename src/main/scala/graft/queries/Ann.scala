@@ -126,6 +126,11 @@ object Ann {
     * nprobe scans fewer, better buckets. Not SQL-expressible (iterative
     * float training) → rows-only driver check; AnnSpec gates recall@10
     * ≥ 0.9 vs knn_brute. */
+  /** nlist sizing shared by the trained-IVF variants — see the regime
+    * analysis on [[knnIvfKmeans]]. */
+  private def nlistOf(n: Long): Int =
+    math.max(4, math.min((4.0 * math.sqrt(n.toDouble)).toInt, (n / 25).toInt))
+
   def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
     // nlist ∝ √n, the standard IVF sizing: centroid assignment then costs
     // n·√n (a linear-factor-√n scan, amortizable by training on a sample)
@@ -137,11 +142,59 @@ object Ann {
     // past the n=10k crossover the √n term binds and per-query cost falls
     // as the corpus grows. min of the two regimes, floor 4. Recall@10 vs
     // brute is gated ≥ 0.9 in AnnSpec.
-    ivfKmeans(s, dir,
-      nlistOf = n => math.max(4, math.min(
-        (4.0 * math.sqrt(n.toDouble)).toInt,
-        (n / 25).toInt)),
-      nProbe = 3, iters = 10, replicate = 2)
+    ivfKmeans(s, dir, nlistOf, nProbe = 3, iters = 10, replicate = 2)
+
+  /** Where [[knnIvfKmeansSearch]] freezes its trained centroids; the DuckDB
+    * twin reads the same parquet, so the path is baked into the oracle SQL. */
+  private[graft] val frozenCentroidsPath: String = "/tmp/graft_knn_centroids"
+
+  /** The driver-checkable split of the trained-IVF operator: k-means
+    * training itself is iterative float work no SQL replays, but everything
+    * DOWNSTREAM of the centroids is the same deterministic assignment →
+    * nprobe → in-bucket top-k as `knn_ivf`. So: train, FREEZE the centroids
+    * to parquet, and search over the frozen set — the oracle replays the
+    * search from the identical parquet, hash-checking the whole kmeans-IVF
+    * search path (spill replication included). Training quality stays gated
+    * by AnnSpec's recall@10 ≥ 0.9 on `knn_ivf_kmeans`. */
+  def knnIvfKmeansSearch(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val k = nlistOf(v.count())
+    graft.functions.KMeans.toDf(
+        s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = 10))
+      .select(col("cent_id"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(frozenCentroidsPath)
+    val frozen = s.read.parquet(frozenCentroidsPath)
+    ivfSearch(v, frozen, nProbe = 3, replicate = 2)
+  }
+
+  /** DuckDB twin of the frozen-centroid IVF search: same parquet centroids,
+    * same rank-≤2 spill assignment, nprobe=3, pair-dedup, in-bucket top-k. */
+  val knnIvfKmeansSearchSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       | c AS (SELECT cent_id, CAST(cv AS DOUBLE[]) AS cv FROM '$frozenCentroidsPath/*.parquet'),
+       | assign AS (
+       |  SELECT vec_id, cent_id AS bucket FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY list_cosine_similarity(v.vd, c.cv) DESC, c.cent_id) AS rn
+       |    FROM v CROSS JOIN c) x WHERE rn <= 2),
+       | probes AS (
+       |  SELECT query_id, cent_id AS bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY list_cosine_similarity(q.vd, c.cv) DESC, c.cent_id) AS crk
+       |    FROM v q CROSS JOIN c WHERE q.vec_id % 50 = 0) x WHERE crk <= 3),
+       | met AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.query_id),
+       | scored AS (
+       |  SELECT m.query_id, m.vec_id,
+       |         row_number() OVER (PARTITION BY m.query_id
+       |                            ORDER BY list_cosine_similarity(q.vd, n.vd) DESC, m.vec_id) AS rk
+       |  FROM met m JOIN v q ON q.vec_id = m.query_id JOIN v n ON n.vec_id = m.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk
+       |FROM scored WHERE rk <= $K""".stripMargin
 
   private[graft] def ivfKmeans(s: SparkSession, dir: String,
       nlistOf: Long => Int, nProbe: Int, iters: Int, replicate: Int = 1): DataFrame = {
@@ -184,11 +237,13 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
-    "knn_ivf_kmeans" -> (knnIvfKmeans _)
+    "knn_ivf_kmeans" -> (knnIvfKmeans _),
+    "knn_ivf_kmeans_search" -> (knnIvfKmeansSearch _)
   )
 
   val oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
-    "knn_ivf" -> knnIvfSql
+    "knn_ivf" -> knnIvfSql,
+    "knn_ivf_kmeans_search" -> knnIvfKmeansSearchSql
   )
 }

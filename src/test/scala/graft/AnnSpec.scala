@@ -39,4 +39,18 @@ class AnnSpec extends SparkSpec {
     // output shape matches the exact search
     assert(approx.size == brute.size)
   }
+
+  test("knn_ivf_kmeans_search: freezes centroids and searches them consistently") {
+    val out = Ann.knnIvfKmeansSearch(spark, dir)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Long)].collect()
+    // frozen centroid parquet exists and is non-empty
+    val frozen = spark.read.parquet(Ann.frozenCentroidsPath)
+    assert(frozen.count() >= 4)
+    assert(frozen.columns.toSet == Set("cent_id", "cv"))
+    // every query returns a dense 1..k rank prefix with distinct neighbors
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"query $q")
+      assert(rows.map(_._2).distinct.length == rows.length, s"query $q")
+    }
+  }
 }
