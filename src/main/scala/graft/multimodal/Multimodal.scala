@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * Media (image/audio/video) are opaque `binary` columns with typed
   * metadata, processed in bounded per-partition batches. Image decode is
   * REAL — JDK `javax.imageio` JPEG/PNG → luminance thumbnail
-  * ([[decodeImage]]). Audio/video codecs are NOT available in this
-  * environment, so their decode step is a clearly-marked deterministic STUB
-  * ([[stubDecode]]) — the Spark-side contract (schema, partitioning, batch
-  * shape, iterator-to-iterator processing) is real and tested, and a
-  * production deployment swaps the stub for a JNI/FFmpeg/libvips call
-  * without touching the plumbing.
+  * ([[decodeImage]]). Audio decode is REAL — JDK `javax.sound.sampled`
+  * WAV/PCM → sample rate, duration, amplitude features ([[decodeAudio]]).
+  * Video demuxing is NOT available in this environment, so its decode step
+  * is a clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
+  * contract (schema, partitioning, batch shape, iterator-to-iterator
+  * processing) is real and tested, and a production deployment swaps the
+  * stub for a JNI/FFmpeg call without touching the plumbing.
   */
 object Multimodal {
 
@@ -64,6 +65,76 @@ object Multimodal {
   /** Feature dimension for decoded images: an 8×8 luminance thumbnail. */
   val ImageFeatureDim: Int = 64
 
+  /** Decoded audio: container metadata plus an exact integer amplitude sum
+    * (SUM |sample| over the 16-bit PCM samples — cross-engine checkable)
+    * and a per-temporal-bin mean-|amplitude| feature in [0,1]. */
+  final case class AudioDecoded(
+      sampleRate: Int, nSamples: Long, durationMs: Long, ampSum: Long, feature: Array[Float])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM — no
+    * external codec libraries): parses the RIFF/WAVE container, converts to
+    * 16-bit signed little-endian PCM if needed, and reduces the sample
+    * stream to [[AudioDecoded]]. Returns None when the bytes are not a
+    * parseable audio stream, so callers can fall back to [[stubDecode]].
+    * Runs entirely inside an executor task. */
+  def decodeAudio(payload: Array[Byte], dim: Int = 8): Option[AudioDecoded] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
+        val st =
+          if (src.matches(pcm)) in
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+        val bytes = st.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val feature = new Array[Float](dim)
+          val counts = new Array[Int](dim)
+          var ampSum = 0L
+          var i = 0
+          while (i < n) {
+            val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            val a = math.abs(s)
+            val bin = (i.toLong * dim / n).toInt
+            feature(bin) += a / 32768.0f
+            counts(bin) += 1
+            ampSum += a
+            i += 1
+          }
+          var b = 0
+          while (b < dim) {
+            if (counts(b) > 0) feature(b) /= counts(b)
+            b += 1
+          }
+          val rate = src.getSampleRate.toInt
+          val frames = n.toLong / src.getChannels
+          Some(AudioDecoded(rate, frames, frames * 1000L / rate, ampSum, feature))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Minimal RIFF/WAVE writer: 16-bit signed little-endian mono PCM. Used
+    * by tests and the deterministic media synthesis in [[graft.queries
+    * .MediaOps]] — the payloads it produces exercise the REAL
+    * [[decodeAudio]] path. */
+  def wavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** STUB decode: a real implementation decodes the payload with a codec and
     * emits a feature vector (resized pixels, mel spectrogram, sampled
     * frames). Here: a deterministic 8-dim fingerprint of the bytes, so the
@@ -93,13 +164,18 @@ object Multimodal {
           // One "codec call" per batch in a real deployment.
           batch.iterator.map { case (id, modality, payload) =>
             val bytes = Option(payload).getOrElse(Array.emptyByteArray)
-            // Images get a REAL decode (javax.imageio → 8×8 luminance
-            // thumbnail); audio/video (no codecs in the JDK) and
-            // undecodable image bytes fall back to the stub fingerprint.
+            // Images and WAV audio get a REAL decode (javax.imageio → 8×8
+            // luminance thumbnail; javax.sound.sampled → temporal
+            // mean-|amplitude| bins); video (no JDK demuxer) and
+            // undecodable bytes fall back to the stub fingerprint.
             val feature = modality match {
               case "image" => decodeImage(bytes) match {
                 case Some((w, h, grid)) => resizeStub(grid, w, h, 8, 8)
                 case None               => stubDecode(bytes)
+              }
+              case "audio" => decodeAudio(bytes) match {
+                case Some(d) => d.feature
+                case None    => stubDecode(bytes)
               }
               case _ => stubDecode(bytes)
             }

@@ -127,13 +127,56 @@ object MediaOps {
        |       CAST(least(strt + w, len) - strt AS INTEGER) AS n_bytes
        |FROM g""".stripMargin
 
+  private val AudioRate = 8000
+
+  final case class AudioMeta(
+      media_id: Long, modality: String, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, amp_sum: Long)
+
+  /** #38 (audio decode): REAL `javax.sound.sampled` WAV decode under the
+    * DuckDB oracle. Payloads are genuine RIFF/WAVE PCM16 files synthesized
+    * deterministically from `documents` (doc_id-seeded sample formula, n =
+    * 1 + doc_id % 400 samples at 8 kHz) — the decoder must parse the
+    * container for real to recover sample rate, frame count, duration and
+    * the exact integer SUM |sample|, while the oracle replays those same
+    * values as pure arithmetic on the formula, never touching bytes. A
+    * header-parse or sample-extraction bug hash-mismatches. Decode runs
+    * iterator-to-iterator per partition; nothing shuffles before the agg. */
+  def mediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (1 + id % 400).toInt
+          val samples = Array.tabulate[Short](n)(i => (((id * 31 + i.toLong * 7) % 251) - 125).toShort)
+          val wav = Multimodal.wavPcm16(samples, AudioRate)
+          val d = Multimodal.decodeAudio(wav).getOrElse(
+            sys.error(s"media_audio: WAV for doc $id failed to decode"))
+          AudioMeta(id, "audio/wav", d.sampleRate.toLong, d.nSamples, d.durationMs, d.ampSum)
+        }
+      }
+      .toDF()
+  }
+
+  val mediaAudioSql: String =
+    s"""WITH d AS (SELECT doc_id, 1 + doc_id % 400 AS n FROM documents),
+       | s AS (SELECT doc_id, n, i FROM d, unnest(range(0, n)) AS t(i))
+       |SELECT doc_id AS media_id, 'audio/wav' AS modality,
+       |       CAST($AudioRate AS BIGINT) AS sample_rate,
+       |       CAST(n AS BIGINT) AS n_samples,
+       |       CAST(n * 1000 // $AudioRate AS BIGINT) AS duration_ms,
+       |       CAST(SUM(ABS((doc_id * 31 + i * 7) % 251 - 125)) AS BIGINT) AS amp_sum
+       |FROM s GROUP BY doc_id, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_dedup" -> (mediaDedup _),
-    "media_frames" -> (mediaFrames _)
+    "media_frames" -> (mediaFrames _),
+    "media_audio" -> (mediaAudio _)
   )
 
   val oracles: Map[String, String] = Map(
     "media_dedup" -> mediaDedupSql,
-    "media_frames" -> mediaFramesSql
+    "media_frames" -> mediaFramesSql,
+    "media_audio" -> mediaAudioSql
   )
 }

@@ -63,6 +63,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array[Byte](0x42, 0x42)).isEmpty, "garbage bytes -> None, not a throw")
   }
 
+  test("decodeAudio REALLY parses RIFF/WAVE PCM16 via javax.sound.sampled") {
+    val rate = 8000
+    val samples = Array.tabulate[Short](400)(i => (((i * 7) % 251) - 125).toShort)
+    val wav = Multimodal.wavPcm16(samples, rate)
+    // genuine container: magic bytes sniff as wav
+    assert(wav.take(4).sameElements("RIFF".getBytes("US-ASCII")))
+    val d = Multimodal.decodeAudio(wav).get
+    assert(d.sampleRate == rate)
+    assert(d.nSamples == 400L)
+    assert(d.durationMs == 400L * 1000 / rate)
+    assert(d.ampSum == samples.map(s => math.abs(s.toLong)).sum)
+    assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
+    // non-audio bytes are rejected, not misparsed
+    assert(Multimodal.decodeAudio(Array.fill[Byte](64)(42)).isEmpty)
+  }
+
+  test("extractFeatures routes audio through the real WAV decoder") {
+    val rate = 16000
+    val loud = Multimodal.wavPcm16(Array.fill[Short](100)(20000), rate)
+    val quiet = Multimodal.wavPcm16(Array.fill[Short](100)(100), rate)
+    val media = Seq(
+      (1L, "audio", loud, (0, 0, rate, 0L)),
+      (2L, "audio", quiet, (0, 0, rate, 0L))
+    ).toDF("media_id", "modality", "payload", "m")
+      .select(col("media_id"), col("modality"), col("payload"))
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    // decoded amplitude separates loud from quiet — the stub fingerprint
+    // (byte-sum over a fixed dim) would not track PCM amplitude this way
+    assert(feats(0).feature.forall(f => math.abs(f - 20000f / 32768f) < 1e-3))
+    assert(feats(1).feature.forall(f => math.abs(f - 100f / 32768f) < 1e-4))
+  }
+
   test("resizeStub: deterministic nearest-neighbor shape change") {
     val grid = Array.tabulate(16)(_.toFloat) // 4x4
     val out = Multimodal.resizeStub(grid, 4, 4, 2, 2)
