@@ -296,16 +296,22 @@ object Analytics {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY 1, 2, 3""".stripMargin
 
-  /** q13: customer order-count distribution — left join preserving 0-order
-    * customers, double aggregation. */
-  def q13Custdist(s: SparkSession, dir: String): DataFrame =
+  /** q13: customer order-count distribution — 0-order customers preserved.
+    * Orders are pre-aggregated by `o_custkey` BEFORE the customer join
+    * (map-side combine collapses the fact to ≤|customer| partials), so the
+    * left join probes a customer-sized build instead of streaming every
+    * order row through it; absent keys coalesce to 0, keeping the left-join
+    * semantics. At 100 TB this removes the orders-sized join input — the
+    * only fact-sized exchange left is the combine-shrunk count shuffle. */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders").select("o_custkey")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("o_cnt"))
     t(s, dir, "customer").select("c_custkey")
-      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-        col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("o_cnt"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
+  }
 
   val q13OracleSql: String =
     """SELECT c_count, COUNT(*) AS custdist FROM (
@@ -736,8 +742,9 @@ object Analytics {
     li.join(part, col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).cast("double").as("profit"))
   }
 
@@ -797,18 +804,24 @@ object Analytics {
       |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM per)""".stripMargin
 
   /** q16 shape: distinct-supplier count per part attribute group, with an
-    * exclusion list anti-joined out. The ONLY fact-scale shuffle is the
-    * (partkey, suppkey) pair dedup on a 2-column projection; the exclusion
-    * list (negative-balance suppliers) is tiny → broadcast anti join; part
-    * attributes join onto the already-deduped pair set. */
+    * exclusion list anti-joined out. The (partkey, suppkey) pair dedup the
+    * textbook plan starts with is REDUNDANT under a distinct count — a
+    * suppkey recurring across parts of the same (brand, size) collapses in
+    * the group's distinct anyway — so this runs ONE dedup exchange, not
+    * two: anti join (broadcast exclusion list) → part join (size filter
+    * prunes the fact first) → distinct on (brand, size, suppkey) with
+    * map-side partial dedup → tiny keyed count. countDistinct would plan
+    * the same triple-dedup and then re-shuffle; the explicit distinct
+    * keeps the rewrite visible and the exchange count at its floor. */
   def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
     val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(t(s, dir, "part").filter(col("p_size") <= 15).select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_size"), col("l_suppkey")).distinct()
       .groupBy(col("p_brand"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .agg(count(lit(1)).as("supplier_cnt"))
   }
 
   val q16OracleSql: String =

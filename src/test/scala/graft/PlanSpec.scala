@@ -175,13 +175,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("q16: exclusion list is a broadcast anti join over the deduped pair set") {
+  test("q16: broadcast anti join; ONE dedup exchange (no redundant pair-distinct)") {
     val p = plan(Analytics.q16SupplierCnt(spark, dir))
     assert(p.contains("LeftAnti"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    // the pair dedup reads only the two key columns from lineitem
+    // exactly two shuffles: the (brand,size,suppkey) dedup and the final
+    // keyed count — the old pair-distinct third exchange must not return
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // the fact scan reads only the two key columns from lineitem
     val f = formatted(Analytics.q16SupplierCnt(spark, dir))
     assert(f.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), f)
+  }
+
+  test("q13: orders pre-aggregate sits BELOW the left join (customer-sized probe)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = Analytics.q13Custdist(spark, dir).queryExecution.optimizedPlan
+    val join = lp.collectFirst { case j: Join => j }.get
+    assert(join.right.collectFirst { case a: Aggregate => a }.isDefined,
+      s"orders side must be pre-aggregated by o_custkey before the join:\n$lp")
   }
 
   test("q20: two-level aggregate shares ONE lineitem scan; dominant set semi-joins") {
