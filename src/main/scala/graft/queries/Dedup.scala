@@ -263,9 +263,18 @@ object Dedup {
   /** Iteration cap for cluster label propagation. LSH-verified near-dup
     * components are near-cliques (every pair that survives Jaccard ≥ 0.5
     * verification tends to connect directly), so propagation converges in
-    * 2–4 rounds; the cap is a loud failure mode for pathological chains,
-    * not a silent truncation. */
+    * 2–4 rounds; with pointer-jumping engaged after [[JumpAfter]] rounds
+    * the worst case is 8 + O(log n), so the cap is a loud failure mode for
+    * a genuine bug, not a reachable limit. */
   private val MaxCcRounds = 25
+
+  /** After this many plain min-propagation rounds, each subsequent round
+    * also pointer-jumps (label ← label(label), Shiloach–Vishkin-style
+    * shortcutting): the label-reference distance then halves per round, so
+    * an adversarial chain graph converges in O(log diameter) rounds where
+    * plain propagation needs O(diameter). Near-clique LSH components never
+    * reach this; the jump join is over the node-sized label table only. */
+  private val JumpAfter = 8
 
   /** Near-dup CLUSTER assignment: connected components over the MinHash
     * verified-pair graph, labels = min doc_id reachable. This is the step a
@@ -292,6 +301,31 @@ object Dedup {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    val labels = connectedComponents(edges)
+    // Land the (tiny) label table and drop the cached iteration state so
+    // bench reps don't accumulate persisted lineage.
+    val out = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(out))
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .write.mode("overwrite").parquet(out)
+    labels.unpersist()
+    edges.unpersist()
+    s.read.parquet(out)
+  }
+
+  /** Connected components over a SYMMETRIC (src, dst) edge set → (node,
+    * label) with label = min node id of the component. Min-label
+    * propagation (one edge join + one aggregate per round); from round
+    * [[JumpAfter]] each round also pointer-jumps label ← label(label), so
+    * pathological chain graphs converge in 8 + O(log diameter) rounds.
+    * Invariant maintained throughout: every label value is the id of a
+    * node in the same component that is itself present in the label table
+    * (labels start as own ids, propagate as neighbor mins, and jump to
+    * another node's current label), so the jump self-join is total and the
+    * fixpoint argument — no change ⟹ labels uniform per component ⟹
+    * uniform value is the component min — is unchanged. Returns a PERSISTED
+    * DataFrame; caller unpersists. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
@@ -302,11 +336,22 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbl"))
-      val updated = labels
+      val prop = labels
         .join(nbr.select(col("src").as("node"), col("nbl")), Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
           (col("nbl") < col("label")).as("__chg"))
-        .persist()
+      val updated = (if (iter < JumpAfter) prop
+      else {
+        // The self-join references `prop` twice — without truncating
+        // lineage the logical plan doubles per jump round and analysis
+        // time explodes exponentially. localCheckpoint materializes the
+        // round and cuts the plan back to a leaf.
+        val p = prop.localCheckpoint(true)
+        val byNode = p.select(col("label").as("ll"), col("node").as("label"))
+        p.join(byNode, Seq("label"))
+          .select(col("node"), col("ll").as("label"),
+            (col("__chg") || col("ll") < col("label")).as("__chg"))
+      }).persist()
       // One distributed action per round: materializes `updated` and counts
       // label changes (no collect of the labels themselves).
       converged = updated.agg(sum(when(col("__chg"), 1L).otherwise(0L))).head().getLong(0) == 0L
@@ -316,15 +361,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"cluster propagation did not converge in $MaxCcRounds rounds")
-    // Land the (tiny) label table and drop the cached iteration state so
-    // bench reps don't accumulate persisted lineage.
-    val out = java.nio.file.Files.createTempDirectory("graft_cc_").toString
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(out))
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .write.mode("overwrite").parquet(out)
-    labels.unpersist()
-    edges.unpersist()
-    s.read.parquet(out)
+    labels
   }
 
   /** Oracle: the same component semantics via transitive closure — min

@@ -134,4 +134,19 @@ class CorpusOpsSpec extends SparkSpec {
     // Sanity: the graph actually exercises transitivity at this scale.
     assert(pairs.nonEmpty && labels.values.toSet.size < labels.size)
   }
+
+  test("connectedComponents: adversarial chain converges via pointer-jumping") {
+    import spark.implicits._
+    // A 60-node path has diameter 59: plain min-label propagation needs 59
+    // rounds and would blow the 25-round cap — the jump rounds engaged
+    // after round 8 must close it in 8 + O(log n).
+    val n = 60
+    val chain = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val labels = graft.queries.Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(got.keySet == (0L until n).toSet)
+    assert(got.values.forall(_ == 0L), s"all labels must be the component min: $got")
+  }
 }
