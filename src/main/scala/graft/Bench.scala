@@ -89,10 +89,21 @@ object Bench {
       val sorted = times.sorted
       name -> sorted(sorted.length / 2)
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // 3-decimal (1 ms) timings: raw doubles pushed the one-line JSON past
+    // the ~2 KB stdout tail the driver archives, decapitating the line and
+    // leaving the round artifact unparseable (BENCH_r07 lesson). 1 ms is
+    // below this machine's run-to-run noise floor anyway.
+    def ms3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => jstr(k) + ":" + ms3(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+    // Durable sidecar copy — survives any stdout truncation.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Exception => () }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
