@@ -1024,7 +1024,41 @@ object Analytics {
       |  FROM orders)
       |WHERE rnk <= 3""".stripMargin
 
+  /** Batch interval join (the batch twin of `events_stream_join`): pair
+    * every error event with every purchase event within ±60 s, no equi key
+    * — the theta-join shape Spark would otherwise plan as a cartesian
+    * product with a post-filter. Scale path: BUCKETED band join — probe
+    * rows key to their 1-minute bucket, build rows replicate to bucket
+    * −1/0/+1 (a pair within the band meets in exactly one bucket, so no
+    * dedup), then an equi join on the bucket + the exact residual filter.
+    * Shuffle volume is 1×+3× the two filtered inputs instead of |e|·|p|;
+    * buckets are time-uniform so there is no join skew, and the band width
+    * is a constant the operator takes as a parameter. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 60000L // band: ±60 s in ms
+    val ev = Tables.loadEvents(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("ts").as("e_ts"), unix_millis(col("ts")).as("e_ms"))
+      .withColumn("bucket", floor(col("e_ms") / W))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(unix_millis(col("ts")).as("p_ms"))
+      .select(col("p_ms"),
+        explode(sequence(floor(col("p_ms") / W) - 1, floor(col("p_ms") / W) + 1)).as("bucket"))
+    errs.join(purch, "bucket")
+      .filter(abs(col("e_ms") - col("p_ms")) <= W)
+      .groupBy(date_trunc("hour", col("e_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val eventsIntervalJoinSql: String =
+    """WITH e AS (SELECT ts, epoch_ms(ts) AS e_ms FROM events WHERE event_type = 'error'),
+      | p AS (SELECT epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'purchase')
+      |SELECT date_trunc('hour', e.ts) AS hour, COUNT(*) AS n_pairs
+      |FROM e JOIN p ON abs(e.e_ms - p.p_ms) <= 60000
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_join" -> (eventsIntervalJoin _),
     "q1_pricing" -> (q1Pricing _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q19_disjunct" -> (q19Disjunct _),
@@ -1095,6 +1129,7 @@ object Analytics {
     "events_json" -> eventsJsonSql,
     "events_pivot" -> eventsPivotSql,
     "events_resample" -> eventsResampleSql,
-    "topk_spend_per_cust" -> topkSpendSql
+    "topk_spend_per_cust" -> topkSpendSql,
+    "events_interval_join" -> eventsIntervalJoinSql
   )
 }

@@ -553,7 +553,69 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------------------------------- #37j PII scrub
+
+  /** Java∩RE2 common-dialect patterns (no lookaround, no \b-adjacent
+    * ambiguity, greedy quantifiers behave identically) so the Spark and
+    * DuckDB replace/count results are byte-identical. */
+  private[graft] val UrlRe = "https?://[^\\s]+"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII/URL scrubbing — the redaction pass every training-data pipeline
+    * runs before packing. Counts each category on the ORIGINAL text, then
+    * redacts sequentially url → email → phone (order fixed so both engines
+    * agree on overlaps); the oracle compares the md5 of the scrubbed text,
+    * so a single divergent replacement anywhere hash-mismatches. Documents
+    * are augmented with deterministic doc_id-seeded PII (the corpus itself
+    * is synthetic and PII-free) — the augmentation is the same string
+    * expression in both engines. Single narrow projection: scan-bound,
+    * no shuffle, codegen'd regexp natives — the 100 TB shape. */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or +1 (555) 010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" via https://ex.example/d/"), col("doc_id"), lit(" ."))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docs(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(scrubbed).as("scrub_md5"),
+        length(scrubbed).cast("long").as("scrub_len"))
+  }
+
+  val textScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 010-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' via https://ex.example/d/' || doc_id || ' .' AS t
+       |  FROM documents),
+       | scrub AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$UrlRe', '<URL>', 'g'),
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS st
+       |  FROM aug)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(st) AS scrub_md5,
+       |  CAST(length(st) AS BIGINT) AS scrub_len
+       |FROM scrub""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
     "text_blocklist" -> (textBlocklist _),
     "text_repetition" -> (textRepetition _),
     "corpus_sample" -> (corpusSample _),
@@ -570,6 +632,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_scrub" -> textScrubSql,
     "text_blocklist" -> textBlocklistSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_sample" -> corpusSampleSql,

@@ -187,6 +187,14 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), f)
   }
 
+  test("events_interval_join: bucketed band join — equi join, NO cartesian/nested-loop") {
+    val p = plan(Analytics.eventsIntervalJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the band meets on the minute-bucket equi key
+    assert(p.contains("bucket"), p)
+  }
+
   test("q13: orders pre-aggregate sits BELOW the left join (customer-sized probe)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val lp = Analytics.q13Custdist(spark, dir).queryExecution.optimizedPlan
