@@ -326,8 +326,14 @@ object Dedup {
     * uniform value is the component min — is unchanged. Returns a PERSISTED
     * DataFrame; caller unpersists. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed labels at distance 1 — min(node, min neighbor) — in the SAME
+    // aggregate that discovers the node set: one groupBy replaces the
+    // distinct + a whole propagation round (the loop then starts from the
+    // state plain propagation reaches after round 1). For the 2-4-round
+    // near-clique LSH graphs this is a ~25% round cut.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
       .persist()
     var converged = false
     var iter = 0
