@@ -104,4 +104,38 @@ class PropertySpec extends SparkSpec {
       assert(viaScan == viaRegex, s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
   }
+
+  test("TopKDoubles buffer algebra: any update/merge/serialize order equals sorted take-k") {
+    // Drive the aggregate's buffer contract directly (no Spark job): split a
+    // random value list into random partitions, update each partial through
+    // a serialize/deserialize round trip, merge in partition order, then
+    // compare eval with the reference sort-desc-take-k. Also re-eval the
+    // SAME buffer to pin non-destructiveness (the window path).
+    val values = Gen.listOf(Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.oneOf(Double.NaN, 0.0, -0.0, 1e308, -1e308)))
+    val cases = for {
+      vs <- values; k <- Gen.choose(1, 5); parts <- Gen.choose(1, 4)
+    } yield (vs, k, parts)
+    forAllGen(cases, n = 300) { case (vs, k, parts) =>
+      val agg = graft.functions.TopKDoubles(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0), k)
+      val buffers = Array.fill(parts)(agg.createAggregationBuffer())
+      vs.zipWithIndex.foreach { case (v, i) => // direct offer via merge of a singleton
+        val single = agg.createAggregationBuffer()
+        single.add(v)
+        agg.merge(buffers(i % parts), agg.deserialize(agg.serialize(single)))
+      }
+      val merged = buffers.reduce((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+      def evalArr = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toDoubleArray.toSeq
+      // reference: Spark's sort-desc order = java.lang.Double total order desc
+      val expect = vs.sortWith((a, b) => java.lang.Double.compare(a, b) > 0).take(k)
+      def key(s: Seq[Double]) = s.map(java.lang.Double.doubleToLongBits)
+      assert(key(evalArr) == key(expect), s"k=$k parts=$parts vs=$vs")
+      assert(key(evalArr) == key(evalArr), "eval must be repeatable (non-destructive)")
+      assert(merged.size <= k, "buffer must stay bounded by k")
+    }
+  }
 }
