@@ -99,8 +99,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
-    // Durable sidecar copy — survives any stdout truncation.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
+    // Durable sidecar copy — survives any stdout truncation. Default path
+    // is keyed by the data dir so back-to-back sf0.1/sf1 runs don't
+    // clobber each other's recovery copy.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case _: Exception => () }
     println(line)

@@ -43,9 +43,18 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     }
     def q(s: String): String = graft.core.Json.str(s)
+    // oracleSql is static, but the frozen-centroid oracle must read the
+    // parquet THIS corpus's Spark run wrote — substitute the corpus-keyed
+    // path at dump time so a bench on another scale factor can't clobber
+    // the file between this dump and the DuckDB compare.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = v.replace(
+          graft.queries.Ann.CentroidPathToken,
+          graft.queries.Ann.frozenCentroidsPath(sfDir))
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -144,26 +144,45 @@ object Ann {
     // brute is gated ≥ 0.9 in AnnSpec.
     ivfKmeans(s, dir, nlistOf, nProbe = 3, iters = 10, replicate = 2)
 
-  /** Where [[knnIvfKmeansSearch]] freezes its trained centroids; the DuckDB
-    * twin reads the same parquet, so the path is baked into the oracle SQL. */
-  private[graft] val frozenCentroidsPath: String = "/tmp/graft_knn_centroids"
+  /** Placeholder the static [[knnIvfKmeansSearchSql]] carries for the
+    * frozen-centroid parquet location. `oracleSql` is a static map but the
+    * centroids are per-CORPUS state: a bench run on another scale factor
+    * must not clobber the file a pending verification will read. Verify
+    * substitutes this token with [[frozenCentroidsPath]](sfDir) when it
+    * dumps oracle_sql.json, so the DuckDB replay always reads the parquet
+    * the same-corpus Spark run wrote. */
+  private[graft] val CentroidPathToken = "__GRAFT_CENTROIDS__"
+
+  /** Corpus-keyed location for the frozen trained centroids. */
+  private[graft] def frozenCentroidsPath(dir: String): String =
+    "/tmp/graft_knn_centroids_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Trains centroids for the trained-IVF variants (count → nlist → k-means
+    * → (cent_id, cv) projection) — single definition shared by the
+    * recall-gated and the oracle-checked variants so they cannot diverge. */
+  private def trainCentroids(s: SparkSession, v: DataFrame, iters: Int,
+      nlist: Long => Int = nlistOf): DataFrame = {
+    val k = nlist(v.count())
+    graft.functions.KMeans.toDf(
+        s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = iters))
+      .select(col("cent_id"), col("cv"))
+  }
 
   /** The driver-checkable split of the trained-IVF operator: k-means
     * training itself is iterative float work no SQL replays, but everything
     * DOWNSTREAM of the centroids is the same deterministic assignment →
     * nprobe → in-bucket top-k as `knn_ivf`. So: train, FREEZE the centroids
-    * to parquet, and search over the frozen set — the oracle replays the
-    * search from the identical parquet, hash-checking the whole kmeans-IVF
-    * search path (spill replication included). Training quality stays gated
-    * by AnnSpec's recall@10 ≥ 0.9 on `knn_ivf_kmeans`. */
+    * to parquet (corpus-keyed path), and search over the frozen set — the
+    * oracle replays the search from the identical parquet, hash-checking
+    * the whole kmeans-IVF search path (spill replication included).
+    * Training quality stays gated by AnnSpec's recall@10 ≥ 0.9 on
+    * `knn_ivf_kmeans`. */
   def knnIvfKmeansSearch(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val k = nlistOf(v.count())
-    graft.functions.KMeans.toDf(
-        s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = 10))
-      .select(col("cent_id"), col("cv"))
-      .coalesce(1).write.mode("overwrite").parquet(frozenCentroidsPath)
-    val frozen = s.read.parquet(frozenCentroidsPath)
+    val path = frozenCentroidsPath(dir)
+    trainCentroids(s, v, iters = 10)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val frozen = s.read.parquet(path)
     ivfSearch(v, frozen, nProbe = 3, replicate = 2)
   }
 
@@ -171,7 +190,7 @@ object Ann {
     * same rank-≤2 spill assignment, nprobe=3, pair-dedup, in-bucket top-k. */
   val knnIvfKmeansSearchSql: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
-       | c AS (SELECT cent_id, CAST(cv AS DOUBLE[]) AS cv FROM '$frozenCentroidsPath/*.parquet'),
+       | c AS (SELECT cent_id, CAST(cv AS DOUBLE[]) AS cv FROM '$CentroidPathToken/*.parquet'),
        | assign AS (
        |  SELECT vec_id, cent_id AS bucket FROM (
        |    SELECT v.vec_id, c.cent_id,
@@ -199,11 +218,7 @@ object Ann {
   private[graft] def ivfKmeans(s: SparkSession, dir: String,
       nlistOf: Long => Int, nProbe: Int, iters: Int, replicate: Int = 1): DataFrame = {
     val v = vecs(s, dir)
-    val k = nlistOf(v.count())
-    val cents = graft.functions.KMeans.toDf(
-      s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = iters))
-      .select(col("cent_id"), col("cv"))
-    ivfSearch(v, cents, nProbe, replicate)
+    ivfSearch(v, trainCentroids(s, v, iters, nlistOf), nProbe, replicate)
   }
 
   /** DuckDB twin of the deterministic IVF pipeline (same centroid sample,

@@ -331,10 +331,15 @@ object Dedup {
     // distinct + a whole propagation round (the loop then starts from the
     // state plain propagation reaches after round 1). For the 2-4-round
     // near-clique LSH graphs this is a ~25% round cut.
-    var labels = edges.groupBy(col("src"))
+    // `cached` always holds the EXACT handle that was persisted — Dataset
+    // .unpersist only releases a plan that sameResult-matches the cache
+    // entry, so unpersisting the drop("__chg") projection would be a
+    // silent no-op and every round's buffer would leak for the session.
+    var cached = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("node"), col("label"))
       .persist()
+    var labels: DataFrame = cached
     var converged = false
     var iter = 0
     while (!converged && iter < MaxCcRounds) {
@@ -361,13 +366,20 @@ object Dedup {
       // One distributed action per round: materializes `updated` and counts
       // label changes (no collect of the labels themselves).
       converged = updated.agg(sum(when(col("__chg"), 1L).otherwise(0L))).head().getLong(0) == 0L
-      labels.unpersist()
+      cached.unpersist()
+      cached = updated
       labels = updated.drop("__chg")
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(s"cluster propagation did not converge in $MaxCcRounds rounds")
-    labels
+    // Hand the caller a handle whose unpersist actually matches its cache
+    // entry: persist the final projection, materialize it, then release
+    // the last round's 3-column buffer.
+    val out = labels.persist()
+    out.count()
+    cached.unpersist()
+    out
   }
 
   /** Oracle: the same component semantics via transitive closure — min

@@ -557,8 +557,10 @@ object TextOps {
 
   /** Java∩RE2 common-dialect patterns (no lookaround, no \b-adjacent
     * ambiguity, greedy quantifiers behave identically) so the Spark and
-    * DuckDB replace/count results are byte-identical. */
-  private[graft] val UrlRe = "https?://[^\\s]+"
+    * DuckDB replace/count results are byte-identical. The URL terminator is
+    * an EXPLICIT whitespace class: Java's `\s` includes \x0B, RE2's does
+    * not, so `[^\s]+` would diverge on vertical-tab input. */
+  private[graft] val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 

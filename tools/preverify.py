@@ -57,7 +57,11 @@ def main():
         got_cols = [c.lower() for c in got.columns]
         got_rows = got.fetchall()
         try:
-            want = con.sql(oracles[name])
+            # Materialize the oracle ONCE — relations are lazy, and the
+            # dtype check below also needs the result; re-running the
+            # heavy recursive/cross-join oracles would double wall time.
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _want AS {oracles[name]}")
+            want = con.sql("SELECT * FROM _want")
             want_cols = [c.lower() for c in want.columns]
             want_rows = want.fetchall()
         except Exception as e:
@@ -75,7 +79,7 @@ def main():
         # the driver's sort_values with "unhashable type". Catch both here.
         try:
             gdf = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            wdf = con.sql(oracles[name]).df()
+            wdf = con.sql("SELECT * FROM _want").df()
             # The driver's value hash survives width drift (int32 vs int64 —
             # r07 hashed those green) but not kind drift (int64 vs float64,
             # the DuckDB HUGEINT trap). Compare numpy kind, not exact dtype.
@@ -89,11 +93,22 @@ def main():
                 print(f"DTYPES   {name}: spark-vs-oracle pandas dtype drift {drift}")
                 failed.append(name)
                 continue
-            for df, side in ((gdf, "spark"), (wdf, "oracle")):
-                if len(df):
-                    df.sort_values(by=list(df.columns), inplace=False)
         except Exception as e:
-            print(f"HARNESS  {name}: pandas canonicalization failed ({type(e).__name__}: {e})")
+            print(f"HARNESS  {name}: pandas dtype check failed ({type(e).__name__}: {e})")
+            failed.append(name)
+            continue
+        # Mirror the driver's sort_values canonicalization per side so an
+        # unhashable (array-typed) cell is caught and attributed.
+        bad_side = None
+        for df, side in ((gdf, "spark"), (wdf, "oracle")):
+            try:
+                if len(df):
+                    df.sort_values(by=list(df.columns))
+            except Exception as e:
+                print(f"HARNESS  {name}: {side} result not canonicalizable "
+                      f"({type(e).__name__}: {e})")
+                bad_side = side
+        if bad_side:
             failed.append(name)
             continue
         gk, wk = table_key(got_rows, got_cols), table_key(want_rows, want_cols)
