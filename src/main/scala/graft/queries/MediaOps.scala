@@ -144,7 +144,14 @@ object MediaOps {
     * iterator-to-iterator per partition; nothing shuffles before the agg. */
   def mediaAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The decode is CPU-bound while the input is a single narrow column —
+    // a small parquet can arrive as ONE scan split and serialize the whole
+    // codec pass onto one core. Redistribute the 8-byte ids across the
+    // cluster before the heavy per-row work (the shuffle is id-sized,
+    // the speedup is core-count-sized; at 100 TB the scan is already
+    // many-split and this repartition is a near-no-op pass-through).
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val n = (1 + id % 400).toInt
