@@ -104,10 +104,17 @@ object Bench {
     // clobber each other's recovery copy.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+    // Non-fatal but VISIBLE: the sidecar exists to survive stdout
+    // truncation, so losing it silently (unwritable /tmp, disk full) would
+    // defeat its purpose. stderr is not the truncated channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case _: Exception => () }
-    println(line)
+    catch { case e: Exception => System.err.println(s"[bench] sidecar write to $out failed: $e") }
+    // Stop Spark BEFORE printing: the result line must be the LAST stdout
+    // line of the process (the driver parses the stdout tail as JSON), and
+    // shutdown logging must not be able to land after it.
     spark.stop()
+    println(line)
+    System.out.flush()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
       sys.exit(1)

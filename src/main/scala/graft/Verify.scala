@@ -16,6 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Frozen-centroid parquet goes INSIDE this run's outDir: a bench run on
+    // the same corpus (which uses the shared /tmp cache path) can then never
+    // replace the file between this dump and the driver's DuckDB compare,
+    // and retraining under a different thread count can't shift the floats
+    // the oracle reads. The oracle_sql substitution below resolves against
+    // the same property, so SQL and data always agree.
+    System.setProperty("graft.centroids.dir", outDir)
     var errors = Map.empty[String, String]
     // Optional comma-separated filter for focused local iteration (the
     // driver never sets it); oracle_sql.json is filtered to match so

@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * REAL — JDK `javax.imageio` JPEG/PNG → luminance thumbnail
   * ([[decodeImage]]). Audio decode is REAL — JDK `javax.sound.sampled`
   * WAV/PCM → sample rate, duration, amplitude features ([[decodeAudio]]).
-  * Video demuxing is NOT available in this environment, so its decode step
-  * is a clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
-  * contract (schema, partitioning, batch shape, iterator-to-iterator
-  * processing) is real and tested, and a production deployment swaps the
-  * stub for a JNI/FFmpeg call without touching the plumbing.
+  * Video decode is REAL for MJPEG-in-AVI — a RIFF container walk
+  * ([[decodeVideo]]) that demuxes `00dc` frame chunks and decodes each as
+  * a JPEG; no JDK demuxer exists for inter-frame codecs (mp4/h264 etc.),
+  * so THOSE containers fall back to the clearly-marked deterministic STUB
+  * ([[stubDecode]]) — the Spark-side contract (schema, partitioning, batch
+  * shape, iterator-to-iterator processing) is identical either way, and a
+  * production deployment swaps the stub for a JNI/FFmpeg call without
+  * touching the plumbing.
   */
 object Multimodal {
 
@@ -65,9 +68,17 @@ object Multimodal {
   /** Feature dimension for decoded images: an 8×8 luminance thumbnail. */
   val ImageFeatureDim: Int = 64
 
-  /** Decoded audio: container metadata plus an exact integer amplitude sum
-    * (SUM |sample| over the 16-bit PCM samples — cross-engine checkable)
-    * and a per-temporal-bin mean-|amplitude| feature in [0,1]. */
+  /** Decoded audio. Channel semantics, fixed by definition (not by the
+    * mono-only test data): `nSamples` and `durationMs` are FRAME-denominated
+    * (one frame = one sample instant across all channels — what "duration"
+    * means regardless of channel count), while `ampSum` and `feature` are
+    * CHANNEL-POOLED — SUM |sample| / mean-|amplitude| over the full
+    * interleaved 16-bit PCM stream, i.e. every channel's samples contribute
+    * equally. For mono the two denominations coincide; for stereo,
+    * ampSum covers 2·nSamples values (an exact integer either way —
+    * cross-engine checkable). Pooling (vs per-channel vectors) is the
+    * loudness statistic a corpus-quality filter wants and keeps the schema
+    * channel-count-independent. */
   final case class AudioDecoded(
       sampleRate: Int, nSamples: Long, durationMs: Long, ampSum: Long, feature: Array[Float])
 
@@ -151,18 +162,22 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Minimal RIFF/WAVE writer: 16-bit signed little-endian mono PCM. Used
+  /** Minimal RIFF/WAVE writer: 16-bit signed little-endian PCM, `channels`
+    * interleaved (samples.length must be a multiple of `channels`). Used
     * by tests and the deterministic media synthesis in [[graft.queries
     * .MediaOps]] — the payloads it produces exercise the REAL
-    * [[decodeAudio]] path. */
-  def wavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    * [[decodeAudio]] path, including the stereo frame/pooled-amplitude
+    * semantics documented on [[AudioDecoded]]. */
+  def wavPcm16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
     val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
-    bb.putShort(1); bb.putShort(1) // PCM, mono
-    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
-    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.putShort(1); bb.putShort(channels.toShort) // PCM
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2 * channels) // byte rate
+    bb.putShort((2 * channels).toShort); bb.putShort(16) // block align, bits/sample
     bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
     samples.foreach(bb.putShort)
     bb.array()

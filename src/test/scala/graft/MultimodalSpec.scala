@@ -79,6 +79,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(Array.fill[Byte](64)(42)).isEmpty)
   }
 
+  test("decodeAudio stereo: frame-denominated nSamples, channel-pooled ampSum") {
+    val rate = 8000
+    // 200 frames x 2 channels, L and R deliberately different amplitudes
+    // so pooled-vs-per-channel confusion would change ampSum.
+    val interleaved = Array.tabulate[Short](400)(i =>
+      if (i % 2 == 0) 1000.toShort else (-250).toShort)
+    val d = Multimodal.decodeAudio(Multimodal.wavPcm16(interleaved, rate, channels = 2)).get
+    assert(d.sampleRate == rate)
+    assert(d.nSamples == 200L, "frames, not interleaved samples")
+    assert(d.durationMs == 200L * 1000 / rate)
+    assert(d.ampSum == 200L * 1000 + 200L * 250, "both channels pooled")
+    assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
+  }
+
   test("extractFeatures routes audio through the real WAV decoder") {
     val rate = 16000
     val loud = Multimodal.wavPcm16(Array.fill[Short](100)(20000), rate)

@@ -176,12 +176,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q16: broadcast anti join; ONE dedup exchange (no redundant pair-distinct)") {
-    val p = plan(Analytics.q16SupplierCnt(spark, dir))
+    val q = Analytics.q16SupplierCnt(spark, dir)
+    val p = plan(q)
     assert(p.contains("LeftAnti"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     // exactly two shuffles: the (brand,size,suppkey) dedup and the final
-    // keyed count — the old pair-distinct third exchange must not return
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // keyed count — the old pair-distinct third exchange must not return.
+    // Counted as actual ShuffleExchangeLike nodes (not plan-string
+    // substrings), so a Spark/AQE formatting change can't skew the guard;
+    // AdaptiveSparkPlanExec hides its inner plan from collect, so recurse.
+    def shuffles(sp: org.apache.spark.sql.execution.SparkPlan): Int = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    assert(shuffles(q.queryExecution.executedPlan) == 2, p)
     // the fact scan reads only the two key columns from lineitem
     val f = formatted(Analytics.q16SupplierCnt(spark, dir))
     assert(f.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), f)
