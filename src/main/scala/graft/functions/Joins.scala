@@ -33,4 +33,50 @@ object Joins {
       .join(saltedBuild, keys :+ "__salt")
       .drop("__salt")
   }
+
+  /** Hot-KEY salted inner equi-join: [[saltedJoin]] replicates the whole
+    * build side ×factor unconditionally; this variant pays replication ONLY
+    * for keys that are actually hot. Probe-side per-key counts (a tiny
+    * map-side-combined aggregate — one output row per distinct key) pick
+    * the keys above `hotThreshold`; that set is broadcast (bounded by
+    * |probe|/hotThreshold rows). Hot-key probe rows spread over `factor`
+    * sub-buckets via `saltExpr` (any deterministic per-row expression, e.g.
+    * an event timestamp), hot-key build rows replicate to all `factor`
+    * sub-buckets; cold keys keep salt 0 on both sides — so every matching
+    * pair still meets exactly once and the RESULT is bit-identical to the
+    * plain join, only the partitioning changes.
+    *
+    * Cost/trade: the count pass re-scans the (narrow, filter-pruned) probe
+    * columns once — the insurance premium against a bursty key turning
+    * into one |probe_k|·|build_k| task at 100 TB. AQE's skew-join split
+    * covers the sort-merge case at runtime; this keeps the worst case
+    * bounded when both sides of one key burst together (incident storms),
+    * when AQE is off, or when the join degenerates to a broadcast. */
+  def hotSaltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      saltExpr: Column, hotThreshold: Long, factor: Int): DataFrame =
+    hotSaltedJoinKeepSalt(probe, build, keys, saltExpr, hotThreshold, factor).drop("__salt")
+
+  /** [[hotSaltedJoin]] keeping the internal `__salt` column — exposed so
+    * tests can assert the bounded-group property directly (rows per
+    * (keys, salt) group IS the per-task input under hash partitioning). */
+  private[graft] def hotSaltedJoinKeepSalt(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      saltExpr: Column, hotThreshold: Long, factor: Int): DataFrame = {
+    require(factor > 1, s"salt factor must be > 1, got $factor")
+    require(hotThreshold > 0, s"hot threshold must be > 0, got $hotThreshold")
+    val keyCols = keys.map(col)
+    val hot = probe.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotThreshold)
+      .select(keyCols :+ lit(true).as("__hot"): _*)
+    val saltedProbe = probe.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, pmod(saltExpr, lit(factor.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val saltedBuild = build.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        explode(when(col("__hot").isNotNull, sequence(lit(0), lit(factor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    saltedProbe.join(saltedBuild, keys :+ "__salt")
+  }
 }

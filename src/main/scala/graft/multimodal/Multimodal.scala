@@ -42,8 +42,16 @@ object Multimodal {
     * row-major luminance grid in [0,1]). Returns None when the bytes are
     * not a decodable image, so callers can fall back to [[stubDecode]].
     * Runs entirely inside an executor task — no driver involvement. */
+  /** ImageIO's default ImageInputStream cache is DISK-backed: every
+    * read/write call materializes a temp file, which at a 100k-frame MJPEG
+    * pass means 100k file creations of pure overhead (the sources here are
+    * in-memory byte arrays — a disk cache buys nothing). Switched to the
+    * memory cache ONCE, lazily, before the first codec call. */
+  private lazy val imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
@@ -183,6 +191,128 @@ object Multimodal {
     bb.array()
   }
 
+  /** One demuxed-and-decoded video frame: JPEG-decoded dimensions plus the
+    * mean of the frame's luminance grid (in [0,1]). */
+  final case class VideoFrame(width: Int, height: Int, meanLum: Float)
+
+  /** Decoded video: container-header metadata (avih width/height/frame
+    * timing) plus the per-frame decode results from the `movi` stream.
+    * `nFrames` counts the ACTUAL demuxed frame chunks, not the header's
+    * claim — the two are cross-checked by tests and the `media_video`
+    * oracle. `durationMs` = nFrames · microSecPerFrame / 1000. */
+  final case class VideoDecoded(
+      width: Int, height: Int, microSecPerFrame: Long, headerFrames: Long,
+      nFrames: Int, durationMs: Long, frames: IndexedSeq[VideoFrame])
+
+  /** REAL video decode for MJPEG-in-AVI via a RIFF container walk + JDK
+    * `javax.imageio` per frame — no external codec libraries: verifies the
+    * `RIFF..AVI ` signature, walks the chunk tree (LIST recursion, even-byte
+    * chunk padding per the RIFF spec), reads frame geometry/timing from the
+    * `avih` main header, demuxes the compressed video chunks (`##dc`/`##db`)
+    * out of the `movi` list, and JPEG-decodes each frame through
+    * [[decodeImage]]. Returns None for non-AVI bytes or an AVI whose frames
+    * don't decode, so callers can fall back to [[stubDecode]]. MJPEG is the
+    * one video codec a JDK-only runtime can fully decode (every frame is a
+    * standalone JPEG); inter-frame codecs need a native decoder and keep the
+    * stub path. Runs entirely inside an executor task. */
+  def decodeVideo(payload: Array[Byte]): Option[VideoDecoded] =
+    try {
+      if (payload.length < 12) return None
+      def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var microSec = 0L; var headerFrames = 0L; var avihW = 0; var avihH = 0
+      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val isFrame = java.util.regex.Pattern.compile("\\d\\d(dc|db)")
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val fc = fourcc(off)
+          val sz = u32(off + 4).toInt
+          val dataStart = off + 8
+          val dataEnd = math.min(dataStart + math.max(sz, 0), end)
+          if (fc == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
+          else if (fc == "avih" && sz >= 40) {
+            microSec = u32(dataStart)
+            headerFrames = u32(dataStart + 16)
+            avihW = u32(dataStart + 32).toInt
+            avihH = u32(dataStart + 36).toInt
+          } else if (isFrame.matcher(fc).matches())
+            frameChunks += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+          off = dataStart + math.max(sz, 0) + (sz & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
+      if (microSec <= 0 && frameChunks.isEmpty) None
+      else {
+        val decoded = frameChunks.map(decodeImage)
+        if (decoded.exists(_.isEmpty)) None // a demuxed chunk that isn't a JPEG: not MJPEG
+        else {
+          val frames = decoded.map { d =>
+            val (w, h, grid) = d.get
+            VideoFrame(w, h, if (grid.isEmpty) 0f else grid.sum / grid.length)
+          }.toIndexedSeq
+          val durMs = if (microSec > 0) frames.length * microSec / 1000 else 0L
+          Some(VideoDecoded(avihW, avihH, microSec, headerFrames, frames.length, durMs, frames))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Minimal AVI/MJPEG writer (the video analogue of [[wavPcm16]]):
+    * RIFF(AVI ) { LIST(hdrl){ avih, LIST(strl){ strh 'vids'/'MJPG', strf
+    * BITMAPINFOHEADER } }, LIST(movi){ 00dc <jpeg> ... } }. Used by tests
+    * and the deterministic media synthesis in [[graft.queries.MediaOps]] —
+    * payloads it produces exercise the REAL [[decodeVideo]] path. */
+  def aviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Long = 100000L): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(bo).putInt((v & 0xffffffffL).toInt).array()
+    def u16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).order(bo).putShort(v.toShort).array()
+    def fcc(s: String): Array[Byte] = { require(s.length == 4); s.getBytes("US-ASCII") }
+    def chunk(fc: String, data: Array[Byte]): Array[Byte] =
+      fcc(fc) ++ u32(data.length.toLong) ++ data ++
+        (if ((data.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(tpe: String, data: Array[Byte]): Array[Byte] = chunk("LIST", fcc(tpe) ++ data)
+    val fps = math.max(1L, 1000000L / math.max(1L, microSecPerFrame))
+    val avih = Array.concat(
+      u32(microSecPerFrame), u32(0), u32(0), u32(0),
+      u32(frames.length.toLong), u32(0), u32(1), u32(0),
+      u32(width.toLong), u32(height.toLong), u32(0), u32(0), u32(0), u32(0))
+    val strh = Array.concat(
+      fcc("vids"), fcc("MJPG"), u32(0), u16(0), u16(0), u32(0),
+      u32(1), u32(fps), u32(0), u32(frames.length.toLong), u32(0), u32(0), u32(0),
+      u16(0), u16(0), u16(width), u16(height))
+    val strf = Array.concat(
+      u32(40), u32(width.toLong), u32(height.toLong), u16(1), u16(24), fcc("MJPG"),
+      u32(width.toLong * height * 3), u32(0), u32(0), u32(0), u32(0))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ u32(body.length.toLong) ++ body
+  }
+
+  /** Deterministic solid-gray JPEG (level 0-255) — the per-frame payload
+    * for synthesized MJPEG test videos. Dimensions survive JPEG exactly;
+    * the gray level survives approximately (DC quantization), so tests
+    * compare luminance with tolerance while the oracle checks geometry. */
+  def jpegGray(gray: Int, w: Int, h: Int): Array[Byte] = {
+    imageIoMemCache
+    // sRGB RGB image, NOT TYPE_BYTE_GRAY: the JDK's byte-gray type lives in
+    // a LINEAR gray color space, so encoders apply a linear->sRGB transfer
+    // that turns gray 40 into ~110. An sRGB fill round-trips to ~the same
+    // value (within JPEG DC quantization).
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray & 0xff) * 0x010101
+    img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpg", bos)) sys.error("no JPEG writer registered")
+    bos.toByteArray
+  }
+
   /** STUB decode: a real implementation decodes the payload with a codec and
     * emits a feature vector (resized pixels, mel spectrogram, sampled
     * frames). Here: a deterministic 8-dim fingerprint of the bytes, so the
@@ -212,9 +342,10 @@ object Multimodal {
           // One "codec call" per batch in a real deployment.
           batch.iterator.map { case (id, modality, payload) =>
             val bytes = Option(payload).getOrElse(Array.emptyByteArray)
-            // Images and WAV audio get a REAL decode (javax.imageio → 8×8
-            // luminance thumbnail; javax.sound.sampled → temporal
-            // mean-|amplitude| bins); video (no JDK demuxer) and
+            // Images, WAV audio and MJPEG/AVI video get a REAL decode
+            // (javax.imageio → 8×8 luminance thumbnail; javax.sound.sampled
+            // → temporal mean-|amplitude| bins; RIFF walk + per-frame JPEG
+            // → temporal mean-luminance bins); other containers and
             // undecodable bytes fall back to the stub fingerprint.
             val feature = modality match {
               case "image" => decodeImage(bytes) match {
@@ -224,6 +355,25 @@ object Multimodal {
               case "audio" => decodeAudio(bytes) match {
                 case Some(d) => d.feature
                 case None    => stubDecode(bytes)
+              }
+              case "video" => decodeVideo(bytes) match {
+                case Some(v) if v.frames.nonEmpty =>
+                  // Temporal binning mirrors the audio feature: frame i of
+                  // n lands in bin i*dim/n; each bin holds its mean lum.
+                  val dim = 8
+                  val out = new Array[Float](dim)
+                  val counts = new Array[Int](dim)
+                  var i = 0
+                  while (i < v.frames.length) {
+                    val bin = (i.toLong * dim / v.frames.length).toInt
+                    out(bin) += v.frames(i).meanLum
+                    counts(bin) += 1
+                    i += 1
+                  }
+                  var b = 0
+                  while (b < dim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+                  out
+                case _ => stubDecode(bytes)
               }
               case _ => stubDecode(bytes)
             }

@@ -1024,6 +1024,14 @@ object Analytics {
       |  FROM orders)
       |WHERE rnk <= 3""".stripMargin
 
+  /** Probe rows per 1-minute bucket above which the interval join salts
+    * the bucket into sub-buckets. Sized so one task's share of a bucket's
+    * pair product stays bounded: real event streams BURST (an incident
+    * storm packs one bucket), and without the salt that bucket's
+    * |errors|·|purchases| product lands on a single task at 100 TB. */
+  private[graft] val IntervalHotThreshold = 2000000L
+  private[graft] val IntervalSaltFactor = 16
+
   /** Batch interval join (the batch twin of `events_stream_join`): pair
     * every error event with every purchase event within ±60 s, no equi key
     * — the theta-join shape Spark would otherwise plan as a cartesian
@@ -1031,10 +1039,20 @@ object Analytics {
     * rows key to their 1-minute bucket, build rows replicate to bucket
     * −1/0/+1 (a pair within the band meets in exactly one bucket, so no
     * dedup), then an equi join on the bucket + the exact residual filter.
-    * Shuffle volume is 1×+3× the two filtered inputs instead of |e|·|p|;
-    * buckets are time-uniform so there is no join skew, and the band width
-    * is a constant the operator takes as a parameter. */
-  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    * Shuffle volume is 1×+3× the two filtered inputs instead of |e|·|p|,
+    * and the band width is a constant the operator takes as a parameter.
+    * Buckets are NOT assumed time-uniform: a bucket whose probe count
+    * exceeds [[IntervalHotThreshold]] is salted into
+    * [[IntervalSaltFactor]] sub-buckets ([[graft.functions.Joins
+    * .hotSaltedJoin]], salt = e_ms), so a bursty minute's pair product
+    * spreads over `factor` tasks instead of one. Results are
+    * partition-invariant — the JoinsSpec bursty-distribution spec pins
+    * both the equivalence and the bounded-group property. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    eventsIntervalJoinImpl(s, dir, IntervalHotThreshold, IntervalSaltFactor)
+
+  private[graft] def eventsIntervalJoinImpl(
+      s: SparkSession, dir: String, hotThreshold: Long, factor: Int): DataFrame = {
     val W = 60000L // band: ±60 s in ms
     val ev = Tables.loadEvents(s, dir)
     val errs = ev.filter(col("event_type") === "error")
@@ -1044,7 +1062,8 @@ object Analytics {
       .select(unix_millis(col("ts")).as("p_ms"))
       .select(col("p_ms"),
         explode(sequence(floor(col("p_ms") / W) - 1, floor(col("p_ms") / W) + 1)).as("bucket"))
-    errs.join(purch, "bucket")
+    graft.functions.Joins.hotSaltedJoin(
+        errs, purch, Seq("bucket"), col("e_ms"), hotThreshold, factor)
       .filter(abs(col("e_ms") - col("p_ms")) <= W)
       .groupBy(date_trunc("hour", col("e_ts")).as("hour"))
       .agg(count(lit(1)).as("n_pairs"))

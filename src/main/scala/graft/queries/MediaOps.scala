@@ -175,15 +175,75 @@ object MediaOps {
        |       CAST(SUM(ABS((doc_id * 31 + i * 7) % 251 - 125)) AS BIGINT) AS amp_sum
        |FROM s GROUP BY doc_id, n""".stripMargin
 
+  private val VideoUsPerFrame = 100000L // 10 fps
+
+  final case class VideoMeta(
+      media_id: Long, frame_idx: Long, width: Long, height: Long,
+      frame_w: Long, frame_h: Long, n_frames: Long, duration_ms: Long)
+
+  /** #38 (video decode): REAL MJPEG-in-AVI decode under the DuckDB oracle —
+    * the video twin of [[mediaAudio]]. Payloads are genuine AVI containers
+    * synthesized deterministically from `documents` (doc_id-seeded: 1 +
+    * doc_id % 8 frames of a solid-gray JPEG at 8+4·(doc_id%3) ×
+    * 8+2·(doc_id%5) pixels, 10 fps), so the decoder must walk the RIFF
+    * chunk tree, read avih geometry/timing, demux the movi `00dc` chunks
+    * AND decode each JPEG for real to recover per-frame dimensions — while
+    * the oracle replays the same values as pure arithmetic on the formula,
+    * never touching bytes. A container-walk, header-parse or frame-decode
+    * bug hash-mismatches (frame_w/frame_h come from the DECODED JPEG, the
+    * header pair from avih — they only agree when both paths work). JPEG
+    * luminance round-trip is quantization-lossy, so pixel VALUES are
+    * spec-gated with tolerance (MultimodalSpec), not oracled. Decode runs
+    * iterator-to-iterator per partition after an id-only repartition —
+    * same CPU-bound-codec posture as media_audio. */
+  def mediaVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = (1 + id % 8).toInt
+          val w = (8 + (id % 3) * 4).toInt
+          val h = (8 + (id % 5) * 2).toInt
+          val jpegs = (0 until n).map(i => Multimodal.jpegGray(((id * 31 + i * 7) % 251).toInt, w, h))
+          val avi = Multimodal.aviMjpeg(jpegs, w, h, VideoUsPerFrame)
+          val d = Multimodal.decodeVideo(avi).getOrElse(
+            sys.error(s"media_video: AVI for doc $id failed to decode"))
+          if (d.headerFrames != d.nFrames)
+            sys.error(s"media_video: header/movi frame count mismatch for doc $id")
+          d.frames.zipWithIndex.map { case (f, idx) =>
+            VideoMeta(id, idx.toLong, d.width.toLong, d.height.toLong,
+              f.width.toLong, f.height.toLong, d.nFrames.toLong, d.durationMs)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val mediaVideoSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 1 + doc_id % 8 AS n,
+       |         8 + (doc_id % 3) * 4 AS w, 8 + (doc_id % 5) * 2 AS h
+       |  FROM documents),
+       | f AS (SELECT doc_id, n, w, h, i FROM d, unnest(range(0, n)) AS t(i))
+       |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       |       CAST(n AS BIGINT) AS n_frames,
+       |       CAST(n * ${VideoUsPerFrame / 1000} AS BIGINT) AS duration_ms
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_dedup" -> (mediaDedup _),
     "media_frames" -> (mediaFrames _),
-    "media_audio" -> (mediaAudio _)
+    "media_audio" -> (mediaAudio _),
+    "media_video" -> (mediaVideo _)
   )
 
   val oracles: Map[String, String] = Map(
     "media_dedup" -> mediaDedupSql,
     "media_frames" -> mediaFramesSql,
-    "media_audio" -> mediaAudioSql
+    "media_audio" -> mediaAudioSql,
+    "media_video" -> mediaVideoSql
   )
 }

@@ -93,6 +93,58 @@ class MultimodalSpec extends SparkSpec {
     assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
   }
 
+  test("decodeVideo REALLY demuxes MJPEG-in-AVI: RIFF walk + per-frame JPEG decode") {
+    val grays = Seq(40, 200, 120)
+    val frames = grays.map(g => Multimodal.jpegGray(g, 12, 10))
+    val avi = Multimodal.aviMjpeg(frames, 12, 10, microSecPerFrame = 100000L)
+    // genuine container: magic bytes
+    assert(avi.take(4).sameElements("RIFF".getBytes("US-ASCII")))
+    assert(avi.slice(8, 12).sameElements("AVI ".getBytes("US-ASCII")))
+    val d = Multimodal.decodeVideo(avi).get
+    assert(d.width == 12 && d.height == 10, "avih geometry")
+    assert(d.nFrames == 3 && d.headerFrames == 3L, "movi chunk count == header claim")
+    assert(d.microSecPerFrame == 100000L)
+    assert(d.durationMs == 300L)
+    assert(d.frames.forall(f => f.width == 12 && f.height == 10), "decoded JPEG dims")
+    // JPEG DC quantization shifts solid grays slightly — compare with
+    // tolerance; the ORDERING dark < mid < bright must survive exactly.
+    val lums = d.frames.map(_.meanLum)
+    grays.zip(lums).foreach { case (g, l) => assert(math.abs(l - g / 255f) < 0.04f, s"$g -> $l") }
+    assert(lums(0) < lums(2) && lums(2) < lums(1))
+    // an odd-length frame chunk exercises the RIFF even-padding rule: the
+    // chunk after it only parses if both writer and walker pad correctly.
+    // (A trailing byte after the JPEG EOI marker is ignored by the decoder.)
+    val oddJpeg = if (frames.head.length % 2 == 0) frames.head :+ 0x00.toByte else frames.head
+    assert(oddJpeg.length % 2 == 1)
+    val odd = Multimodal.decodeVideo(Multimodal.aviMjpeg(Seq(oddJpeg, frames(1)), 12, 10)).get
+    assert(odd.nFrames == 2 && odd.frames.forall(f => f.width == 12 && f.height == 10))
+    // non-AVI bytes are rejected, not misparsed
+    assert(Multimodal.decodeVideo(Array.fill[Byte](64)(42)).isEmpty)
+    // an mp4-ftyp payload (no JDK demuxer) is rejected -> stub fallback path
+    assert(Multimodal.decodeVideo(Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes ++ Array.fill[Byte](32)(7)).isEmpty)
+    // an AVI whose frame chunks aren't JPEGs is not silently half-decoded
+    val badFrames = Multimodal.aviMjpeg(Seq(Array.fill[Byte](16)(1)), 12, 10)
+    assert(Multimodal.decodeVideo(badFrames).isEmpty)
+  }
+
+  test("extractFeatures routes video through the real MJPEG/AVI decoder") {
+    // 8 frames -> every one of the 8 temporal bins is populated
+    val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)
+    val bright = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(240, 8, 8)), 8, 8)
+    val media = Seq(
+      (1L, "video", dark),
+      (2L, "video", bright)
+    ).toDF("media_id", "modality", "payload")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    // real decode: temporal mean-luminance bins — bright video strictly
+    // above dark in every bin, values in [0,1] (the stub fingerprint is
+    // byte-sum-scaled and would NOT preserve this containment).
+    assert(feats.forall(_.feature.length == 8))
+    feats.foreach(f => assert(f.feature.forall(v => v >= 0f && v <= 1f), f.feature.mkString(",")))
+    (0 until 8).foreach { i => assert(feats(0).feature(i) < feats(1).feature(i)) }
+    assert(feats(1).feature.forall(_ > 0.8f))
+  }
+
   test("extractFeatures routes audio through the real WAV decoder") {
     val rate = 16000
     val loud = Multimodal.wavPcm16(Array.fill[Short](100)(20000), rate)
