@@ -589,26 +589,61 @@ object Dedup {
     * [[graft.functions.KMeans]] centroids exactly as knn_ivf_kmeans does.
     *
     * Scale shape: centroids broadcast (no vector shuffle to assign); the
-    * within-cell pair join keys on cell id, so the quadratic term is
-    * Σ|cell|² — bounded by sizing nlist ∝ n (constant expected cell size),
-    * which the sampled-centroid rule (n/100) does by construction. */
+    * within-cell comparison is a RANK-BAND join, not all-pairs — members
+    * rank by vec_id inside their cell and each vector compares only
+    * against its [[SemanticWindowDepth]] nearest-lower-RANKED cellmates
+    * (rank-block bucketing turns that band into an equi join, the same
+    * trick as events_interval_join). The per-cell term is |cell|·depth,
+    * LINEAR in the cell — a pathologically dense semantic cluster (a
+    * boilerplate corpus where one cell swallows everything) can no longer
+    * go quadratic; DedupSemanticSpec pins that adversarial shape. Recall
+    * trade, documented: a near-dup pair more than `depth` ranks apart in
+    * the same cell is missed — irrelevant for normally-sized cells
+    * (expected ~100 members at nlist = n/100, where depth ≥ |cell| makes
+    * the window EXACT) and benign in the dense case, where every member
+    * has many in-window partners anyway. The rank window itself is one
+    * sort task per cell — linear, spillable external sort, never the
+    * quadratic pair blow-up. */
+  private[graft] val SemanticWindowDepth = 512
+
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val v = stagedVecs(s, dir)
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
     val cents = embeddings(s, dir)
       .filter(col("vec_id") % 100 === 17)
       .select(col("vec_id").as("cent_id"), VectorFns.toDouble(col("embedding")).as("cv"))
+    semanticKeepers(v, cents, SemanticWindowDepth)
+  }
+
+  /** The SemDedup core on explicit inputs (so the adversarial spec can
+    * feed a synthetic single-cluster corpus): assign each vector to its
+    * nearest broadcast centroid, then the rank-band comparison described
+    * on [[dedupSemantic]]. Emits (vec_id, keeper_id) for every vector with
+    * an in-window lower-id neighbor at cosine ≥ 0.95. */
+  private[graft] def semanticKeepers(v: DataFrame, cents: DataFrame, depth: Int): DataFrame = {
     val assigned = v.crossJoin(broadcast(cents))
       .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
       .join(v, "vec_id")
-    assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(VectorFns.cosine(col("a.vd"), col("b.vd")) >= 0.95)
-      .groupBy(col("b.vec_id").as("vec_id"))
-      .agg(min(col("a.vec_id")).as("keeper_id"))
+    val ranked = assigned.withColumn("r",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell")).orderBy(col("vec_id"))) - 1)
+    // Band join in rank space: pair (a, b) iff 1 <= b.r - a.r <= depth.
+    // a replicates to its own rank block and the next one; b keys to its
+    // block — every in-band pair meets in exactly one block, so no dedup.
+    val a = ranked.select(
+        col("cell"), col("vec_id").as("a_id"), col("vd").as("avd"), col("r").as("ar"))
+      .withColumn("blk", explode(array(
+        floor(col("ar") / depth), floor(col("ar") / depth) + 1)))
+    val b = ranked.select(
+        col("cell"), col("vec_id").as("b_id"), col("vd").as("bvd"), col("r").as("br"))
+      .withColumn("blk", floor(col("br") / depth))
+    a.join(b, Seq("cell", "blk"))
+      .filter(col("br") - col("ar") >= 1 && col("br") - col("ar") <= depth)
+      .filter(VectorFns.cosine(col("avd"), col("bvd")) >= 0.95)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("keeper_id"))
   }
 
   val dedupSemanticSql: String =
