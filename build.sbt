@@ -31,3 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB bench box (dv_sat_current 6.1s@8g -> see BENCH history).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+
+// The driver archives only a ~2000-char stdout tail of bench runs and
+// json-parses the LAST line. Forked run output must therefore reach stdout
+// raw (no "[info] " prefix) and nothing may print after Bench's final line
+// (sbt's "[success] Total time" trailer would).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

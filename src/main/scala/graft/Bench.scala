@@ -109,11 +109,19 @@ object Bench {
     // defeat its purpose. stderr is not the truncated channel.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] sidecar write to $out failed: $e") }
-    // Stop Spark BEFORE printing: the result line must be the LAST stdout
-    // line of the process (the driver parses the stdout tail as JSON), and
-    // shutdown logging must not be able to land after it.
+    // Stop Spark BEFORE printing: the result lines must be the LAST stdout
+    // lines of the process (the driver parses the stdout tail as JSON), and
+    // shutdown logging must not be able to land after them.
     spark.stop()
     println(line)
+    // The driver archives only a ~2000-char stdout tail and json-parses its
+    // last line; the full 84-query line above is ~2100 chars and can never
+    // fit. So the TRUE last line is a compact headline that always fits and
+    // always parses — per-query timings live in the full line above (tail
+    // holds all but its first few entries) and in the durable sidecar.
+    val compact =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)},"queries_file":${jstr(out)}}"""
+    println(compact)
     System.out.flush()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
