@@ -767,7 +767,42 @@ object DvQueries {
   val stgLoadCustomerSql: String =
     "SELECT c_custkey, c_name, CAST(c_nationkey AS INTEGER) AS c_nationkey, c_acctbal, c_mktsegment FROM customer"
 
+  /** #12b under the driver's oracle: the full bucketed-lake lifecycle —
+    * three bucketed appends (a growing vault accumulating small files), a
+    * staged compaction rewriting every bucket, then bucket-pruned point
+    * lookups reading the compacted table. Any corruption in the append
+    * bucketing, the compact swap, or the write/read bucket-derivation
+    * agreement surfaces as missing/duplicated lookup rows against the
+    * DuckDB twin. Lookup keys are ≤ 100 so the row exists at every sf the
+    * driver runs (sf0.001 has 150 customers). */
+  val lakeLookupKeys: Seq[Long] = Seq(7L, 13L, 42L, 57L, 91L)
+
+  def lakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_lake_rt_").toString
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
+    val lake = new graft.core.Lake(s, root, buckets = 8)
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("ck", col("c_custkey").cast("string"))
+    // Three appends split by key residue — every bucket receives rows from
+    // every append, the shape compaction exists to clean up.
+    (0 until 3).foreach { r =>
+      lake.appendBucketed(cust.filter(col("c_custkey") % 3 === r), "dv", "cust_lake", "ck")
+    }
+    val (before, after) = lake.compact("dv", "cust_lake")
+    require(after <= before, s"compact grew the table: $before -> $after files")
+    lakeLookupKeys
+      .map(k => lake.lookupBucketed("dv", "cust_lake", "ck", k.toString))
+      .reduce(_ unionAll _)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val lakeRoundtripSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+       |WHERE c_custkey IN (${lakeLookupKeys.mkString(", ")})""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_roundtrip" -> (lakeRoundtrip _),
     "stg_load_customer" -> (stgLoadCustomer _),
     "dv_hash_hub" -> (hashHub _),
     "dv_hash_composite" -> (hashComposite _),
@@ -791,6 +826,7 @@ object DvQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_roundtrip" -> lakeRoundtripSql,
     "stg_load_customer" -> stgLoadCustomerSql,
     "dv_hash_hub" -> hashHubSql,
     "dv_hash_composite" -> hashCompositeSql,
