@@ -172,13 +172,36 @@ object Dedup {
     * array folds — no shingle explosion), 4 band keys, candidate pairs from
     * band-bucket collisions, verified with exact Jaccard ≥ 0.5. The oracle
     * replicates the SAME pipeline (including its approximation), so the
-    * result is deterministic cross-engine. */
+    * result is deterministic cross-engine.
+    *
+    * Exact duplicates are collapsed to one representative per distinct
+    * normalized text BEFORE the LSH stage, then member pairs are expanded
+    * back afterward (production pipeline order: exact dedup, then near-dup).
+    * Identical texts share every band, so a duplicate group of size g puts
+    * g copies of the same signature in every one of its buckets and the
+    * candidate self-join goes quadratic in g — the sf10 stress run (every
+    * doc replicated ×10, the boilerplate-multiplicity shape of a real
+    * crawl) measured 376 s / 20 GB shuffle / 61 GB spill from exactly this.
+    * Collapsed, the LSH stage sees each text once and the g² term survives
+    * only in the OUTPUT expansion, which is the answer itself. Results are
+    * bit-identical: within-group pairs have Jaccard exactly 1.0, and a
+    * cross-group member pair shares precisely its representatives' bands
+    * and Jaccard. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Shingles + 16 signatures + 4 band keys in ONE typed pass per doc (the
+    // Exact-duplicate groups keyed by md5(norm); one representative (min
+    // doc_id) per group runs the LSH pipeline. first(norm) rides the same
+    // aggregate — partial aggregation ships one norm per group per map
+    // partition, so the text shuffle is bounded by the distinct corpus.
+    val grouped = docNorms(s, dir).withColumn("grp", md5(col("norm")))
+    val members = grouped.select(col("doc_id"), col("grp"))
+    val reps = grouped.groupBy(col("grp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"))
+    // Shingles + 16 signatures + 4 band keys in ONE typed pass per rep (the
     // Column/HOF formulation runs interpreted and re-evaluates per operator
     // — 139s at sf0.1; this path is ~2s). md5 semantics identical.
-    val withBands = docNorms(s, dir)
+    val withBands = reps
+      .select(col("doc_id"), col("norm"))
       .as[(Long, String)]
       .map { case (id, n) =>
         val sh = TextFns.shinglesOf(n)
@@ -205,7 +228,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cands
+    val repPairs = cands
       .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(withBands.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -214,6 +237,31 @@ object Dedup {
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // Expand representative pairs back to member pairs. Only groups whose
+    // rep survived the nonempty-shingle filter participate (identical norm
+    // ⟹ identical shingles, so emptiness is a group property — exactly the
+    // docs the uncollapsed pipeline would have dropped).
+    val repGrp = withBands
+      .join(members.withColumnRenamed("doc_id", "rep_id"),
+        col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("grp"))
+    val live = members.join(repGrp.select("grp"), "grp")
+    // Within-group: every pair of exact duplicates shares all bands and has
+    // Jaccard exactly 1.0 — output-bounded, the answer itself.
+    val within = live.as("x")
+      .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    // Cross-group: member pairs inherit their reps' Jaccard; ids reorder
+    // per member pair (rep order need not be member order).
+    val cross = repPairs
+      .join(repGrp.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
+      .join(repGrp.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
+      .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
+      .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionAll(cross)
   }
 
   /** The minhash pipeline's CTE list (norm → shingles → sigs → bands →
@@ -463,14 +511,27 @@ object Dedup {
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(s, dir)
-    val buckets = sigs.select(
+    // Collapse docs with IDENTICAL signatures to one representative before
+    // bucketing (same cure as dedupMinhash's exact-collapse, keyed one
+    // level deeper: the signature subsumes exact text equality). A
+    // duplicate group of size g otherwise lands g identical chunk values
+    // in all 4 of its buckets and the candidate join goes quadratic in g
+    // — the sf10 stress run (×10 replication) measured 58 s / 9 GB spill
+    // from this. Signature-identical pairs are exactly the hamming-0 pairs,
+    // so the expansion is output-identical: within-group pairs at hamming
+    // 0, cross-group member pairs inheriting their reps' hamming.
+    val reps = sigs.groupBy(col("chunks")).agg(min(col("doc_id")).as("doc_id"))
+    val members = sigs
+      .join(reps.withColumnRenamed("doc_id", "rep_id"), "chunks")
+      .select(col("doc_id"), col("rep_id"))
+    val buckets = reps.select(
       col("doc_id"),
       col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
     val hamming = (0 until 4)
       .map(k => expr(s"bit_count(ca[$k] ^ cb[$k])"))
       .reduce(_ + _).cast("long")
-    buckets.as("a")
+    val repPairs = buckets.as("a")
       .join(
         buckets.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
@@ -488,6 +549,17 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("ma")), "a_id")
+      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    within.unionAll(cross)
   }
 
   val dedupSimhashSql: String =
