@@ -111,32 +111,54 @@ object Dedup {
     * array_intersect — same verify shape as [[dedupMinhash]]. Candidate
     * generation shuffles only (doc_id, shingle) pairs; the shingle ARRAYS
     * travel only through the two candidate-bounded verify joins, never
-    * through the blocking self-join. */
+    * through the blocking self-join.
+    *
+    * Exact-duplicate groups collapse to one representative before the
+    * shingle/blocking stages, exactly as in [[dedupMinhash]] (a duplicate
+    * group of size g otherwise contributes g copies of every rare shingle
+    * and the blocking self-join goes quadratic in g — the ×10-replicated
+    * stress corpus is the measured case). Output stays BIT-IDENTICAL to
+    * the uncollapsed pipeline the oracle runs, because doc frequency is
+    * computed as the group-size-weighted sum (df over ALL docs, not reps):
+    * the rare-shingle set is unchanged; a cross-group member pair shares a
+    * rare shingle iff its reps do and inherits their exact Jaccard; a
+    * within-group pair (identical texts, Jaccard exactly 1.0) is a
+    * candidate iff any of the group's shingles is rare, i.e. iff the rep
+    * survives into the blocking set. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // NOTE on shared lineage: withSh feeds five operators below (the df
-    // aggregation, both sides of the blocking self-join, both verify joins)
-    // and Spark recomputes the scan + normalize + shingle pass per use.
-    // Measured: that recomputation is cheap (~0.5 s/pass at sf1) and
-    // materializing the intermediate to parquet makes the query 60% SLOWER —
+    // NOTE on shared lineage: the rep table feeds five operators below (the
+    // df aggregation, both sides of the blocking self-join, both verify
+    // joins) and Spark recomputes the shingle pass per use — but the
+    // md5-groupBy EXCHANGE below it is computed once and reused
+    // (ReuseExchange), so the scan + normalize + shuffle happen once.
+    // Materializing the shingled table to parquet was measured 60% SLOWER —
     // the staged table's small on-disk size misleads the planner's join-size
     // estimates for the exploded self-join. The recompute is the right
     // trade; the joins, not the shingling, dominate.
-    val withSh = docNorms(s, dir)
-      .as[(Long, String)]
-      .map { case (id, n) => (id, TextFns.shinglesOf(n).toSeq) }
-      .toDF("doc_id", "sh")
+    val grouped = docNorms(s, dir).withColumn("grp", md5(col("norm")))
+    val members = grouped.select(col("doc_id"), col("grp"))
+    val reps = grouped.groupBy(col("grp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
+        count(lit(1)).as("gsz"))
+    val withSh = reps
+      .select(col("grp"), col("doc_id"), col("norm"), col("gsz"))
+      .as[(String, Long, String, Long)]
+      .map { case (g, id, n, gs) => (g, id, TextFns.shinglesOf(n).toSeq, gs) }
+      .toDF("grp", "doc_id", "sh", "gsz")
       .filter(size(col("sh")) > 0)
-    val e = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // df-capped blocking set: rare shingles only.
-    val rare = e.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val e = withSh.select(col("doc_id"), col("gsz"), explode(col("sh")).as("shingle"))
+    // df-capped blocking set: rare shingles only. sum(gsz) = true document
+    // frequency over the full corpus (each member counts), so the blocking
+    // set is exactly the uncollapsed pipeline's.
+    val rare = e.groupBy(col("shingle")).agg(sum(col("gsz")).as("df"))
       .filter(col("df") <= BlockingDfCap).select("shingle")
-    val blk = e.join(rare, "shingle")
+    val blk = e.join(rare, "shingle").select(col("doc_id"), col("shingle"))
     val cands = blk.as("a")
       .join(blk.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cands
+    val repPairs = cands
       .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -145,6 +167,25 @@ object Dedup {
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // Expansion back to member pairs (output-bounded, the answer itself).
+    // Within-group pairs exist in the uncollapsed pipeline iff the group's
+    // text has ≥1 rare shingle — i.e. its rep appears in blk.
+    val repGrp = withSh.select(col("doc_id").as("rep_id"), col("grp"))
+    val liveGrps = blk.select(col("doc_id").as("rep_id")).distinct()
+      .join(repGrp, "rep_id").select(col("grp"))
+    val live = members.join(liveGrps, "grp")
+    val within = live.as("x")
+      .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(repGrp.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
+      .join(repGrp.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
+      .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
+      .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionAll(cross)
   }
 
   val dedupNgramJaccardSql: String =
