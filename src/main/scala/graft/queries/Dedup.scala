@@ -141,11 +141,15 @@ object Dedup {
     val reps = grouped.groupBy(col("grp"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
         count(lit(1)).as("gsz"))
+    // repartition: same parallelism restoration as dedupMinhash — AQE
+    // coalesces the groupBy exchange by data size, serializing the
+    // CPU-bound shingle map that five operators re-execute.
     val withSh = reps
-      .select(col("grp"), col("doc_id"), col("norm"), col("gsz"))
-      .as[(String, Long, String, Long)]
-      .map { case (g, id, n, gs) => (g, id, TextFns.shinglesOf(n).toSeq, gs) }
-      .toDF("grp", "doc_id", "sh", "gsz")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("norm"), col("gsz"))
+      .as[(Long, String, Long)]
+      .map { case (id, n, gs) => (id, TextFns.shinglesOf(n).toSeq, gs) }
+      .toDF("doc_id", "sh", "gsz")
       .filter(size(col("sh")) > 0)
     val e = withSh.select(col("doc_id"), col("gsz"), explode(col("sh")).as("shingle"))
     // df-capped blocking set: rare shingles only. sum(gsz) = true document
@@ -169,18 +173,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     // Expansion back to member pairs (output-bounded, the answer itself).
     // Within-group pairs exist in the uncollapsed pipeline iff the group's
-    // text has ≥1 rare shingle — i.e. its rep appears in blk.
-    val repGrp = withSh.select(col("doc_id").as("rep_id"), col("grp"))
-    val liveGrps = blk.select(col("doc_id").as("rep_id")).distinct()
-      .join(repGrp, "rep_id").select(col("grp"))
+    // text has ≥1 rare shingle. Liveness is computed by re-shingling ONLY
+    // the duplicate groups (gsz ≥ 2 — empty on a dup-free corpus) and
+    // joining the tiny result against `rare`, instead of re-deriving the
+    // full blocking table: routing liveness through `blk` re-executed the
+    // corpus-wide shingle pass and cost ~5 s at sf0.1 on a dup-free
+    // corpus (re-measured gone with this shape).
+    val multiSh = reps.filter(col("gsz") >= 2)
+      .select(col("grp"), col("norm"))
+      .as[(String, String)]
+      .flatMap { case (g, n) => TextFns.shinglesOf(n).map(sh => (g, sh)) }
+      .toDF("grp", "shingle")
+    val liveGrps = multiSh.join(rare, "shingle").select(col("grp")).distinct()
     val live = members.join(liveGrps, "grp")
     val within = live.as("x")
       .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(1.0).as("jaccard"))
+    // repMap is a pure rep_id→grp mapping off the cheap aggregate (ids in
+    // repPairs already passed the rare-shingle pipeline; no filter needed).
+    val repMap = reps.select(col("doc_id").as("rep_id"), col("grp"))
     val cross = repPairs
-      .join(repGrp.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
-      .join(repGrp.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
+      .join(repMap.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
+      .join(repMap.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
       .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
       .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
       .select(least(col("ma"), col("mb")).as("a_id"),
@@ -237,11 +252,18 @@ object Dedup {
     val grouped = docNorms(s, dir).withColumn("grp", md5(col("norm")))
     val members = grouped.select(col("doc_id"), col("grp"))
     val reps = grouped.groupBy(col("grp"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
+        count(lit(1)).as("gsz"))
     // Shingles + 16 signatures + 4 band keys in ONE typed pass per rep (the
     // Column/HOF formulation runs interpreted and re-evaluates per operator
     // — 139s at sf0.1; this path is ~2s). md5 semantics identical.
+    // repartition: AQE coalesces the groupBy exchange by DATA size (a few
+    // tens of MB of text → 1-2 partitions) which serializes this CPU-bound
+    // map; one cheap round-robin exchange restores full-core parallelism
+    // (measured 6× on the signature pass). defaultParallelism = total
+    // cores, so the same line right-sizes on a real cluster.
     val withBands = reps
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("norm"))
       .as[(Long, String)]
       .map { case (id, n) =>
@@ -278,26 +300,38 @@ object Dedup {
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    // Expand representative pairs back to member pairs. Only groups whose
-    // rep survived the nonempty-shingle filter participate (identical norm
-    // ⟹ identical shingles, so emptiness is a group property — exactly the
-    // docs the uncollapsed pipeline would have dropped).
-    val repGrp = withBands
-      .join(members.withColumnRenamed("doc_id", "rep_id"),
-        col("doc_id") === col("rep_id"))
-      .select(col("rep_id"), col("grp"))
-    val live = members.join(repGrp.select("grp"), "grp")
-    // Within-group: every pair of exact duplicates shares all bands and has
-    // Jaccard exactly 1.0 — output-bounded, the answer itself.
+    // Expand representative pairs back to member pairs. Everything below
+    // derives from the cheap `reps` aggregate — NOT from `withBands` —
+    // so the expansion adds no recompute of the shingle/signature pass
+    // (that recompute plus a full-corpus `within` self-join cost ~2 s at
+    // sf0.1 in the first formulation, a 5× regression on a dup-free
+    // corpus; re-measured gone with this shape).
+    //
+    // Within-group: every pair of exact duplicates shares all bands and
+    // has Jaccard exactly 1.0 — output-bounded, the answer itself. A
+    // group participates iff its (identical) text shingles nonempty,
+    // i.e. norm has ≥ 3 words — the same predicate `withBands` filters
+    // on, evaluated on the rep row without re-shingling. Only groups
+    // with ≥ 2 members can emit a pair, so the self-join input is the
+    // duplicate groups alone (empty on a dup-free corpus), not the
+    // whole corpus.
+    val liveMulti = reps
+      .filter(col("gsz") >= 2 && col("norm") =!= "" &&
+        size(split(col("norm"), " ")) >= 3)
+      .select(col("grp"))
+    val live = members.join(liveMulti, "grp")
     val within = live.as("x")
       .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(1.0).as("jaccard"))
     // Cross-group: member pairs inherit their reps' Jaccard; ids reorder
-    // per member pair (rep order need not be member order).
+    // per member pair (rep order need not be member order). repMap is a
+    // pure rep_id→grp mapping (no liveness filter needed: every id in
+    // repPairs already survived the band pipeline's nonempty filter).
+    val repMap = reps.select(col("doc_id").as("rep_id"), col("grp"))
     val cross = repPairs
-      .join(repGrp.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
-      .join(repGrp.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
+      .join(repMap.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
+      .join(repMap.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
       .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
       .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
       .select(least(col("ma"), col("mb")).as("a_id"),
@@ -561,7 +595,8 @@ object Dedup {
     // from this. Signature-identical pairs are exactly the hamming-0 pairs,
     // so the expansion is output-identical: within-group pairs at hamming
     // 0, cross-group member pairs inheriting their reps' hamming.
-    val reps = sigs.groupBy(col("chunks")).agg(min(col("doc_id")).as("doc_id"))
+    val reps = sigs.groupBy(col("chunks"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gsz"))
     val members = sigs
       .join(reps.withColumnRenamed("doc_id", "rep_id"), "chunks")
       .select(col("doc_id"), col("rep_id"))
@@ -590,8 +625,14 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
-    val within = members.as("x")
-      .join(members.as("y"),
+    // Only signature groups with ≥ 2 members can emit a within pair, so
+    // the self-join input is the duplicate groups alone (empty on a
+    // dup-free corpus), not the whole corpus.
+    val multiIds = reps.filter(col("gsz") >= 2)
+      .select(col("doc_id").as("rep_id"))
+    val live = members.join(multiIds, "rep_id")
+    val within = live.as("x")
+      .join(live.as("y"),
         col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(0L).as("hamming"))
