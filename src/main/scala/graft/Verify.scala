@@ -16,13 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Frozen-centroid parquet goes INSIDE this run's outDir: a bench run on
+    // Frozen-centroid parquet goes in a PER-RUN private dir: a bench run on
     // the same corpus (which uses the shared /tmp cache path) can then never
     // replace the file between this dump and the driver's DuckDB compare,
     // and retraining under a different thread count can't shift the floats
-    // the oracle reads. The oracle_sql substitution below resolves against
-    // the same property, so SQL and data always agree.
-    System.setProperty("graft.centroids.dir", outDir)
+    // the oracle reads. The dir must NOT be inside outDir — the driver
+    // sweeps outDir treating every subdirectory as a query result, and the
+    // r9 artifact carried a permanent crash row for the centroids parquet
+    // that used to land there. The oracle_sql substitution below resolves
+    // against the same property, so SQL and data always agree.
+    System.setProperty("graft.centroids.dir",
+      Files.createTempDirectory("graft_verify_aux_").toString)
     var errors = Map.empty[String, String]
     // Optional comma-separated filter for focused local iteration (the
     // driver never sets it); oracle_sql.json is filtered to match so

@@ -155,15 +155,18 @@ object Ann {
 
   /** Corpus-keyed location for the frozen trained centroids. When the
     * `graft.centroids.dir` system property is set (Verify sets it to its
-    * per-run outDir), centroids live under THAT directory — so a
-    * concurrent bench run, which never sets the property, can never
-    * replace the parquet a pending DuckDB compare will read. Without the
-    * property (bench, ad-hoc use) the shared /tmp cache keyed by corpus
-    * dir is used. */
+    * per-run outDir), centroids live under a DOT-PREFIXED aux subdir of
+    * that directory — inside the run's private dir so a concurrent bench
+    * (which never sets the property) can never replace the parquet a
+    * pending DuckDB compare will read, but dot-prefixed so any sweep of
+    * the outDir for per-query result parquets skips it: the r9 driver
+    * artifact gained a crash row because the centroids dir sat as a
+    * sibling of the query dumps. Without the property (bench, ad-hoc use)
+    * the shared /tmp cache keyed by corpus dir is used. */
   private[graft] def frozenCentroidsPath(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     sys.props.get("graft.centroids.dir") match {
-      case Some(base) => base.stripSuffix("/") + "/_graft_knn_centroids_" + key
+      case Some(base) => base.stripSuffix("/") + "/.graft_aux/knn_centroids_" + key
       case None       => "/tmp/graft_knn_centroids_" + key
     }
   }

@@ -224,32 +224,122 @@ object Dedup {
   private val NumSigs = 16
   private val NumBands = 4 // 4 rows per band
 
+  /** Per-corpus memo for [[collapseWorthwhile]]: the statistic is a pure
+    * function of the (static) corpus at a path, so bench reps and the
+    * clusters query don't re-pay the decision aggregate. At the design
+    * point this is table metadata a catalog would carry; here it's a
+    * once-per-JVM ids-only aggregate. */
+  private val dupMassMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Branch predicate for the adaptive exact-dup collapse: collapse iff
+    * Σ g·(g−1) over md5(norm) exact-duplicate groups exceeds the corpus
+    * row count — i.e. iff the EXTRA candidate pairs duplicate groups would
+    * inject into a blocking self-join outweigh one linear pass of collapse
+    * machinery. The aggregate ships only (16-byte hash, count) rows after
+    * map-side combine, so its cost is one scan + a tiny shuffle.
+    *
+    * Why adaptive: the r9 always-collapse pipelines fixed a real 100 TB
+    * hazard (a duplicate group of size g puts g identical signatures in
+    * every band bucket — measured 376 s / 61 GB spill at the ×10-replicated
+    * sf10 stress corpus, 5.7 s collapsed) but charged dup-LIGHT corpora
+    * the collapse's exchanges for nothing (sf0.1: simhash 0.43→2.0 s,
+    * clusters 4.9→16.3 s). Both branches are bit-identical — the collapse
+    * correctness argument (within-group pairs at Jaccard 1.0 / hamming 0,
+    * cross pairs inheriting their reps' value) says exactly that — so the
+    * branch may be chosen on cost alone. */
+  private[graft] def collapseWorthwhile(dn: DataFrame, key: String): Boolean =
+    dupMassMemo.computeIfAbsent(key, _ => {
+      val row = dn.select(md5(col("norm")).as("grp"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(col("g") * (col("g") - lit(1))), lit(0L)),
+          coalesce(sum(col("g")), lit(0L)))
+        .head()
+      java.lang.Boolean.valueOf(row.getLong(0) > row.getLong(1))
+    }).booleanValue
+
+  /** The collapsed minhash pipeline's pieces, shared by [[dedupMinhash]]
+    * (which expands pairs) and [[dedupClusters]] (which runs connected
+    * components on the REP graph and expands labels instead — far cheaper
+    * than expanding g² within-pairs only to re-contract them). */
+  private[graft] case class Collapsed(
+    members: DataFrame, // (doc_id, grp) — every doc with its group key
+    reps: DataFrame, // (grp, doc_id = min member, norm, gsz)
+    repPairs: DataFrame) // (a_id, b_id, jaccard) — verified rep-level pairs
+
   /** MinHash+LSH near-dup: 16 salted-md5 min-signatures per doc (computed as
     * array folds — no shingle explosion), 4 band keys, candidate pairs from
     * band-bucket collisions, verified with exact Jaccard ≥ 0.5. The oracle
     * replicates the SAME pipeline (including its approximation), so the
     * result is deterministic cross-engine.
     *
-    * Exact duplicates are collapsed to one representative per distinct
-    * normalized text BEFORE the LSH stage, then member pairs are expanded
-    * back afterward (production pipeline order: exact dedup, then near-dup).
-    * Identical texts share every band, so a duplicate group of size g puts
-    * g copies of the same signature in every one of its buckets and the
-    * candidate self-join goes quadratic in g — the sf10 stress run (every
-    * doc replicated ×10, the boilerplate-multiplicity shape of a real
-    * crawl) measured 376 s / 20 GB shuffle / 61 GB spill from exactly this.
-    * Collapsed, the LSH stage sees each text once and the g² term survives
-    * only in the OUTPUT expansion, which is the answer itself. Results are
-    * bit-identical: within-group pairs have Jaccard exactly 1.0, and a
-    * cross-group member pair shares precisely its representatives' bands
-    * and Jaccard. */
+    * ADAPTIVE exact-dup collapse ([[collapseWorthwhile]]): on a dup-heavy
+    * corpus, exact duplicates are collapsed to one representative per
+    * distinct normalized text BEFORE the LSH stage, then member pairs are
+    * expanded back afterward (production pipeline order: exact dedup, then
+    * near-dup). Identical texts share every band, so a duplicate group of
+    * size g puts g copies of the same signature in every one of its buckets
+    * and the candidate self-join goes quadratic in g — the sf10 stress run
+    * (every doc replicated ×10, the boilerplate-multiplicity shape of a
+    * real crawl) measured 376 s / 20 GB shuffle / 61 GB spill from exactly
+    * this; collapsed, the LSH stage sees each text once and the g² term
+    * survives only in the OUTPUT expansion, which is the answer itself.
+    * On a dup-light corpus the collapse's exchanges save nothing, so the
+    * uncollapsed single-pass pipeline runs instead. Results are
+    * bit-identical either way: within-group pairs have Jaccard exactly
+    * 1.0, and a cross-group member pair shares precisely its
+    * representatives' bands and Jaccard (DedupCollapseSpec pins the two
+    * branches equal on a dup-heavy corpus). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val dn = docNorms(s, dir)
+    if (collapseWorthwhile(dn, dir)) minhashExpand(minhashCollapsed(s, dn))
+    else minhashPlain(s, dn)
+  }
+
+  /** The uncollapsed (dup-light) minhash pipeline: one typed pass builds
+    * shingles + signatures + band keys per doc; candidates carry ids only;
+    * arrays rejoin candidate-bounded after the pair-dedup. */
+  private[graft] def minhashPlain(s: SparkSession, dn: DataFrame): DataFrame = {
+    import s.implicits._
+    val withBands = dn
+      .as[(Long, String)]
+      .map { case (id, n) =>
+        val sh = TextFns.shinglesOf(n)
+        val bands =
+          if (sh.isEmpty) Array.empty[String]
+          else TextFns.bandHashesOf(TextFns.minhashSigsOf(sh, NumSigs), NumSigs / NumBands)
+        (id, sh.toSeq, bands.toSeq)
+      }
+      .toDF("doc_id", "sh", "bands")
+      .filter(size(col("sh")) > 0)
+    val buckets = withBands.select(
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "bhash")))
+    val cands = buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(withBands.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The collapsed (dup-heavy) pipeline up to rep-level verified pairs. */
+  private[graft] def minhashCollapsed(s: SparkSession, dn: DataFrame): Collapsed = {
     import s.implicits._
     // Exact-duplicate groups keyed by md5(norm); one representative (min
     // doc_id) per group runs the LSH pipeline. first(norm) rides the same
     // aggregate — partial aggregation ships one norm per group per map
     // partition, so the text shuffle is bounded by the distinct corpus.
-    val grouped = docNorms(s, dir).withColumn("grp", md5(col("norm")))
+    val grouped = dn.withColumn("grp", md5(col("norm")))
     val members = grouped.select(col("doc_id"), col("grp"))
     val reps = grouped.groupBy(col("grp"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
@@ -300,26 +390,32 @@ object Dedup {
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    // Expand representative pairs back to member pairs. Everything below
-    // derives from the cheap `reps` aggregate — NOT from `withBands` —
-    // so the expansion adds no recompute of the shingle/signature pass
-    // (that recompute plus a full-corpus `within` self-join cost ~2 s at
-    // sf0.1 in the first formulation, a 5× regression on a dup-free
-    // corpus; re-measured gone with this shape).
-    //
-    // Within-group: every pair of exact duplicates shares all bands and
-    // has Jaccard exactly 1.0 — output-bounded, the answer itself. A
-    // group participates iff its (identical) text shingles nonempty,
-    // i.e. norm has ≥ 3 words — the same predicate `withBands` filters
-    // on, evaluated on the rep row without re-shingling. Only groups
-    // with ≥ 2 members can emit a pair, so the self-join input is the
-    // duplicate groups alone (empty on a dup-free corpus), not the
-    // whole corpus.
-    val liveMulti = reps
-      .filter(col("gsz") >= 2 && col("norm") =!= "" &&
-        size(split(col("norm"), " ")) >= 3)
+    Collapsed(members, reps, repPairs)
+  }
+
+  /** The liveness predicate for a collapsed group: its (identical) text
+    * shingles nonempty, i.e. norm has ≥ 3 words — the same predicate the
+    * band pipeline filters on, evaluated on the rep row without
+    * re-shingling. */
+  private def liveGroup: Column =
+    col("norm") =!= "" && size(split(col("norm"), " ")) >= 3
+
+  /** Expand representative pairs back to member pairs. Everything here
+    * derives from the cheap `reps` aggregate — NOT from the band pipeline —
+    * so the expansion adds no recompute of the shingle/signature pass
+    * (that recompute plus a full-corpus `within` self-join cost ~2 s at
+    * sf0.1 in the first formulation, a 5× regression on a dup-free
+    * corpus; re-measured gone with this shape).
+    *
+    * Within-group: every pair of exact duplicates shares all bands and
+    * has Jaccard exactly 1.0 — output-bounded, the answer itself. Only
+    * groups with ≥ 2 members can emit a pair, so the self-join input is
+    * the duplicate groups alone, not the whole corpus. */
+  private[graft] def minhashExpand(c: Collapsed): DataFrame = {
+    val liveMulti = c.reps
+      .filter(col("gsz") >= 2 && liveGroup)
       .select(col("grp"))
-    val live = members.join(liveMulti, "grp")
+    val live = c.members.join(liveMulti, "grp")
     val within = live.as("x")
       .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
@@ -328,12 +424,12 @@ object Dedup {
     // per member pair (rep order need not be member order). repMap is a
     // pure rep_id→grp mapping (no liveness filter needed: every id in
     // repPairs already survived the band pipeline's nonempty filter).
-    val repMap = reps.select(col("doc_id").as("rep_id"), col("grp"))
-    val cross = repPairs
+    val repMap = c.reps.select(col("doc_id").as("rep_id"), col("grp"))
+    val cross = c.repPairs
       .join(repMap.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
       .join(repMap.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
-      .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
-      .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
+      .join(c.members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
+      .join(c.members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
     within.unionAll(cross)
@@ -414,26 +510,64 @@ object Dedup {
     * The driver loop only orchestrates; all data work is distributed, and
     * convergence is checked with a per-round aggregate, not a collect. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(s, dir).select(col("a_id"), col("b_id"))
-    // Symmetrize in ONE pass: a union of (pairs, pairs.swapped) is two
-    // plan branches, and materializing the persist would run the whole
-    // upstream minhash pipeline twice (measured: ~2× the pair cost at sf1).
-    val edges = pairs
+    val dn = docNorms(s, dir)
+    if (collapseWorthwhile(dn, dir)) clustersCollapsed(s, dn)
+    else ccLand(s, symmetrized(minhashPlain(s, dn).select(col("a_id"), col("b_id")))) {
+      labels => labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }
+  }
+
+  /** Symmetrize in ONE pass: a union of (pairs, pairs.swapped) is two
+    * plan branches, and materializing the persist would run the whole
+    * upstream minhash pipeline twice (measured: ~2× the pair cost at sf1). */
+  private def symmetrized(pairs: DataFrame): DataFrame =
+    pairs
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+
+  /** Persist `edges0`, run connected components, land `expand(labels)` to
+    * a temp parquet, and drop the cached iteration state so bench reps
+    * don't accumulate persisted lineage. */
+  private def ccLand(s: SparkSession, edges0: DataFrame)(expand: DataFrame => DataFrame): DataFrame = {
+    val edges = edges0.persist()
     val labels = connectedComponents(edges)
-    // Land the (tiny) label table and drop the cached iteration state so
-    // bench reps don't accumulate persisted lineage.
     val out = java.nio.file.Files.createTempDirectory("graft_cc_").toString
     org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(out))
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .write.mode("overwrite").parquet(out)
+    expand(labels).write.mode("overwrite").parquet(out)
     labels.unpersist()
     edges.unpersist()
     s.read.parquet(out)
+  }
+
+  /** The collapsed (dup-heavy) clusters pipeline: connected components
+    * over the REPRESENTATIVE graph, not the member graph. Exact-dup
+    * members of a live group form a within-pair clique, so in member
+    * space each group is one component by construction — propagating
+    * labels through those g² clique edges (the r9 shape) re-derives what
+    * the group key already says, and at the ×10-replicated sf10 corpus
+    * the edge set was ~9× larger for it. Instead: CC over rep-level
+    * pairs plus one SELF-edge per live multi-member group (so a group
+    * with no cross pairs still surfaces as its own component), then
+    * expand labels to members. Labels agree with the member-level graph
+    * exactly: reps are group MINIMA, so the min rep id of a rep-space
+    * component IS the min doc id of the expanded component. */
+  private[graft] def clustersCollapsed(s: SparkSession, dn: DataFrame): DataFrame = {
+    val c = minhashCollapsed(s, dn)
+    val liveMulti = c.reps.filter(col("gsz") >= 2 && liveGroup)
+    val self = liveMulti.select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    val edges = symmetrized(c.repPairs.select(col("a_id"), col("b_id"))).unionAll(self)
+    ccLand(s, edges) { labels =>
+      val withGrp = labels
+        .join(c.reps.select(col("doc_id").as("node"), col("grp"), col("gsz")), "node")
+      val multi = withGrp.filter(col("gsz") >= 2)
+        .join(c.members, "grp")
+        .select(col("doc_id"), col("label").as("cluster_id"))
+      val single = withGrp.filter(col("gsz") === 1)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      multi.unionAll(single)
+    }
   }
 
   /** Connected components over a SYMMETRIC (src, dst) edge set → (node,
@@ -584,17 +718,61 @@ object Dedup {
       .filter(size(col("chunks")) > 0)
   }
 
+  /** Shared hamming distance over two 4×16-bit chunk arrays `ca`/`cb`. */
+  private def hammingExpr: Column = (0 until 4)
+    .map(k => expr(s"bit_count(ca[$k] ^ cb[$k])"))
+    .reduce(_ + _).cast("long")
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(s, dir)
-    // Collapse docs with IDENTICAL signatures to one representative before
-    // bucketing (same cure as dedupMinhash's exact-collapse, keyed one
-    // level deeper: the signature subsumes exact text equality). A
-    // duplicate group of size g otherwise lands g identical chunk values
-    // in all 4 of its buckets and the candidate join goes quadratic in g
-    // — the sf10 stress run (×10 replication) measured 58 s / 9 GB spill
-    // from this. Signature-identical pairs are exactly the hamming-0 pairs,
-    // so the expansion is output-identical: within-group pairs at hamming
-    // 0, cross-group member pairs inheriting their reps' hamming.
+    // ADAPTIVE collapse, same branch predicate (and memo) as dedupMinhash:
+    // the decision statistic is text-level dup mass, a conservative proxy
+    // for the signature-level groups this pipeline collapses on (identical
+    // texts always share a signature; distinct texts colliding on a full
+    // 64-bit signature are rare and were never the measured hazard). On a
+    // dup-light corpus the r8 single-pass pipeline runs unchanged.
+    if (collapseWorthwhile(docNorms(s, dir), dir)) simhashCollapsed(sigs)
+    else simhashPlain(sigs)
+  }
+
+  /** The uncollapsed (dup-light) simhash pipeline: bucket on the 4 chunks
+    * directly, hamming-filter before the pair-dedup exchange. */
+  private[graft] def simhashPlain(sigs: DataFrame): DataFrame = {
+    val buckets = sigs.select(
+      col("doc_id"),
+      col("chunks"),
+      posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+    buckets.as("a")
+      .join(
+        buckets.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.chunks").as("ca"), col("b.chunks").as("cb"))
+      // Hamming filter BEFORE the pair-dedup: hamming is a pure function of
+      // the pair, so dedup keeps it intact either way — but filtering first
+      // means the dropDuplicates exchange shuffles only the true near-dup
+      // pairs (~0.6% of candidates at sf1) instead of every candidate pair
+      // a hot chunk bucket emits. The redundant per-copy hamming evals are
+      // codegen'd bit_count over 4 ints — orders cheaper than the shuffle.
+      .withColumn("hamming", hammingExpr)
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The collapsed (dup-heavy) simhash pipeline: docs with IDENTICAL
+    * signatures collapse to one representative before bucketing (same cure
+    * as dedupMinhash's exact-collapse, keyed one level deeper: the
+    * signature subsumes exact text equality). A duplicate group of size g
+    * otherwise lands g identical chunk values in all 4 of its buckets and
+    * the candidate join goes quadratic in g — the sf10 stress run (×10
+    * replication) measured 58 s / 9 GB spill from this. Signature-identical
+    * pairs are exactly the hamming-0 pairs, so the expansion is
+    * output-identical: within-group pairs at hamming 0, cross-group member
+    * pairs inheriting their reps' hamming. */
+  private[graft] def simhashCollapsed(sigs: DataFrame): DataFrame = {
     val reps = sigs.groupBy(col("chunks"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gsz"))
     val members = sigs
@@ -604,9 +782,6 @@ object Dedup {
       col("doc_id"),
       col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
-    val hamming = (0 until 4)
-      .map(k => expr(s"bit_count(ca[$k] ^ cb[$k])"))
-      .reduce(_ + _).cast("long")
     val repPairs = buckets.as("a")
       .join(
         buckets.as("b"),
@@ -621,7 +796,7 @@ object Dedup {
       // pairs (~0.6% of candidates at sf1) instead of every candidate pair
       // a hot chunk bucket emits. The redundant per-copy hamming evals are
       // codegen'd bit_count over 4 ints — orders cheaper than the shuffle.
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hammingExpr)
       .filter(col("hamming") <= 3)
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))

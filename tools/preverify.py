@@ -47,6 +47,22 @@ def main():
         oracles = json.load(f)
 
     failed = []
+    # Belt-and-braces for the r9 artifact pollution: the driver sweeps
+    # out_dir treating every subdirectory as a query result, so ANY dir
+    # that is not an oracle-keyed dump or a known rows-only query (no
+    # oracle by design) would become a bogus red row. Fail loudly here
+    # before the driver ever sees it. Dot-prefixed entries are aux by
+    # convention and must not appear either (Verify keeps aux state in a
+    # temp dir outside out_dir entirely).
+    ROWS_ONLY = {"knn_ivf_kmeans"}
+    for entry in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, entry)
+        if not os.path.isdir(full):
+            continue
+        if entry not in oracles and entry not in ROWS_ONLY:
+            print(f"EXTRA    {entry}: non-query directory in verify out_dir "
+                  f"(driver would sweep it as a query)")
+            failed.append(entry)
     for name in sorted(oracles):
         res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
