@@ -27,6 +27,34 @@ object Ann {
   private val K = 10
   private val NProbe = 2
 
+  /** Fan-out of the two-level top-k ([[topK]]). 16 × K = 160 survivor rows
+    * per query at the second level — negligible — while the first level's
+    * per-task work shrinks 16×. */
+  private val SubSplit = 16
+
+  /** Exact per-query top-k as TWO windows instead of one: candidates are
+    * salted by a deterministic hash of the neighbor id into [[SubSplit]]
+    * chunks, ranked per (query, chunk), and the ≤ SubSplit·K survivors are
+    * ranked again per query. Output is bit-identical to the single-window
+    * form the oracles replay — the top-k of a union is contained in the
+    * union of per-chunk top-ks, and both levels share the total ordering
+    * (sim DESC, vec_id ASC) — but no single task ever holds a query's full
+    * candidate set: a hot centroid cell (k-means happily builds lists 10²×
+    * the mean) concentrated 96.7 MB / 48 s into one task at the sf10
+    * stress run under the single-window shape. */
+  private def topK(cands: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("__salt", pmod(xxhash64(col("vec_id")), lit(SubSplit)))
+      .withColumn("__prk", row_number().over(w1))
+      .filter(col("__prk") <= K)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
+  }
+
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
@@ -37,13 +65,10 @@ object Ann {
     val v = vecs(s, dir)
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    v.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", VectorFns.cosine(col("qv"), col("vd")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
+    topK(
+      v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VectorFns.cosine(col("qv"), col("vd"))))
   }
 
   val knnBruteSql: String =
@@ -97,16 +122,11 @@ object Ann {
     // Exact top-k inside the probed buckets only. With spill lists a
     // (query, vector) pair can meet in more than one probed bucket —
     // dedupe before ranking so top-k rows stay distinct neighbors.
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     val met0 = probes.join(assigned, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("vd"))
     val met = if (replicate <= 1) met0 else met0.dropDuplicates("query_id", "vec_id")
-    met
-      .withColumn("sim", VectorFns.cosine(col("qv"), col("vd")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
+    topK(met.withColumn("sim", VectorFns.cosine(col("qv"), col("vd"))))
   }
 
   /** IVF-style ANN with a deterministic centroid sample (vec_id % 100 ==
