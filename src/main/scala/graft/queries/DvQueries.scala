@@ -565,14 +565,7 @@ object DvQueries {
   def streamEventsHourly(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
-    // Driver testdata carries TIMESTAMP(NANOS) (long under nanosAsLong);
-    // scaled copies are plain micros timestamps — same dual handling as
-    // Tables.loadEvents.
-    val events = staged.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => staged
-    }
+    val events = Tables.normalizeTs(staged)
     val out = s"$root/out"
     val q = events
       .withWatermark("ts", "1 hour")
@@ -607,11 +600,7 @@ object DvQueries {
   def streamEventsJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
-    val ev = staged.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => staged
-    }
+    val ev = Tables.normalizeTs(staged)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -703,7 +692,10 @@ object DvQueries {
     val gapUs = 1800L * 1000000L
     val raw = s.read.parquet(srcDir)
     val isNanos = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val usCol = if (isNanos) expr("ts div 1000") else expr("unix_micros(ts)")
+    // cast-to-timestamp first: 2026-08 driver data is naive micros (NTZ),
+    // which unix_micros rejects; under the UTC session the cast is the
+    // wall-clock identity, and on already-LTZ scaled copies it's a no-op.
+    val usCol = if (isNanos) expr("ts div 1000") else expr("unix_micros(cast(ts as timestamp))")
     val maxUs = raw.select(max(usCol).as("m"))
     val sentinels = raw.select(col("user_id")).distinct()
       .crossJoin(broadcast(maxUs))
@@ -720,11 +712,7 @@ object DvQueries {
     }
     sentinels.select(sentCols.toIndexedSeq: _*).coalesce(1).write.mode("append").parquet(srcDir)
 
-    val events = staged.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => staged
-    }
+    val events = Tables.normalizeTs(staged)
     val out = s"$root/out"
     val q = graft.streaming.StreamingDv.sessionize(events, gapMinutes = 30, delayThreshold = "0 seconds")
       .writeStream

@@ -275,4 +275,23 @@ class PlanSpec extends SparkSpec {
       assert(zeros > 0, "sf0.001 should have empty hours — zero-fill path unexercised")
     } finally { r.unpersist(); () }
   }
+
+  test("dv_sat_current: latest-row via partial struct-max — no window, single-struct shuffle") {
+    // SURVEY §4 promise: current-view latest-row is a partial aggregation
+    // (map-side combine), never a window over the full history — the window
+    // shape shuffles every version row and ranks per key, which at the sf10
+    // stress scale was the difference between a bounded agg and 7.9 GB of
+    // spill. A var-length aggregation buffer plans as SortAggregate in
+    // Spark 4 (its per-partition key sort is fine — it combines BEFORE the
+    // exchange); what must not regress is (a) no Window, (b) a partial
+    // aggregate below the exchange, and (c) ONE struct through the shuffle —
+    // max_by's two-struct shape shipped the 32-char hash_diff twice per row.
+    val df = DvQueries.satCurrent(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.lastIndexOf("partial_max") > exchange,
+      s"partial aggregate below the exchange expected:\n$p")
+    assert(!p.contains("max_by"), p)
+  }
 }
