@@ -26,6 +26,18 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     spread(load(spark, dir, name))
 
+  /** [[spread]] for inputs whose consumer aggregates/joins on `keys`: fan
+    * out by HASH of the keys, not round-robin, so the one fan-out exchange
+    * already satisfies the consumer's clustering requirement — the groupBy
+    * plans with NO second exchange, and all same-key rows land together
+    * (round-robin scatters them, which also kills map-side combine). Same
+    * production-scale guard: many-split inputs pass through untouched and
+    * keep the natural partial-agg → exchange plan. */
+  def spreadBy(df: DataFrame, keys: String*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target, keys.map(df.col): _*) else df
+  }
+
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and
     * convert to a microsecond timestamp with exact integer arithmetic

@@ -56,7 +56,12 @@ object Ann {
   }
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    // spread: the embeddings table is ~100 MB even at the sf10 stress scale,
+    // so Spark's split packing hands the WHOLE scan to 1-2 tasks — and with
+    // it the n×nlist centroid-assignment expansion that dominates search
+    // (measured as a 53 s single task / 10.7 GB spill straggler). One cheap
+    // row shuffle buys full-core parallelism; no-op on many-split inputs.
+    Tables.spread(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
 
   /** Exact brute-force cosine top-k for the deterministic query subset
@@ -87,45 +92,106 @@ object Ann {
     * assigned to its nearest centroid (ties → lower centroid id), queries
     * probe their `nProbe` nearest centroid buckets, exact top-k inside the
     * probed buckets. Centroids are always broadcast; the corpus streams. */
-  private def ivfSearch(v: DataFrame, cents: DataFrame, nProbe: Int, replicate: Int = 1): DataFrame = {
-    // Assign each vector to its `replicate` nearest centroids: broadcast the
-    // centroid set; rank-1 (exact IVF) uses max_by, rank-r (spill lists — a
-    // vector near a list boundary lands in both lists, buying recall for a
-    // bounded storage factor) uses a row_number window over centroid sim.
-    val assigned =
-      if (replicate <= 1)
-        v.crossJoin(broadcast(cents))
-          .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("bucket"))
-          .join(v, "vec_id")
-      else {
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("asim").desc, col("cent_id"))
-        v.crossJoin(broadcast(cents))
-          .withColumn("asim", VectorFns.cosine(col("vd"), col("cv")))
-          .withColumn("ark", row_number().over(wa))
-          .filter(col("ark") <= replicate)
-          .select(col("vec_id"), col("cent_id").as("bucket"))
-          .join(v, "vec_id")
+  /** Top-`m` centroids per row by (cosine DESC, cent_id ASC), computed as a
+    * STREAMING per-partition argmax over the broadcast centroid array —
+    * never as a crossJoin-then-rank. The relational form materializes the
+    * n×nlist expansion only to immediately reduce it: at the sf10 stress
+    * run that was 357M rows sorted under the window, a constant 10.7 GB of
+    * spill no partitioning could remove. Here each row holds an m-slot
+    * insertion list in registers; FLOPs are identical, the intermediate is
+    * gone. mapPartitions is justified by exactly this (SURVEY §4 preference
+    * (d)): no optimizer can elide a materialized expansion, and the same
+    * broadcast-loop shape already drives KMeans.fit. The cosine reproduces
+    * [[graft.functions.CosineSimilarity]]'s strict left fold term by term,
+    * so similarities — and therefore buckets and downstream hashes — are
+    * bit-identical to the expression form. */
+  private def topCentroids(rows: DataFrame, cents: DataFrame, m: Int,
+      outId: String): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val cArr = cents.select(col("cent_id").cast("long"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cArr)
+    val out = rows.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, vd) =>
+        // (sim desc, cent_id asc) top-m via insertion into m registers;
+        // strict > on ties keeps the earlier (lower) cent_id, matching the
+        // window's ORDER BY sim DESC, cent_id ASC exactly.
+        val bestSim = new Array[Double](m)
+        val bestId = new Array[Long](m)
+        var filled = 0
+        var ci = 0
+        while (ci < cs.length) {
+          val cv = cs(ci)._2
+          val n = math.min(vd.length, cv.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val xv = vd(i); val yv = cv(i)
+            dot += xv * yv; na += xv * xv; nb += yv * yv
+            i += 1
+          }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          var pos = filled
+          while (pos > 0 && sim > bestSim(pos - 1)) pos -= 1
+          if (pos < m) {
+            var j = math.min(filled, m - 1)
+            while (j > pos) { bestSim(j) = bestSim(j - 1); bestId(j) = bestId(j - 1); j -= 1 }
+            bestSim(pos) = sim; bestId(pos) = cs(ci)._1
+            if (filled < m) filled += 1
+          }
+          ci += 1
+        }
+        (0 until filled).map(r => (id, bestId(r)))
       }
+    }.toDF(outId, "bucket")
+    out
+  }
 
-    // Each query probes its nProbe nearest centroids.
+  private def ivfSearch(v: DataFrame, cents: DataFrame, nProbe: Int, replicate: Int = 1): DataFrame = {
+    // Assign each vector to its `replicate` nearest centroids (rank-1 =
+    // exact IVF; rank-2 = spill lists — a vector near a list boundary lands
+    // in both lists, buying recall for a bounded storage factor). IDS ONLY
+    // from here to the scoring join: vectors are 1 KB rows and every
+    // exchange/sort they ride through multiplies the working set — the r10
+    // stress run measured 11 GB of spill from a pair-dedup that carried
+    // both endpoint vectors.
+    val assigned = topCentroids(v.select(col("vec_id"), col("vd")), cents, replicate, "vec_id")
+
+    // Each query probes its nProbe nearest centroids. Queries are a bounded
+    // subset (one per 50 vectors), so (query_id, qv) re-attaches later by
+    // broadcast — the probe rows carry ids only.
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
-    val wc = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", VectorFns.cosine(col("qv"), col("cv")))
-      .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+    val probes = topCentroids(
+      q.select(col("query_id"), col("qv")), cents, nProbe, "query_id")
 
-    // Exact top-k inside the probed buckets only. With spill lists a
-    // (query, vector) pair can meet in more than one probed bucket —
-    // dedupe before ranking so top-k rows stay distinct neighbors.
-    val met0 = probes.join(assigned, "bucket")
+    // Candidate pairs from the probed buckets only. The bucket equi-join is
+    // salted UNCONDITIONALLY: k-means happily builds cells 10²× the mean,
+    // and an unsalted join puts one hot cell's whole |cell|·q_b pair set in
+    // a single task (measured 98.5 MB / 88 s straggler at the sf10 stress
+    // run). The vector side keys by (bucket, hash(vec_id) % SubSplit); the
+    // probe side is queries×nProbe rows, so replicating it ×SubSplit is
+    // free. Result is identical — every (query, vector) pair still meets
+    // exactly once — with per-task join work bounded by |cell|·q_b/SubSplit.
+    val assignedSalted = assigned.withColumn(
+      "__bsalt", pmod(xxhash64(col("vec_id")), lit(SubSplit.toLong)).cast("int"))
+    val probesSalted = probes.withColumn(
+      "__bsalt", explode(sequence(lit(0), lit(SubSplit - 1))))
+    // With spill lists a (query, vector) pair can meet in more than one
+    // probed bucket — dedupe (16-byte id pairs, hash-aggregatable — never
+    // the vector-carrying rows) before scoring so top-k rows stay distinct.
+    val met0 = probesSalted.join(assignedSalted, Seq("bucket", "__bsalt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("vd"))
-    val met = if (replicate <= 1) met0 else met0.dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"))
+    val metIds = if (replicate <= 1) met0 else met0.dropDuplicates("query_id", "vec_id")
+    // Score: corpus vectors join the id pairs on vec_id (the only wide
+    // exchange left — one copy of each candidate's vector), query vectors
+    // re-attach by broadcast, cosine in the join projection. The top-k
+    // windows downstream see (query_id, vec_id, sim) — 24-byte rows.
+    val met = metIds
+      .join(v, "vec_id")
+      .join(broadcast(q), "query_id")
     topK(met.withColumn("sim", VectorFns.cosine(col("qv"), col("vd"))))
   }
 

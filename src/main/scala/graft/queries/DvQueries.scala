@@ -284,7 +284,10 @@ object DvQueries {
   // (deferred-hashing note on [[ordersStagedHv]] — measured 1.6× on
   // dv_sat_current at sf1: 8-byte shuffle keys, 6M → 1.5M md5 calls).
   private def lineitemSatNat(s: SparkSession, dir: String): DataFrame =
-    Tables.loadSpread(s, dir, "lineitem").select(
+    // spreadBy the aggregation key: every consumer (current view, as-of,
+    // PIT) groups by __nk, so the hash fan-out IS the agg's distribution —
+    // one exchange total at test scale, no-op at production scale.
+    Tables.spreadBy(Tables.load(s, dir, "lineitem"), "l_orderkey").select(
       col("l_orderkey").as("__nk"),
       col("l_shipdate").as("load_dts"),
       lit(false).as("del_flag"),

@@ -289,9 +289,11 @@ class PlanSpec extends SparkSpec {
     val df = DvQueries.satCurrent(spark, dir)
     val p = plan(df)
     assert(!p.contains("Window"), p)
-    val exchange = p.indexOf("Exchange")
-    assert(exchange >= 0 && p.lastIndexOf("partial_max") > exchange,
-      s"partial aggregate below the exchange expected:\n$p")
     assert(!p.contains("max_by"), p)
+    // Test scale: the key-hash fan-out (Tables.spreadBy) IS the aggregation's
+    // distribution, so the whole latest-row runs off exactly ONE exchange —
+    // a groupBy that re-shuffled after the spread would show two.
+    assert("Exchange".r.findAllIn(p).size == 1, s"one exchange expected:\n$p")
+    assert(p.contains("partial_max"), p)
   }
 }
