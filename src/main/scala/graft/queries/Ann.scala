@@ -56,12 +56,7 @@ object Ann {
   }
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    // spread: the embeddings table is ~100 MB even at the sf10 stress scale,
-    // so Spark's split packing hands the WHOLE scan to 1-2 tasks — and with
-    // it the n×nlist centroid-assignment expansion that dominates search
-    // (measured as a 53 s single task / 10.7 GB spill straggler). One cheap
-    // row shuffle buys full-core parallelism; no-op on many-split inputs.
-    Tables.spread(Tables.load(s, dir, "embeddings"))
+    Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("vd"))
 
   /** Exact brute-force cosine top-k for the deterministic query subset
@@ -70,8 +65,10 @@ object Ann {
     val v = vecs(s, dir)
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
+    // spread the corpus side: the Q×N expansion is pure compute and a
+    // few-split scan would run it on 1-2 tasks; no-op at production scale.
     topK(
-      v.crossJoin(broadcast(q))
+      Tables.spread(v).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("sim", VectorFns.cosine(col("qv"), col("vd"))))
   }
@@ -104,15 +101,20 @@ object Ann {
     * broadcast-loop shape already drives KMeans.fit. The cosine reproduces
     * [[graft.functions.CosineSimilarity]]'s strict left fold term by term,
     * so similarities — and therefore buckets and downstream hashes — are
-    * bit-identical to the expression form. */
-  private def topCentroids(rows: DataFrame, cents: DataFrame, m: Int,
+    * bit-identical to the expression form.
+    *
+    * Spreads its input to full parallelism first: the argmax is pure
+    * compute (rows × |cents| cosine folds), and a few-split parquet scan
+    * would otherwise run it on 1-2 tasks. Shared with the SemDedup cell
+    * assignment ([[graft.queries.Dedup]]). */
+  private[graft] def topCentroids(rows: DataFrame, cents: DataFrame, m: Int,
       outId: String): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
     val cArr = cents.select(col("cent_id").cast("long"), col("cv"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cArr)
-    val out = rows.as[(Long, Array[Double])].mapPartitions { it =>
+    val out = Tables.spread(rows).as[(Long, Array[Double])].mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (id, vd) =>
         // (sim desc, cent_id asc) top-m via insertion into m registers;

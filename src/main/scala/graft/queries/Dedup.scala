@@ -950,10 +950,14 @@ object Dedup {
     * on [[dedupSemantic]]. Emits (vec_id, keeper_id) for every vector with
     * an in-window lower-id neighbor at cosine ≥ 0.95. */
   private[graft] def semanticKeepers(v: DataFrame, cents: DataFrame, depth: Int): DataFrame = {
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+    // Nearest-cell assignment via the streaming per-partition argmax shared
+    // with the IVF search (Ann.topCentroids, m=1) — the crossJoin+max_by
+    // form materialized the n×|cents| expansion (408M rows at sf10) only
+    // to reduce it, sorting ~10 GB through the aggregate. Ordering is
+    // (cosine DESC, cent_id ASC), exactly the old max_by(sim, -cent_id).
+    val assigned = Ann.topCentroids(
+        v.select(col("vec_id"), col("vd")), cents, m = 1, outId = "vec_id")
+      .withColumnRenamed("bucket", "cell")
       .join(v, "vec_id")
     val ranked = assigned.withColumn("r",
       row_number().over(
