@@ -99,7 +99,12 @@ object TextOps {
     * Ratio denominators are guarded (documents are non-empty, but the
     * operator shouldn't NaN on degenerate input). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    withQuality(docs(s, dir))
+    // spread: the per-row work (native word-boundary stopword scan + four
+    // character-class counts) is ~6x the other text ops', and the docs
+    // parquet packs into 1-2 splits at bench scale — measured 2.6 s
+    // single-task at sf1 where every sibling op stays at the floor.
+    // No-op on many-split inputs.
+    withQuality(Tables.spread(docs(s, dir)))
       .select(
         col("doc_id"), col("n_chars"), col("n_words"), col("chars_per_word"),
         col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),

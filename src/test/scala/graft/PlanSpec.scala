@@ -128,9 +128,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("dedup_semantic: centroids broadcast for assignment") {
+  test("dedup_semantic: streaming argmax assignment — no crossJoin expansion in the plan") {
+    // Cell assignment runs as a per-partition argmax over the broadcast
+    // centroid array (Ann.topCentroids): the n×|cents| crossJoin-then-rank
+    // expansion (10 GB of window-sort spill at sf10) must never come back.
     val p = plan(graft.queries.Dedup.dedupSemantic(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
   }
 
   test("corpus_vocab: top-k plans as TakeOrderedAndProject (no global sort)") {
