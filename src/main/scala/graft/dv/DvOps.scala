@@ -57,7 +57,11 @@ object DvOps {
     * arbitrary-row pick — strictly more deterministic, same latest-row
     * semantics, bit-identical on any corpus without full-row duplicates. */
   def latestRowsProjected(sat: DataFrame, hk: String, payload: Seq[String]): DataFrame = {
-    val ordCols = Seq("load_dts", "run_id", "hash_diff")
+    // hash_diff participates in the ordering only as the final tiebreak;
+    // callers whose (load_dts, run_id) is already unique per key may defer
+    // its computation below this aggregation entirely (and so omit the
+    // column) — the ordering prefix simply shortens.
+    val ordCols = Seq("load_dts", "run_id", "hash_diff").filter(sat.columns.contains)
     val rest = payload.filterNot(ordCols.contains)
     sat
       .groupBy(col(hk))

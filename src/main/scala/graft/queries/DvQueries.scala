@@ -280,9 +280,14 @@ object DvQueries {
 
   // Lineitem-as-versioned-satellite: hk from l_orderkey, version time =
   // l_shipdate. Keyed on the natural long key (`__nk`); callers run the
-  // latest-row/PIT aggregation on it and hash only the ~1-per-key winners
-  // (deferred-hashing note on [[ordersStagedHv]] — measured 1.6× on
-  // dv_sat_current at sf1: 8-byte shuffle keys, 6M → 1.5M md5 calls).
+  // latest-row/PIT aggregation on it, deferring what's deferrable below
+  // the aggregation: the key hash (8-byte shuffle keys, 6M → 1.5M md5
+  // calls — measured 1.6× at sf1) and the constant audit columns.
+  // hash_diff is NOT deferrable: it is the final ordering tiebreak and the
+  // corpus really reaches it — (l_shipdate, l_linenumber) ties within an
+  // order exist in the driver data (8 groups at sf0.01; an earlier attempt
+  // to defer the md5 below the aggregation picked different winners and
+  // hash-mismatched the oracle).
   private def lineitemSatNat(s: SparkSession, dir: String): DataFrame =
     // spreadBy the aggregation key: every consumer (current view, as-of,
     // PIT) groups by __nk, so the hash fan-out IS the agg's distribution —
@@ -290,19 +295,21 @@ object DvQueries {
     Tables.spreadBy(Tables.load(s, dir, "lineitem"), "l_orderkey").select(
       col("l_orderkey").as("__nk"),
       col("l_shipdate").as("load_dts"),
-      lit(false).as("del_flag"),
       HashGen.hashCols(Seq(col("l_partkey"), col("l_linenumber")), Algo).as("hash_diff"),
-      lit("seed").as("record_source"),
       col("l_linenumber").cast("long").as("run_id"),
       col("l_partkey"), col("l_suppkey"), col("l_quantity")
     )
 
-  /** Hash `__nk` into `order_hk` and restore the satellite column order. */
+  /** Post-aggregation projection: hash `__nk` into `order_hk`, attach the
+    * constant audit columns, restore the satellite column order. */
   private def hashNk(df: DataFrame): DataFrame =
     df.select(
       HashGen.hashCols(Seq(col("__nk")), Algo).as("order_hk"),
-      col("load_dts"), col("del_flag"), col("hash_diff"),
-      col("record_source"), col("run_id"),
+      col("load_dts"),
+      lit(false).as("del_flag"),
+      col("hash_diff"),
+      lit("seed").as("record_source"),
+      col("run_id"),
       col("l_partkey"), col("l_suppkey"), col("l_quantity"))
 
   private val lineitemSatSqlCte: String =
