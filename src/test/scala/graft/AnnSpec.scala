@@ -40,6 +40,36 @@ class AnnSpec extends SparkSpec {
     assert(approx.size == brute.size)
   }
 
+  test("topCentroids: bit-equal to the crossJoin+rank window form, ties included") {
+    // The streaming per-partition argmax replaced a crossJoin-then-rank
+    // window; its m-slot insertion must reproduce the window's ordering
+    // (cosine DESC, cent_id ASC) EXACTLY, including ties — a strict-`>`
+    // comparison keeps the earlier (lower) cent_id, which is what the
+    // window's ASC tiebreak picks. Duplicate centroids force real ties.
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns
+    val vecs = spark.range(0, 300)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => ((col("id") * 37 % 101) + i * (col("id") % 13)).cast("double")).as("vd"))
+    // 12 centroids, of which 4 are duplicates of earlier ones (exact ties)
+    val cents = spark.range(0, 12)
+      .select(col("id").as("cent_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (((col("id") % 8) * 29 % 53) + i).cast("double")).as("cv"))
+    for (m <- Seq(1, 2, 3)) {
+      val fast = Ann.topCentroids(vecs, cents, m, "vec_id")
+        .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toSet
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+      val slow = vecs.crossJoin(broadcast(cents))
+        .withColumn("sim", VectorFns.cosine(col("vd"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= m)
+        .select(col("vec_id"), col("cent_id")).as[(Long, Long)].collect().toSet
+      assert(fast == slow, s"m=$m: ${(fast diff slow).take(5)} / ${(slow diff fast).take(5)}")
+    }
+  }
+
   test("knn_ivf_kmeans_search: freezes centroids and searches them consistently") {
     val out = Ann.knnIvfKmeansSearch(spark, dir)
       .select("query_id", "neighbor_id", "rk").as[(Long, Long, Long)].collect()
