@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Hash-based typed aggregates (graft_latest, graft_topk, collect_set)
+      // stay in ObjectHashAggregate's map up to 1M keys per task (~a few
+      // hundred MB worst case) before the sort-based fallback — the 128-key
+      // default would demote every large aggregation to a sort from row 129.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,6 +38,21 @@ object Tables {
     if (df.inputFiles.length < target) df.repartition(target, keys.map(df.col): _*) else df
   }
 
+  /** Repartition by `keys` UNCONDITIONALLY — for a keyed aggregation over
+    * an input whose file layout is not clustered by the key (ad-hoc scans;
+    * the scaled bench corpora are written round-robin). On such layouts the
+    * classic partial→exchange→final shape buys nothing: map-side combine
+    * collapses ~nothing (each task sees almost only distinct keys), so the
+    * exchange ships ≈ the raw rows anyway — while the partial stage still
+    * pays a full sort (SortAggregate) or blows past a hash map's fallback
+    * threshold. One raw-row shuffle up front IS the aggregation's
+    * distribution: the agg then runs partition-local with per-task key
+    * cardinality = |keys|/partitions, hash-based end to end. Inputs that
+    * ARE clustered by the key (bucketed lake tables) should not use this —
+    * their natural layout makes the partial stage combine. */
+  def clusterBy(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(keys.map(df.col): _*)
+
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and
     * convert to a microsecond timestamp with exact integer arithmetic

@@ -56,6 +56,15 @@ object DvOps {
     * resolve deterministically by the remaining fields instead of max_by's
     * arbitrary-row pick — strictly more deterministic, same latest-row
     * semantics, bit-identical on any corpus without full-row duplicates. */
+  /** [[graft.functions.MaxStruct]] as a Column — hash-based latest-row
+    * aggregation (ObjectHashAggregate) instead of the SortAggregate Spark
+    * plans for declarative max over a struct buffer. Ordering identical to
+    * `max(struct(...))`. */
+  private def maxStruct(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MaxStruct(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)).toAggregateExpression())
+
   def latestRowsProjected(sat: DataFrame, hk: String, payload: Seq[String]): DataFrame = {
     // hash_diff participates in the ordering only as the final tiebreak;
     // callers whose (load_dts, run_id) is already unique per key may defer
@@ -65,7 +74,7 @@ object DvOps {
     val rest = payload.filterNot(ordCols.contains)
     sat
       .groupBy(col(hk))
-      .agg(max(struct((ordCols ++ rest).map(col): _*)).as("__r"))
+      .agg(maxStruct(struct((ordCols ++ rest).map(col): _*)).as("__r"))
       .select(col(hk) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 

@@ -105,3 +105,94 @@ case class TopKDoubles(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKDoubles =
     copy(child = newChildren.head)
 }
+
+/** `graft_latest(struct)` — max over an orderable struct as a TYPED
+  * IMPERATIVE aggregate, so the planner picks ObjectHashAggregate (a hash
+  * map of per-key buffers) instead of the SortAggregate that Spark 4
+  * forces on every declarative min/max with a var-length buffer
+  * (struct/string/binary). For the latest-row-per-key shape that
+  * difference is the whole story at scale: SortAggregate SORTS the full
+  * input on both sides of the exchange (measured 7.7 GB of sort spill on
+  * dv_sat_current's 60M-row history at the sf10/16 GiB stress run), while
+  * the hash map does one insert per first-seen key and one struct compare
+  * per repeat — and struct compares only happen on key collisions, so the
+  * interpreted ordering is off the hot path.
+  *
+  * Ordering is Spark's own struct ordering (field by field, left to
+  * right), identical to `max(struct(...))` — callers put the version
+  * ordering prefix first and the payload after, exactly as
+  * [[graft.dv.DvOps.latestRowsProjected]] documents. NULL structs are
+  * skipped; an all-null group evaluates to NULL.
+  *
+  * Memory posture: the per-task map holds one compact UnsafeRow per
+  * distinct key. Callers must size
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to the
+  * per-task key cardinality they can afford (the repo's session builders
+  * use 1M ≈ a few hundred MB worst case per task); past the threshold the
+  * operator falls back to sort-based aggregation for the remaining input —
+  * the exact behavior SortAggregate has from row one, so the fallback is
+  * never worse than the shape it replaces. */
+case class MaxStruct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.sql.catalyst.expressions.UnsafeRow] {
+
+  private def structType = child.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_latest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: org.apache.spark.sql.types.StructType
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an orderable struct argument, got ${other.catalogString}")
+  }
+
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(structType)
+
+  override def createAggregationBuffer(): org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+
+  override def update(
+      buf: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      input: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val row = v.asInstanceOf[InternalRow]
+      if (buf == null || ord.compare(row, buf) > 0) toUnsafe(row).copy() else buf
+    }
+  }
+
+  override def merge(
+      a: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      b: org.apache.spark.sql.catalyst.expressions.UnsafeRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow =
+    if (b == null) a else if (a == null || ord.compare(b, a) > 0) b else a
+
+  override def eval(buf: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Any = buf
+
+  override def serialize(buf: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else buf.getBytes
+
+  override def deserialize(bytes: Array[Byte]): org.apache.spark.sql.catalyst.expressions.UnsafeRow =
+    if (bytes.isEmpty) null
+    else {
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(structType.size)
+      row.pointTo(bytes, bytes.length)
+      row
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MaxStruct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MaxStruct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MaxStruct =
+    copy(child = newChildren.head)
+}

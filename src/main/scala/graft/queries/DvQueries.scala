@@ -289,10 +289,13 @@ object DvQueries {
   // to defer the md5 below the aggregation picked different winners and
   // hash-mismatched the oracle).
   private def lineitemSatNat(s: SparkSession, dir: String): DataFrame =
-    // spreadBy the aggregation key: every consumer (current view, as-of,
-    // PIT) groups by __nk, so the hash fan-out IS the agg's distribution —
-    // one exchange total at test scale, no-op at production scale.
-    Tables.spreadBy(Tables.load(s, dir, "lineitem"), "l_orderkey").select(
+    // clusterBy the aggregation key: every consumer (current view, as-of,
+    // PIT) groups by __nk, so the one key-hash shuffle IS the agg's
+    // distribution — the latest-row then runs partition-local and
+    // hash-based (see Tables.clusterBy for why this beats partial+exchange
+    // on the unclustered layouts these files have; a bucketed vault table
+    // would skip it via its own layout).
+    Tables.clusterBy(Tables.load(s, dir, "lineitem"), "l_orderkey").select(
       col("l_orderkey").as("__nk"),
       col("l_shipdate").as("load_dts"),
       HashGen.hashCols(Seq(col("l_partkey"), col("l_linenumber")), Algo).as("hash_diff"),

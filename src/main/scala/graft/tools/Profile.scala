@@ -11,6 +11,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     // Mirror Bench's AQE exchange sizing when asked, to reproduce bench
     // behavior exactly (SPARK_GRAFT_INIT_PARTS=512 etc.).
     sys.env.get("SPARK_GRAFT_INIT_PARTS").foreach { n =>

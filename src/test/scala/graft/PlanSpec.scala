@@ -298,6 +298,12 @@ class PlanSpec extends SparkSpec {
     // distribution, so the whole latest-row runs off exactly ONE exchange —
     // a groupBy that re-shuffled after the spread would show two.
     assert("Exchange".r.findAllIn(p).size == 1, s"one exchange expected:\n$p")
-    assert(p.contains("partial_max"), p)
+    // graft_latest is a typed imperative aggregate precisely so the planner
+    // picks the hash-based ObjectHashAggregate — a declarative struct max
+    // would silently demote the whole operator to SortAggregate (which
+    // sorts the full 60M-row history on both sides of the exchange).
+    assert(p.contains("graft_latest"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
   }
 }

@@ -12,6 +12,7 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .getOrCreate()
 }
 
