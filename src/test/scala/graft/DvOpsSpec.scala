@@ -28,6 +28,39 @@ class DvOpsSpec extends SparkSpec {
     assert(out == Map("k1" -> "new", "k2" -> "b"))
   }
 
+  test("graft_latest: equal to the sort-window latest across many keys, ties, and partitions") {
+    // The typed struct-max (ObjectHashAggregate path) must agree with the
+    // row_number window formulation row for row, including ordering ties
+    // resolved by hash_diff and groups split across many partitions (so
+    // both update() and merge()/serialize() paths run). 500 keys x up to 7
+    // versions, deterministic pseudo-random attributes.
+    import org.apache.spark.sql.expressions.Window
+    val rows = for {
+      k <- 0 until 500
+      v <- 0 to (k % 7)
+    } yield (
+      s"k$k",
+      ts(f"2026-01-${1 + (v * 3 + k) % 27}%02d 00:00:00"),
+      false,
+      s"h${(k * 31 + v * 17) % 11}", // collisions -> real hash_diff ties
+      ((k + v) % 3).toLong,
+      s"p$k-$v")
+    val df = rows
+      .toDF("hk", "load_dts", "del_flag", "hash_diff", "run_id", "payload")
+      .withColumn("record_source", lit("seed"))
+      .repartition(16)
+    val fast = DvOps.latestRows(df, "hk")
+      .select("hk", "load_dts", "hash_diff", "run_id", "payload")
+      .as[(String, Timestamp, String, Long, String)].collect().toSet
+    val w = Window.partitionBy(col("hk"))
+      .orderBy(col("load_dts").desc, col("run_id").desc, col("hash_diff").desc, col("payload").desc)
+    val slow = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("hk", "load_dts", "hash_diff", "run_id", "payload")
+      .as[(String, Timestamp, String, Long, String)].collect().toSet
+    assert(fast == slow,
+      s"diff: ${(fast diff slow).take(3)} / ${(slow diff fast).take(3)}")
+  }
+
   test("satNewRows inserts new keys, changed payloads, and re-activations only") {
     val existing = sat(
       ("k1", "2026-01-01 00:00:00", false, "same", 1L, "p1"),
