@@ -13,6 +13,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      // NTZ event timestamps are cast to session-zone instants
+      // (Tables.normalizeTs) — every entrypoint must pin UTC or a non-UTC
+      // host shifts hour buckets and session windows.
+      .config("spark.sql.session.timeZone", "UTC")
       // Let AQE SIZE each exchange instead of pinning it to the core count:
       // exchanges start at 16×cores partitions and coalesce down to ~cores
       // when map output is small (same task count as before for sf0.1), but
@@ -92,18 +96,25 @@ object Bench {
         }
       }
       val sorted = times.sorted
-      name -> sorted(sorted.length / 2)
+      // Keep BOTH the median (the headline, robust to one bad rep) and the
+      // min (the noise floor): this host's co-tenant load swings same-code
+      // timings 2-3×, and a single archived number keeps manufacturing
+      // phantom regressions — median vs min lets the round judge separate
+      // a real slowdown (min moved) from scheduler noise (only median did).
+      name -> (sorted(sorted.length / 2), sorted.head)
     }
     // 3-decimal (1 ms) timings: raw doubles pushed the one-line JSON past
     // the ~2 KB stdout tail the driver archives, decapitating the line and
     // leaving the round artifact unparseable (BENCH_r07 lesson). 1 ms is
     // below this machine's run-to-run noise floor anyway.
     def ms3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => jstr(k) + ":" + ms3(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (med, _)) => jstr(k) + ":" + ms3(med) }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, mn)) => jstr(k) + ":" + ms3(mn) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_min":${ms3(totalMin)},"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     // Durable sidecar copy — survives any stdout truncation. Default path
     // is keyed by the data dir so back-to-back sf0.1/sf1 runs don't
     // clobber each other's recovery copy.
@@ -125,7 +136,7 @@ object Bench {
     // always parses — per-query timings live in the full line above (tail
     // holds all but its first few entries) and in the durable sidecar.
     val compact =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)},"queries_file":${jstr(out)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_min":${ms3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)},"queries_file":${jstr(out)}}"""
     println(compact)
     System.out.flush()
     if (errors.nonEmpty) {

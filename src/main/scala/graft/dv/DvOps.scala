@@ -65,12 +65,24 @@ object DvOps {
       graft.functions.MaxStruct(
         org.apache.spark.sql.GraftColumnBridge.expression(c)).toAggregateExpression())
 
-  def latestRowsProjected(sat: DataFrame, hk: String, payload: Seq[String]): DataFrame = {
-    // hash_diff participates in the ordering only as the final tiebreak;
-    // callers whose (load_dts, run_id) is already unique per key may defer
-    // its computation below this aggregation entirely (and so omit the
-    // column) — the ordering prefix simply shortens.
-    val ordCols = Seq("load_dts", "run_id", "hash_diff").filter(sat.columns.contains)
+  /** The default version ordering: latest `load_dts` wins, `run_id` then
+    * `hash_diff` break ties deterministically. */
+  val DefaultOrdering: Seq[String] = Seq("load_dts", "run_id", "hash_diff")
+
+  def latestRowsProjected(
+      sat: DataFrame, hk: String, payload: Seq[String],
+      ordering: Seq[String] = DefaultOrdering): DataFrame = {
+    // The ordering is an EXPLICIT contract, not inferred from the schema: a
+    // typo'd or mis-projected satellite must fail analysis loudly, not
+    // silently degrade to payload-order tiebreaks. Callers whose
+    // (load_dts, run_id) is already unique per key may opt in to a shorter
+    // prefix by passing it — load_dts always leads (it DEFINES "latest").
+    require(ordering.headOption.contains("load_dts"),
+      s"latestRows ordering must start with load_dts, got $ordering")
+    val missingOrd = ordering.filterNot(sat.columns.contains)
+    require(missingOrd.isEmpty,
+      s"latestRows ordering columns $missingOrd absent from satellite schema ${sat.columns.toSeq}")
+    val ordCols = ordering
     val rest = payload.filterNot(ordCols.contains)
     sat
       .groupBy(col(hk))

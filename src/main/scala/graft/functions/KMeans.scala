@@ -44,8 +44,13 @@ object KMeans {
         .zipWithIndex()
         .filter { case (_, r) => r % stride == 0 && r < stride * k }
         .map(_._1).collect().toSet
-      var centroids = data
-        .filter(t => seedIds.contains(t._1))
+      // Ids are not REQUIRED to be unique by this contract: a duplicated id
+      // would pull every row sharing it and seed >k centroids (changing kk
+      // and the trained index shape). Keep exactly one deterministic row
+      // per seed id — the lexicographically smallest vector.
+      var centroids = data.rdd
+        .filter { case (id, _) => seedIds.contains(id) }
+        .reduceByKey((a, b) => if (lexLte(a, b)) a else b)
         .collect().sortBy(_._1).map(_._2)
 
       val sc = spark.sparkContext
@@ -96,6 +101,20 @@ object KMeans {
       j += 1
     }
     best
+  }
+
+  /** Total lexicographic order on vectors (java.lang.Double.compare per
+    * element, shorter prefix first) — the deterministic tie-break for
+    * duplicate seed ids. */
+  private def lexLte(a: Array[Double], b: Array[Double]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Double.compare(a(i), b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length <= b.length
   }
 
   private def normalize(v: Array[Double]): Array[Double] = {

@@ -101,12 +101,31 @@ object Ann {
     * broadcast-loop shape already drives KMeans.fit. The cosine reproduces
     * [[graft.functions.CosineSimilarity]]'s strict left fold term by term,
     * so similarities — and therefore buckets and downstream hashes — are
-    * bit-identical to the expression form.
+    * bit-identical to the expression form. Degenerate similarities keep the
+    * window's semantics too: a zero-norm vector or centroid yields NaN
+    * (0/0), which Spark's `ORDER BY sim DESC` sorts FIRST (NaN is greatest
+    * in its total order, while -0.0 ties +0.0 after UnsafeRow
+    * normalization) — [[simGt]] mirrors exactly that. Out of contract:
+    * NULL array elements (the typed encoder rejects them, where the
+    * expression form skipped the element) — embeddings are dense
+    * non-null vectors by schema (`containsNull=false` on write).
     *
     * Spreads its input to full parallelism first: the argmax is pure
     * compute (rows × |cents| cosine folds), and a few-split parquet scan
     * would otherwise run it on 1-2 tasks. Shared with the SemDedup cell
     * assignment ([[graft.queries.Dedup]]). */
+  /** "Strictly greater" in the ordering Spark's sort uses for doubles:
+    * NaN is GREATEST (so `ORDER BY sim DESC` lists it first) and ties —
+    * including NaN-vs-NaN and -0.0-vs-+0.0 (UnsafeRow normalizes -0.0
+    * away before any sort sees it) — are NOT greater, so the insertion
+    * keeps the earlier (lower) cent_id, exactly the window's ASC
+    * tiebreak. Neither primitive `>` (loses NaN entirely) nor
+    * java.lang.Double.compare (splits the -0.0 tie) matches alone. */
+  @inline private def simGt(a: Double, b: Double): Boolean =
+    if (a != a) b == b // a is NaN: greater than anything except NaN
+    else if (b != b) false // b is NaN, a is real: never greater
+    else a > b // real vs real: -0.0 == 0.0, ties keep the earlier slot
+
   private[graft] def topCentroids(rows: DataFrame, cents: DataFrame, m: Int,
       outId: String): DataFrame = {
     val s = rows.sparkSession
@@ -135,7 +154,7 @@ object Ann {
           }
           val sim = dot / (math.sqrt(na) * math.sqrt(nb))
           var pos = filled
-          while (pos > 0 && sim > bestSim(pos - 1)) pos -= 1
+          while (pos > 0 && simGt(sim, bestSim(pos - 1))) pos -= 1
           if (pos < m) {
             var j = math.min(filled, m - 1)
             while (j > pos) { bestSim(j) = bestSim(j - 1); bestId(j) = bestId(j - 1); j -= 1 }

@@ -41,6 +41,9 @@ object StressBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Pin UTC like Bench/Verify: NTZ→LTZ casts in Tables.normalizeTs are
+      // wall-clock-identity only under a UTC session zone.
+      .config("spark.sql.session.timeZone", "UTC")
       // Same declarative partition sizing as Bench: exchanges start wide and
       // AQE coalesces by map-output size, so partition count follows DATA.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
@@ -80,7 +83,15 @@ object StressBench {
       else Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_clusters",
         "dedup_semantic", "dedup_simhash", "knn_ivf_kmeans_search",
         "events_interval_join", "events_sessions", "dv_sat_delta",
-        "dv_sat_current", "q1_pricing", "q9_profit")
+        "dv_sat_current", "q1_pricing", "q9_profit",
+        // Key-cardinality-bound operators (not shuffle-byte-bound): global
+        // prefix sums, histogram-pruned exact quantiles, the typed heap
+        // aggregate through the 1M-key ObjectHashAggregate threshold, the
+        // funnel's per-user ordered scan, and one real state-store
+        // streaming row — the worst case here is per-task key count, which
+        // the shuffle-heavy set above never stresses.
+        "corpus_pack", "events_quantiles", "topk_spend_per_cust",
+        "events_funnel", "events_stream_hourly")
 
     val rows = names.map { name =>
       agg = new Agg

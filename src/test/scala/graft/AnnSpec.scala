@@ -43,20 +43,25 @@ class AnnSpec extends SparkSpec {
   test("topCentroids: bit-equal to the crossJoin+rank window form, ties included") {
     // The streaming per-partition argmax replaced a crossJoin-then-rank
     // window; its m-slot insertion must reproduce the window's ordering
-    // (cosine DESC, cent_id ASC) EXACTLY, including ties — a strict-`>`
-    // comparison keeps the earlier (lower) cent_id, which is what the
-    // window's ASC tiebreak picks. Duplicate centroids force real ties.
+    // (cosine DESC, cent_id ASC) EXACTLY, including ties — the simGt
+    // comparator keeps the earlier (lower) cent_id on ties, which is what
+    // the window's ASC tiebreak picks. Duplicate centroids force real
+    // ties; vec_id 0 is the all-zero vector (every sim NaN — total tie),
+    // and cent_id 9 is the all-zero CENTROID, which gives every nonzero
+    // vector a NaN sim amid real ones — the window sorts that NaN first
+    // (greatest), so the insertion must let NaN displace real sims too.
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFns
     val vecs = spark.range(0, 300)
       .select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(7)),
           i => ((col("id") * 37 % 101) + i * (col("id") % 13)).cast("double")).as("vd"))
-    // 12 centroids, of which 4 are duplicates of earlier ones (exact ties)
+    // 12 centroids: 4 duplicates of earlier ones (exact ties), one all-zero
     val cents = spark.range(0, 12)
       .select(col("id").as("cent_id"),
         transform(sequence(lit(0), lit(7)),
-          i => (((col("id") % 8) * 29 % 53) + i).cast("double")).as("cv"))
+          i => when(col("id") === 9, lit(0.0))
+            .otherwise((((col("id") % 8) * 29 % 53) + i).cast("double"))).as("cv"))
     for (m <- Seq(1, 2, 3)) {
       val fast = Ann.topCentroids(vecs, cents, m, "vec_id")
         .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toSet
