@@ -26,18 +26,6 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     spread(load(spark, dir, name))
 
-  /** [[spread]] for inputs whose consumer aggregates/joins on `keys`: fan
-    * out by HASH of the keys, not round-robin, so the one fan-out exchange
-    * already satisfies the consumer's clustering requirement — the groupBy
-    * plans with NO second exchange, and all same-key rows land together
-    * (round-robin scatters them, which also kills map-side combine). Same
-    * production-scale guard: many-split inputs pass through untouched and
-    * keep the natural partial-agg → exchange plan. */
-  def spreadBy(df: DataFrame, keys: String*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target, keys.map(df.col): _*) else df
-  }
-
   /** Repartition by `keys` UNCONDITIONALLY — for a keyed aggregation over
     * an input whose file layout is not clustered by the key (ad-hoc scans;
     * the scaled bench corpora are written round-robin). On such layouts the
@@ -49,9 +37,25 @@ object Tables {
     * distribution: the agg then runs partition-local with per-task key
     * cardinality = |keys|/partitions, hash-based end to end. Inputs that
     * ARE clustered by the key (bucketed lake tables) should not use this —
-    * their natural layout makes the partial stage combine. */
+    * their natural layout makes the partial stage combine.
+    *
+    * The partition count is EXPLICIT — `ClusterWaves ×` the cluster's core
+    * count — rather than AQE-sized. AQE's parallelism-first coalescing
+    * targets one WAVE (partition bytes = total/cores), which is the right
+    * floor for IO-bound reads but exactly wrong for the CPU-bound keyed
+    * aggregations that sit on top of this exchange: one wave makes every
+    * reduce task wall-sized (the sf10 stress run put 52 MB / 13 s in each
+    * of 32 single-wave tasks on dv_sat_current), so one slow core drags
+    * the whole stage and the per-task hash map holds keys/cores entries.
+    * Multiple fixed waves bound straggler damage to a wave, shrink the
+    * per-task map 4×, and on a real cluster scale with executor count —
+    * the standard 2-4 tasks-per-core sizing. */
+  val ClusterWaves = 4
+
   def clusterBy(df: DataFrame, keys: String*): DataFrame =
-    df.repartition(keys.map(df.col): _*)
+    df.repartition(
+      ClusterWaves * df.sparkSession.sparkContext.defaultParallelism,
+      keys.map(df.col): _*)
 
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and

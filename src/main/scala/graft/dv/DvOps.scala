@@ -5,6 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
+
 /** Load metadata attached to every vault row (mirrors the reference's
   * `load_dts, record_source, run_id` audit columns). */
 final case class LoadContext(loadDts: Timestamp, recordSource: String, runId: Long)
@@ -193,7 +195,15 @@ object DvOps {
       lit(0).as("__src")
     )
     val isSat = col("__src") === 0
-    val grouped = satRows.unionAll(stagedRows)
+    // Key-cluster the union BEFORE the groupBy (same posture as the
+    // current-view family, Tables.clusterBy): on the unclustered layouts
+    // these inputs have, the map-side partial of this aggregation collapses
+    // ~nothing but still allocates a per-key (set + struct-max) buffer for
+    // nearly every input row — measured as the dominant cost of the sf10
+    // delta load (the 22M-row partial burned 226 s of task CPU against the
+    // reduce's 125 s). Clustered first, the partial's buffers collapse
+    // per-key and the whole aggregation runs at ClusterWaves granularity.
+    val grouped = Tables.clusterBy(satRows.unionAll(stagedRows), satHk)
       .groupBy(col(satHk))
       .agg(
         // Single struct with the ordering prefix leading (same reasoning as

@@ -153,21 +153,47 @@ case class MaxStruct(
       s"$prettyName requires an orderable struct argument, got ${other.catalogString}")
   }
 
+  // Buffers and candidates are FLAT field rows (struct fields at the top
+  // level), so one codegen'd ordering over `structType` serves update and
+  // merge alike. Codegen'd natural ascending ordering == the interpreted
+  // struct ordering (field by field, NaN greatest, nulls first) — pinned by
+  // AggSpec's property test against the sort-window formulation.
   @transient private lazy val ord =
-    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
+    org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering.create(structType)
   @transient private lazy val toUnsafe =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(structType)
+
+  /** Hot-path projection: when the child is a literal struct constructor
+    * (every repo caller — [[graft.dv.DvOps.latestRowsProjected]] builds
+    * `struct(ordering..., payload...)`), evaluate the FIELD expressions
+    * straight off the input row through one codegen'd UnsafeProjection —
+    * skipping the interpreted CreateNamedStruct eval that boxes every
+    * field into a GenericInternalRow per input row, and landing directly
+    * in the flat UnsafeRow layout the buffer uses (no second projection
+    * on a win). Any other child shape falls back to eval + project. */
+  @transient private lazy val fastProj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection =
+    child match {
+      case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(cns.valExprs)
+      case _ => null
+    }
 
   override def createAggregationBuffer(): org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
 
   override def update(
       buf: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
       input: InternalRow): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
-    val v = child.eval(input)
-    if (v == null) buf
-    else {
-      val row = v.asInstanceOf[InternalRow]
-      if (buf == null || ord.compare(row, buf) > 0) toUnsafe(row).copy() else buf
+    if (fastProj ne null) {
+      // CreateNamedStruct is never null-valued, so no null skip on this path.
+      val row = fastProj(input)
+      if (buf == null || ord.compare(row, buf) > 0) row.copy() else buf
+    } else {
+      val v = child.eval(input)
+      if (v == null) buf
+      else {
+        val row = v.asInstanceOf[InternalRow]
+        if (buf == null || ord.compare(row, buf) > 0) toUnsafe(row).copy() else buf
+      }
     }
   }
 

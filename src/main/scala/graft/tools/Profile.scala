@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling main for bench outlier analysis (not part of the
@@ -20,8 +22,34 @@ object Profile {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-stage breakdown (PROF_STAGES=1): where a query's wall time lands —
+    // scan vs exchange-read vs reduce — straight from the task-end stream.
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    if (sys.env.contains("PROF_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val a = stages.computeIfAbsent(t.stageId, _ => new Array[Long](5))
+            a.synchronized {
+              a(0) += 1; a(1) += m.executorRunTime
+              a(2) = math.max(a(2), m.executorRunTime)
+              a(3) += m.shuffleReadMetrics.totalBytesRead
+              a(4) += m.inputMetrics.bytesRead
+            }
+          }
+        }
+      })
+    }
     def t(label: String)(f: => Unit): Unit = {
+      stages.clear()
       val t0 = System.nanoTime(); f; println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (!stages.isEmpty) {
+        Thread.sleep(300)
+        stages.asScala.toSeq.sortBy(_._1).foreach { case (id, a) =>
+          println(f"[prof]   stage $id%3d: tasks=${a(0)}%4d cpuSum=${a(1) / 1000.0}%7.1f s maxTask=${a(2) / 1000.0}%5.1f s shufRead=${a(3) / 1048576.0}%7.1f MB input=${a(4) / 1048576.0}%7.1f MB")
+        }
+      }
     }
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
