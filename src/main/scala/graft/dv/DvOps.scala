@@ -159,76 +159,64 @@ object DvOps {
       satHk: String,
       ctx: LoadContext
   ): DataFrame = {
-    // ONE shuffle (measured at sf1 vs the anti-join + distinct shape this
-    // replaces, which crossed the wire three times: probe aggregation,
-    // join, output dedup). Both halves of the delta check are per-key
-    // aggregations — "latest active (hash_diff, del_flag) for the key" and
-    // "distinct staged (hash_diff, payload) for the key" — so tag a union
-    // of the narrow satellite rows and the staged batch and compute both in
-    // a single groupBy(hk):
-    //   * the probe is a struct max over satellite-tagged rows only (staged
-    //     rows carry a null struct, which max skips);
-    //   * the staged dedup is collect_set over staged-tagged rows only
-    //     (satellite rows carry null, which collect_set skips). Same
-    //     (hk, hash_diff) implies same payload (hash_diff is the payload
-    //     hash), so set-of-structs dedup ≡ the old output distinct().
-    // Per-key staged cardinality is batch-bounded (a handful of versions),
-    // so the sets stay small no matter the corpus size.
+    // Two co-partitioned branches, one wave-granular key shuffle each, no
+    // object-buffer aggregation anywhere:
+    //   * probe  — latest active (hash_diff, del_flag) per key over the
+    //     narrow satellite rows: graft_latest (hash-based ObjectHash-
+    //     Aggregate, codegen'd update) on a key-clustered input;
+    //   * staged — distinct (key, hash_diff, payload): a group-keys-only
+    //     HashAggregate over UnsafeRow maps (same (hk, hash_diff) implies
+    //     same payload — hash_diff IS the payload hash — so full-row
+    //     distinct ≡ a per-key set of (hash_diff, payload));
+    //   * join   — staged ⟕ probe on the key, then the reference's
+    //     INSERT_SAT_NEW predicate.
+    // Neither aggregation re-shuffles above its clusterBy (HashPartitioning
+    // on hk satisfies both the probe's groupBy(hk) and the staged
+    // distinct's wider grouping), and the join sees two co-partitioned
+    // sides — so the wire cost is the two narrow inputs, once each, same
+    // bytes as the previous union-then-one-groupBy shape. What this
+    // replaces is that shape's struct-max + collect_set aggregation, whose
+    // per-key OBJECT buffers (a hash set of struct copies, serialized
+    // across the adjacent partial/final boundary even with no exchange
+    // between) were the dominant CPU of the sf10 delta load. Per-key
+    // staged cardinality is batch-bounded, so every structure here is
+    // wave-bounded by construction.
     val payload = struct(fields.map { case (s, t) => col(s).as(t) }: _*)
-    val stagedRows = hashView.select(
-      col(hkSource).as(satHk),
-      lit(null).cast("timestamp").as("load_dts"),
-      lit(null).cast("long").as("run_id"),
-      lit(false).as("del_flag"),
-      col(hashdiffField).as("hash_diff"),
-      payload.as("__p"),
-      lit(1).as("__src")
-    )
-    val payloadType = stagedRows.schema("__p").dataType
-    val satRows = existingSat.select(
-      col(satHk),
-      col("load_dts").cast("timestamp").as("load_dts"),
-      col("run_id").cast("long").as("run_id"),
-      col("del_flag"),
-      col("hash_diff"),
-      lit(null).cast(payloadType).as("__p"),
-      lit(0).as("__src")
-    )
-    val isSat = col("__src") === 0
-    // Key-cluster the union BEFORE the groupBy (same posture as the
-    // current-view family, Tables.clusterBy): on the unclustered layouts
-    // these inputs have, the map-side partial of this aggregation collapses
-    // ~nothing but still allocates a per-key (set + struct-max) buffer for
-    // nearly every input row — measured as the dominant cost of the sf10
-    // delta load (the 22M-row partial burned 226 s of task CPU against the
-    // reduce's 125 s). Clustered first, the partial's buffers collapse
-    // per-key and the whole aggregation runs at ClusterWaves granularity.
-    val grouped = Tables.clusterBy(satRows.unionAll(stagedRows), satHk)
+    val probe = Tables.clusterBy(
+        existingSat.select(
+          col(satHk),
+          col("load_dts").cast("timestamp").as("load_dts"),
+          col("run_id").cast("long").as("run_id"),
+          col("del_flag"),
+          col("hash_diff")),
+        satHk)
       .groupBy(col(satHk))
-      .agg(
-        // Single struct with the ordering prefix leading (same reasoning as
-        // latestRowsProjected): max over (load_dts, run_id, hash_diff,
-        // del_flag) picks the latest row without carrying hash_diff twice
-        // through the aggregation buffers; staged rows carry null (skipped).
-        max(
-          when(isSat, struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag")))
-        ).as("__active"),
-        collect_set(when(!isSat, struct(col("hash_diff"), col("__p")))).as("__staged")
-      )
-    grouped
-      .select(col(satHk), col("__active"), explode(col("__staged")).as("__s"))
+      .agg(maxStruct(
+        struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))).as("__active"))
+    val staged = Tables.clusterBy(
+        hashView.select(
+          col(hkSource).as(satHk),
+          col(hashdiffField).as("hash_diff"),
+          payload.as("__p")),
+        satHk)
+      .distinct()
+    // shuffle_hash: the probe side is one narrow row per key and both
+    // sides are already co-partitioned, so a per-task hash build beats the
+    // sort-merge pair of per-task sorts; per-task build size is keys /
+    // (ClusterWaves × cores), wave-bounded by construction.
+    staged.join(probe.hint("shuffle_hash"), Seq(satHk), "left")
       .filter(
         col("__active").isNull || col("__active.del_flag") ||
-          col("__active.hash_diff") =!= col("__s.hash_diff"))
+          col("__active.hash_diff") =!= col("hash_diff"))
       .select(
         (Seq(
           col(satHk),
           lit(ctx.loadDts).as("load_dts"),
           lit(false).as("del_flag"),
-          col("__s.hash_diff").as("hash_diff"),
+          col("hash_diff"),
           lit(ctx.recordSource).as("record_source"),
           lit(ctx.runId).as("run_id")
-        ) ++ fields.map { case (_, t) => col(s"__s.__p.$t").as(t) }).toIndexedSeq: _*
+        ) ++ fields.map { case (_, t) => col(s"__p.$t").as(t) }).toIndexedSeq: _*
       )
   }
 

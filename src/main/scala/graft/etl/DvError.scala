@@ -59,10 +59,10 @@ object DvError {
   def from(e: Throwable, context: String = ""): DvError = {
     val msg = if (context.isEmpty) baseMsg(e) else s"$context: ${baseMsg(e)}"
     e match {
+      // ParseException extends AnalysisException in Spark 4, so this one
+      // case covers both parse and analysis failures.
       case ae: AnalysisException =>
         Sql(msg, Option(ae.getSimpleMessage).getOrElse(""), Some(ae))
-      case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-        Sql(msg, baseMsg(e), Some(e))
       case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
         Entity(msg, Some(e))
       case _: IllegalArgumentException =>

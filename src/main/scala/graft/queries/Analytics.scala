@@ -1016,7 +1016,15 @@ object Analytics {
     * canonicalizes via pandas sort, which cannot hash array cells; tied
     * spends make row_number's tiebreak immaterial to the output multiset. */
   def topkSpendPerCust(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
+    // Key-cluster first (Tables.clusterBy): on the unclustered layouts the
+    // bench corpora have, each map task sees ~every key once, so the
+    // partial heap collapses nothing while allocating a heap buffer per
+    // input row and serializing it across the partial/final boundary —
+    // the sf10 stress run spent its whole wall in that one-wave partial
+    // (max task 7.2 s of 8.4 s). Clustered, the heap aggregation runs
+    // partition-local at wave granularity. A corpus laid out BY customer
+    // would keep the natural partial shape instead (clusterBy doc).
+    Tables.clusterBy(t(s, dir, "orders"), "o_custkey")
       .groupBy(col("o_custkey"))
       .agg(graft.functions.VectorFns.topK(col("o_totalprice"), 3).as("top_spend"))
       .select(col("o_custkey"), posexplode(col("top_spend")).as(Seq("pos", "spend")))

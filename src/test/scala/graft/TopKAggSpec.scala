@@ -73,11 +73,19 @@ class TopKAggSpec extends SparkSpec {
     assert(viaFold.size <= 3)
   }
 
-  test("plan: ObjectHashAggregate with map-side partial (k doubles per partition-group)") {
+  test("plan: hash-based heap aggregation over ONE key-clustered exchange") {
+    // topk_spend_per_cust clusters by key first (Tables.clusterBy): on the
+    // unclustered bench layouts a below-exchange partial collapses nothing
+    // while allocating a heap per input row, so the intended shape is
+    // exchange-then-aggregate (both partials above the one repartition),
+    // hash-based (ObjectHashAggregate), wave-granular. A second exchange
+    // appearing would mean the groupBy stopped reusing the clusterBy
+    // distribution.
     val p = graft.queries.Analytics.topkSpendPerCust(spark, dir)
       .queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("partial_graft_topk"), p)
-    assert(p.indexOf("Exchange") < p.lastIndexOf("ObjectHashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"one exchange expected:\n$p")
+    assert(p.indexOf("Exchange") > p.lastIndexOf("ObjectHashAggregate"), p)
   }
 }
