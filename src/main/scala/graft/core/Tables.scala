@@ -39,23 +39,43 @@ object Tables {
     * ARE clustered by the key (bucketed lake tables) should not use this —
     * their natural layout makes the partial stage combine.
     *
-    * The partition count is EXPLICIT — `ClusterWaves ×` the cluster's core
-    * count — rather than AQE-sized. AQE's parallelism-first coalescing
-    * targets one WAVE (partition bytes = total/cores), which is the right
-    * floor for IO-bound reads but exactly wrong for the CPU-bound keyed
-    * aggregations that sit on top of this exchange: one wave makes every
-    * reduce task wall-sized (the sf10 stress run put 52 MB / 13 s in each
-    * of 32 single-wave tasks on dv_sat_current), so one slow core drags
-    * the whole stage and the per-task hash map holds keys/cores entries.
-    * Multiple fixed waves bound straggler damage to a wave, shrink the
-    * per-task map 4×, and on a real cluster scale with executor count —
-    * the standard 2-4 tasks-per-core sizing. */
+    * The partition count is EXPLICIT rather than AQE-sized. AQE's
+    * parallelism-first coalescing targets one WAVE (partition bytes =
+    * total/cores), which is the right floor for IO-bound reads but exactly
+    * wrong for the CPU-bound keyed aggregations/sorts that sit on top of
+    * this exchange: one wave makes every reduce task wall-sized (the sf10
+    * stress run put 52 MB / 13 s in each of 32 single-wave tasks on
+    * dv_sat_current), so one slow core drags the whole stage and the
+    * per-task hash map holds keys/cores entries. Multiple waves bound
+    * straggler damage to a wave, shrink the per-task state, and on a real
+    * cluster scale with executor count — the standard 2-4 tasks-per-core
+    * sizing.
+    *
+    * The wave count follows DATA, clamped to [1, ClusterWaves] waves: a
+    * small input (sf0.1-sized — the whole table a few MB per core) pays
+    * ~2 ms scheduling per task, so 4 waves of near-empty tasks is pure
+    * floor cost (+0.3 s measured on events_sessions at sf0.1); a large
+    * input wants the full ClusterWaves for the straggler bound. The
+    * transition uses Catalyst's size estimate (file bytes scaled by
+    * projection width) against ClusterTaskBytes per task; both ends are
+    * wave-clamped, so the estimate only governs the transition region —
+    * at genuine cluster scale the ClusterWaves cap binds long before the
+    * per-task byte target does. */
   val ClusterWaves = 4
+  // Per-task byte target for the TRANSITION region only (both ends are
+  // wave-clamped). 512 KB of estimated (compressed, projection-scaled)
+  // input ≈ 2-4 MB of in-memory rows — enough CPU work per task that the
+  // ~2 ms scheduling cost is noise. On 32 cores the first wave splits at a
+  // ~16 MB estimate and the ClusterWaves cap binds from ~64 MB up.
+  val ClusterTaskBytes: Long = 1L << 19
 
-  def clusterBy(df: DataFrame, keys: String*): DataFrame =
-    df.repartition(
-      ClusterWaves * df.sparkSession.sparkContext.defaultParallelism,
-      keys.map(df.col): _*)
+  def clusterBy(df: DataFrame, keys: String*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts =
+      (est / ClusterTaskBytes).min(BigInt(ClusterWaves.toLong * cores)).max(BigInt(cores)).toInt
+    df.repartition(parts, keys.map(df.col): _*)
+  }
 
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and

@@ -234,7 +234,16 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.loadEvents(s, dir)
+    // Fixed-wave key clustering (Tables.clusterBy rationale): the window's
+    // own exchange would be AQE-sized to ONE wave, making every per-user
+    // sort task wall-sized (sf10 stress: 34 tasks, 2-4 s max task). The
+    // explicit 4×cores partitioning satisfies the window's required
+    // distribution AND the downstream groupBy(user_id, session_id)
+    // (partitioning on a subset of the grouping keys), so this remains the
+    // query's ONLY exchange — same bytes, wave-bounded stragglers.
+    Tables.clusterBy(
+        Tables.loadEvents(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        "user_id")
       .select(col("user_id"), col("ts"), col("event_id"), lag(col("ts"), 1).over(byUser).as("prev_ts"))
       .withColumn(
         "is_new",

@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(plan(q)).size <= 2, plan(q))
   }
 
+  test("events_sessions: clusterBy feeds window AND final agg — exactly ONE exchange") {
+    // The explicit user_id clustering must satisfy both the window's
+    // required distribution and the downstream groupBy(user_id, session_id)
+    // (partitioning on a subset of the grouping keys): a regression that
+    // re-shuffles above the clusterBy would show a second exchange and
+    // double-ship the event rows.
+    val q = Analytics.eventsSessions(spark, dir)
+    assert(count[Exchange](q) == 1, plan(q))
+    assert(count[WindowExec](q) >= 1, plan(q))
+  }
+
   test("orders_running_total: running frame, one customer shuffle") {
     val q = Analytics.ordersRunningTotal(spark, dir)
     assert(count[WindowExec](q) >= 1, plan(q))
