@@ -34,6 +34,15 @@ object Bench {
       // hundred MB worst case) before the sort-based fallback — the 128-key
       // default would demote every large aggregation to a sort from row 129.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // Explicit multi-wave exchanges (Tables.clusterBy at 4x cores = 128
+      // reduce partitions) sit UNDER the 200-partition bypass-merge default,
+      // so every map task streams through 128 open bucket files (4k
+      // concurrent buffers at 32 tasks) — measured 3-4x the map-side CPU of
+      // the serialized sort writer on dv_sat_current/dv_pit_asof at sf1
+      // (scan stage 41 -> 17 s CPU). 64 keeps genuinely-narrow one-wave
+      // exchanges (<= 32 buckets) on the cheap bypass path and routes
+      // everything wider through the single-file sort writer.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def jstr(s: String): String = graft.core.Json.str(s)

@@ -288,20 +288,25 @@ object DvQueries {
   // order exist in the driver data (8 groups at sf0.01; an earlier attempt
   // to defer the md5 below the aggregation picked different winners and
   // hash-mismatched the oracle).
-  private def lineitemSatNat(s: SparkSession, dir: String): DataFrame =
-    // clusterBy the aggregation key: every consumer (current view, as-of,
-    // PIT) groups by __nk, so the one key-hash shuffle IS the agg's
-    // distribution — the latest-row then runs partition-local and
-    // hash-based (see Tables.clusterBy for why this beats partial+exchange
-    // on the unclustered layouts these files have; a bucketed vault table
-    // would skip it via its own layout).
-    Tables.clusterBy(Tables.load(s, dir, "lineitem"), "l_orderkey").select(
+  // `clustered`: current-view/as-of consumers aggregate DIRECTLY on this
+  // frame, so the one key-hash shuffle IS the agg's distribution — the
+  // latest-row then runs partition-local and hash-based (see
+  // Tables.clusterBy for why this beats partial+exchange on the unclustered
+  // layouts these files have; a bucketed vault table would skip it via its
+  // own layout). The PIT-table consumer must pass clustered = false: it
+  // UNIONS this frame with the key set before its own single aggregation
+  // exchange, and a union destroys co-partitioning — pre-clustering there
+  // ships the whole satellite through an exchange that buys nothing.
+  private def lineitemSatNat(s: SparkSession, dir: String, clustered: Boolean = true): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    (if (clustered) Tables.clusterBy(li, "l_orderkey") else li).select(
       col("l_orderkey").as("__nk"),
       col("l_shipdate").as("load_dts"),
       HashGen.hashCols(Seq(col("l_partkey"), col("l_linenumber")), Algo).as("hash_diff"),
       col("l_linenumber").cast("long").as("run_id"),
       col("l_partkey"), col("l_suppkey"), col("l_quantity")
     )
+  }
 
   /** Post-aggregation projection: hash `__nk` into `order_hk`, attach the
     * constant audit columns, restore the satellite column order. */
@@ -370,7 +375,7 @@ object DvQueries {
       lit(0L).as("run_id"),
       col("o_orderstatus")
     )
-    val liSat = lineitemSatNat(s, dir)
+    val liSat = lineitemSatNat(s, dir, clustered = false)
     DvOps.pitTable(keys, "__nk", Seq("li" -> liSat, "ord" -> orderSat), asOf)
       .select(
         HashGen.hashCols(Seq(col("__nk")), Algo).as("order_hk"),
