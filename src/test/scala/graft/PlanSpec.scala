@@ -324,6 +324,19 @@ class PlanSpec extends SparkSpec {
     } finally { r.unpersist(); () }
   }
 
+  test("dv_pit_table: ONE aggregation exchange — satellite input not pre-clustered") {
+    // pitTable unions the satellites with the key set before its single
+    // per-key aggregation; a union destroys co-partitioning, so feeding it
+    // a clusterBy'd satellite ships the whole sat through an exchange that
+    // buys nothing (1.7 GB at sf10). The only exchange must be the
+    // aggregation's own, with the map-side partial collapsing each
+    // partition to <=1 row per (key, sat) before the wire.
+    val q = DvQueries.pitTableQ(spark, dir)
+    assert(count[Exchange](q) == 1, plan(q))
+    val ex = nodes(q).collectFirst { case e: ShuffleExchangeLike => e }
+    assert(ex.isDefined && walk(ex.get.children.head).exists(_.isInstanceOf[HashAggregateExec]), plan(q))
+  }
+
   test("dv_sat_current: latest-row via hash aggregate — no window, one exchange") {
     // SURVEY §4 promise: current-view latest-row is a keyed aggregation,
     // never a window over the full history — the window shape shuffles
