@@ -324,6 +324,21 @@ class PlanSpec extends SparkSpec {
     } finally { r.unpersist(); () }
   }
 
+  test("clusterBy: wave count follows the size estimate, clamped to [1, ClusterWaves] waves") {
+    import graft.core.Tables
+    val cores = spark.sparkContext.defaultParallelism
+    // tiny input (sf0.001 lineitem, ~KB estimate) → one-wave floor: 4 waves
+    // of near-empty tasks is pure scheduling cost at this end
+    val tiny = Tables.clusterBy(Tables.load(spark, dir, "lineitem"), "l_orderkey")
+    assert(tiny.rdd.getNumPartitions == cores, s"tiny input should floor at $cores")
+    // huge estimated input (range stats = 8 bytes × n, plan-only — nothing
+    // executes) → ClusterWaves cap binds, the straggler-bounding end
+    val huge = Tables.clusterBy(
+      spark.range(1L << 30).toDF("k"), "k")
+    assert(huge.rdd.getNumPartitions == Tables.ClusterWaves * cores,
+      s"huge input should cap at ${Tables.ClusterWaves} waves")
+  }
+
   test("dv_pit_table: ONE aggregation exchange — satellite input not pre-clustered") {
     // pitTable unions the satellites with the key set before its single
     // per-key aggregation; a union destroys co-partitioning, so feeding it
