@@ -20,16 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** FAISS-style training-sample bound, points per centroid: Lloyd's cost
+    * is |train| × k × dim × iters, so training on the FULL corpus makes the
+    * index build a disguised n·√n scan of everything (at 100 TB: several
+    * passes over every vector). A bounded per-centroid sample (FAISS
+    * recommends 39-256 training points per centroid; 64 sits inside that
+    * band) caps the iteration cost at k²·64·dim·iters — a function of the
+    * INDEX size, not the corpus — while the centroid quality loss is
+    * statistical noise. Corpora with n ≤ 64·k train on everything, so
+    * test-scale runs (and their recall gates) are bit-identical. */
+  val TrainPointsPerCentroid = 64L
+
   /** Train `k` unit-norm centroids over `(idCol: long, vecCol: array<double>)`
     * rows; returns cent_id → centroid, cent_id in [0, k). */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val data = vecs.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Double])]
-      .map { case (id, v) => (id, normalize(v)) }
-    data.cache()
+    // Cache the bounded TRAINING SAMPLE (below), never the full corpus —
+    // Dataset.cache() of all vectors is exactly the kind of thing that
+    // works at sf0.1 and detonates at 100 TB. The corpus is touched in a
+    // fixed small number of passes, each as narrow as the work allows:
+    // count + seed ranks read ONLY the pruned id column (no vector decode,
+    // no normalize), the seed pull filters by id BEFORE any per-row work
+    // (the predicate reaches the scan), and the sample build is the one
+    // full-width pass.
+    val ids = vecs.select(col(idCol).cast("long").as("__id")).as[Long]
+    var train: org.apache.spark.sql.Dataset[(Long, Array[Double])] = null
     try {
-      val n = data.count()
+      val n = ids.count()
       require(n >= k, s"k=$k exceeds $n vectors")
       // Deterministic seeds: every (n/k)-th vector in id order. The rank is
       // computed DISTRIBUTED — sortBy + zipWithIndex over the 8-byte ids
@@ -40,18 +58,39 @@ object KMeans {
       // vectors back with a broadcast-semi filter. Same ids, same order,
       // bit-identical seed set.
       val stride = math.max(1L, n / k)
-      val seedIds = data.rdd.map(_._1).sortBy(identity)
+      val seedIds = ids.rdd.sortBy(identity)
         .zipWithIndex()
         .filter { case (_, r) => r % stride == 0 && r < stride * k }
         .map(_._1).collect().toSet
       // Ids are not REQUIRED to be unique by this contract: a duplicated id
       // would pull every row sharing it and seed >k centroids (changing kk
       // and the trained index shape). Keep exactly one deterministic row
-      // per seed id — the lexicographically smallest vector.
-      var centroids = data.rdd
-        .filter { case (id, _) => seedIds.contains(id) }
+      // per seed id — the lexicographically smallest normalized vector
+      // (the tiebreak compares normalized vectors, same as before: it is
+      // the centroid SET that must be deterministic).
+      val bcSeedIds = spark.sparkContext.broadcast(seedIds)
+      var centroids = vecs
+        .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Double])]
+        .filter { case (id, _) => bcSeedIds.value.contains(id) }
+        .map { case (id, v) => (id, normalize(v)) }
+        .rdd
         .reduceByKey((a, b) => if (lexLte(a, b)) a else b)
         .collect().sortBy(_._1).map(_._2)
+      bcSeedIds.destroy()
+
+      // Bounded deterministic training sample: keep a row iff a splitmix64
+      // mix of its id falls under the sample fraction — a pure function of
+      // the id (reproducible, no RNG state, no collect of sampled ids), a
+      // single streaming filter over the corpus, and uniform regardless of
+      // id distribution. Binds only when n > 64·k (see
+      // [[TrainPointsPerCentroid]]); below the cap the whole corpus is the
+      // sample (one normalize pass, cached, then iterated).
+      val cap = TrainPointsPerCentroid * k
+      val frac = if (n <= cap) 1.1 else cap.toDouble / n
+      train = vecs.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Double])]
+        .filter { case (id, _) => frac >= 1.0 || (mix64(id) >>> 11) * Inv53 < frac }
+        .map { case (id, v) => (id, normalize(v)) }
+      train.cache()
 
       val sc = spark.sparkContext
       var it = 0
@@ -61,7 +100,7 @@ object KMeans {
         val kk = centroids.length
         // (per-cluster vector sums, per-cluster counts) — combined on the
         // driver via treeAggregate, nothing shuffles.
-        val (sums, counts) = data.rdd.treeAggregate((Array.fill(kk)(new Array[Double](dim)), new Array[Long](kk)))(
+        val (sums, counts) = train.rdd.treeAggregate((Array.fill(kk)(new Array[Double](dim)), new Array[Long](kk)))(
           seqOp = { case ((s, c), (_, v)) =>
             val b = nearest(bc.value, v)
             val tgt = s(b); var i = 0
@@ -87,7 +126,18 @@ object KMeans {
         it += 1
       }
       centroids
-    } finally data.unpersist()
+    } finally { if (train != null) { train.unpersist(); () } }
+  }
+
+  private val Inv53 = 1.0 / (1L << 53)
+
+  /** splitmix64 finalizer — uniform 64-bit mix of the id for the
+    * deterministic training sample. */
+  private def mix64(id: Long): Long = {
+    var z = id + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   /** Index of the max-dot-product centroid (unit vectors ⇒ cosine argmax). */
