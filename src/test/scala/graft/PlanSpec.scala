@@ -352,6 +352,18 @@ class PlanSpec extends SparkSpec {
     assert(ex.isDefined && walk(ex.get.children.head).exists(_.isInstanceOf[HashAggregateExec]), plan(q))
   }
 
+  test("dv_sat_delta: two clusterBy exchanges, co-partitioned shuffle-hash join — no re-exchange") {
+    // satNewRows' two branches (graft_latest probe, group-keys-only staged
+    // distinct) each pay exactly ONE key shuffle; the join must consume
+    // them co-partitioned (shuffle_hash) without a third exchange above
+    // either branch — the wire cost is the two narrow inputs, once each.
+    val q = DvQueries.satDelta(spark, dir)
+    assert(count[ShuffleExchangeLike](q) == 2, plan(q))
+    assert(count[ShuffledHashJoinExec](q) >= 1, plan(q))
+    assert(count[SortMergeJoinExec](q) == 0, plan(q))
+    assert(count[WindowExec](q) == 0, plan(q))
+  }
+
   test("dv_sat_current: latest-row via hash aggregate — no window, one exchange") {
     // SURVEY §4 promise: current-view latest-row is a keyed aggregation,
     // never a window over the full history — the window shape shuffles
