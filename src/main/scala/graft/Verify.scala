@@ -23,9 +23,11 @@ object Verify {
       // so every map task streams through 128 open bucket files (4k
       // concurrent buffers at 32 tasks) — measured 3-4x the map-side CPU of
       // the serialized sort writer on dv_sat_current/dv_pit_asof at sf1
-      // (scan stage 41 -> 17 s CPU). 64 keeps genuinely-narrow one-wave
-      // exchanges (<= 32 buckets) on the cheap bypass path and routes
-      // everything wider through the single-file sort writer.
+      // (scan stage 41 -> 17 s CPU). Bypass applies when numPartitions <=
+      // threshold, so 64 keeps genuinely-narrow exchanges (up to 64
+      // buckets, incl. the one-wave 32s) on the cheap bypass path and
+      // routes everything wider (>64 — incl. the 128s) through the
+      // single-file sort writer.
       .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,13 +69,26 @@ object Tables {
   // ~16 MB estimate and the ClusterWaves cap binds from ~64 MB up.
   val ClusterTaskBytes: Long = 1L << 19
 
-  def clusterBy(df: DataFrame, keys: String*): DataFrame = {
+  /** Data-scaled partition count for [[clusterBy]] — exposed so callers that
+    * need TWO exchanges to land co-partitioned (e.g. DvOps.satNewRows's
+    * probe/staged ShuffledHashJoin) can size the join ONCE from both sides'
+    * estimates. Independently-sized sides diverge in the transition region
+    * (estimates between cores×ClusterTaskBytes and ClusterWaves×cores×
+    * ClusterTaskBytes), and EnsureRequirements then re-exchanges one side —
+    * invisible at sf0.001 where both clamp to the floor. */
+  def clusterParts(df: DataFrame): Int = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts =
-      (est / ClusterTaskBytes).min(BigInt(ClusterWaves.toLong * cores)).max(BigInt(cores)).toInt
-    df.repartition(parts, keys.map(df.col): _*)
+    (est / ClusterTaskBytes).min(BigInt(ClusterWaves.toLong * cores)).max(BigInt(cores)).toInt
   }
+
+  def clusterBy(df: DataFrame, keys: String*): DataFrame =
+    clusterBy(df, clusterParts(df), keys: _*)
+
+  /** Explicit-count variant: callers co-partitioning multiple exchanges pass
+    * one shared count (typically `max` of the sides' [[clusterParts]]). */
+  def clusterBy(df: DataFrame, parts: Int, keys: String*): DataFrame =
+    df.repartition(parts, keys.map(df.col): _*)
 
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and

@@ -182,23 +182,27 @@ object DvOps {
     // staged cardinality is batch-bounded, so every structure here is
     // wave-bounded by construction.
     val payload = struct(fields.map { case (s, t) => col(s).as(t) }: _*)
-    val probe = Tables.clusterBy(
-        existingSat.select(
-          col(satHk),
-          col("load_dts").cast("timestamp").as("load_dts"),
-          col("run_id").cast("long").as("run_id"),
-          col("del_flag"),
-          col("hash_diff")),
-        satHk)
+    val probeIn = existingSat.select(
+      col(satHk),
+      col("load_dts").cast("timestamp").as("load_dts"),
+      col("run_id").cast("long").as("run_id"),
+      col("del_flag"),
+      col("hash_diff"))
+    val stagedIn = hashView.select(
+      col(hkSource).as(satHk),
+      col(hashdiffField).as("hash_diff"),
+      payload.as("__p"))
+    // Size the join's partitioning ONCE from both sides (max of the two
+    // estimates): independently-sized clusterBy calls can land on different
+    // counts in the transition region, and EnsureRequirements then inserts a
+    // third exchange above one side — exactly the co-partitioned shape the
+    // PlanSpec dv_sat_delta guard pins against.
+    val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
+    val probe = Tables.clusterBy(probeIn, parts, satHk)
       .groupBy(col(satHk))
       .agg(maxStruct(
         struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))).as("__active"))
-    val staged = Tables.clusterBy(
-        hashView.select(
-          col(hkSource).as(satHk),
-          col(hashdiffField).as("hash_diff"),
-          payload.as("__p")),
-        satHk)
+    val staged = Tables.clusterBy(stagedIn, parts, satHk)
       .distinct()
     // shuffle_hash: the probe side is one narrow row per key and both
     // sides are already co-partitioned, so a per-task hash build beats the

@@ -68,15 +68,20 @@ object KMeans {
       // per seed id — the lexicographically smallest normalized vector
       // (the tiebreak compares normalized vectors, same as before: it is
       // the centroid SET that must be deterministic).
-      val bcSeedIds = spark.sparkContext.broadcast(seedIds)
+      //
+      // The filter is a Column predicate (isInCollection over the k seed
+      // ids), NOT a typed lambda: Catalyst can't see through a TypedFilter,
+      // which would deserialize/decode every vector — a second full-width
+      // corpus pass. As an In/InSet on the id column it runs before vector
+      // decode and reaches the parquet scan for row-group stats pruning.
       var centroids = vecs
-        .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Double])]
-        .filter { case (id, _) => bcSeedIds.value.contains(id) }
+        .select(col(idCol).cast("long").as("__id"), col(vecCol))
+        .where(col("__id").isInCollection(seedIds))
+        .as[(Long, Array[Double])]
         .map { case (id, v) => (id, normalize(v)) }
         .rdd
         .reduceByKey((a, b) => if (lexLte(a, b)) a else b)
         .collect().sortBy(_._1).map(_._2)
-      bcSeedIds.destroy()
 
       // Bounded deterministic training sample: keep a row iff a splitmix64
       // mix of its id falls under the sample fraction — a pure function of

@@ -29,7 +29,8 @@ object SkewBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // See Bench: route >=64-bucket exchanges through the sort writer.
+      // See Bench: route >64-bucket exchanges through the sort writer
+      // (bypass applies when numPartitions <= threshold).
       .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
