@@ -37,7 +37,9 @@ final class Graft(
     val meta: MetaStore,
     val scriptsPath: Option[String] = None,
     val algo: HashGen.Algo = HashGen.Sha1,
-    val buckets: Int = 16
+    // Lake.FromConf: resolve from the spark.graft.buckets session conf
+    // (default 16) unless the caller pins an explicit count.
+    val buckets: Int = Lake.FromConf
 ) {
 
   val lake = new Lake(spark, lakeRoot, buckets)

@@ -40,9 +40,12 @@ object Verify {
     // sweeps outDir treating every subdirectory as a query result, and the
     // r9 artifact carried a permanent crash row for the centroids parquet
     // that used to land there. The oracle_sql substitution below resolves
-    // against the same property, so SQL and data always agree.
+    // against the same property, so SQL and data always agree. Routed
+    // through Scratch (cluster-portable root; local JVM tmpdir by default —
+    // the DuckDB compare reads this path on the driver host, so only set
+    // spark.graft.scratch.dir to a location the comparing process can see).
     System.setProperty("graft.centroids.dir",
-      Files.createTempDirectory("graft_verify_aux_").toString)
+      graft.core.Scratch.tempDir(spark, "graft_verify_aux_"))
     var errors = Map.empty[String, String]
     // Optional comma-separated filter for focused local iteration (the
     // driver never sets it); oracle_sql.json is filtered to match so
@@ -79,7 +82,7 @@ object Verify {
       .map { case (k, v) =>
         val sql = v.replace(
           graft.queries.Ann.CentroidPathToken,
-          graft.queries.Ann.frozenCentroidsPath(sfDir))
+          graft.queries.Ann.frozenCentroidsPath(spark, sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

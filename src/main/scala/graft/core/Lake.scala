@@ -15,9 +15,16 @@ import org.apache.spark.sql.types.StructType
   * bucketed by a hash-key prefix column (`hk_bucket`) so that at 100 TB a
   * vault table's scan, as well as hub/link anti-joins repartitioned on the
   * same derivation, can prune and co-locate by bucket; bucket count is
-  * configurable per lake (default 16; production would size to cluster).
+  * configurable per lake — an explicit constructor arg wins, else the
+  * `spark.graft.buckets` session conf, else 16 (production would size to
+  * cluster).
   */
-final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 16) {
+final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.FromConf) {
+
+  /** Bucket count in force for this lake (see class doc for resolution). */
+  val bucketCount: Int =
+    if (buckets != Lake.FromConf) buckets
+    else spark.conf.getOption(Lake.BucketsKey).map(_.toInt).getOrElse(Lake.DefaultBuckets)
 
   def tablePath(layer: String, name: String): String = s"$root/$layer/$name"
 
@@ -66,7 +73,7 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
   /** Deterministic bucket of a key value — the same derivation
     * [[appendBucketed]] writes with, usable for read-side pruning. */
   def bucketOf(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(keyCol), lit(buckets))
+    pmod(xxhash64(keyCol), lit(bucketCount))
 
   /** Driver-side bucket of a literal key — same XxHash64 codepath Spark
     * executes, evaluated without launching a job. */
@@ -76,7 +83,7 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
       Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(value))),
       42L // the xxhash64() SQL function's fixed seed — must match bucketOf
     ).eval(null).asInstanceOf[Long]
-    Math.floorMod(h, buckets.toLong)
+    Math.floorMod(h, bucketCount.toLong)
   }
 
   /** Materialize an increment computed AGAINST a table before appending to
@@ -107,7 +114,7 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
   def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit = {
     val bucketed = df.withColumn("hk_bucket", bucketOf(col(keyCol)))
     bucketed
-      .repartition(buckets, col("hk_bucket"))
+      .repartition(bucketCount, col("hk_bucket"))
       .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
     refresh(layer, name)
   }
@@ -159,4 +166,13 @@ final class Lake(val spark: SparkSession, val root: String, val buckets: Int = 1
     read(layer, name)
       .filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)
       .drop("hk_bucket")
+}
+
+object Lake {
+  /** Session-conf key for the default bucket count of lakes constructed
+    * without an explicit `buckets` arg (SURVEY §4). */
+  val BucketsKey = "spark.graft.buckets"
+  val DefaultBuckets = 16
+  /** Sentinel default for the constructor arg: "resolve from conf". */
+  val FromConf: Int = -1
 }

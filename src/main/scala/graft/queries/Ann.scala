@@ -269,12 +269,14 @@ object Ann {
     * the outDir for per-query result parquets skips it: the r9 driver
     * artifact gained a crash row because the centroids dir sat as a
     * sibling of the query dumps. Without the property (bench, ad-hoc use)
-    * the shared /tmp cache keyed by corpus dir is used. */
-  private[graft] def frozenCentroidsPath(dir: String): String = {
+    * the shared cache under [[graft.core.Scratch]]'s root — cluster-
+    * portable via `spark.graft.scratch.dir`, the previous `/tmp` path by
+    * default — keyed by corpus dir is used. */
+  private[graft] def frozenCentroidsPath(s: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     sys.props.get("graft.centroids.dir") match {
       case Some(base) => base.stripSuffix("/") + "/.graft_aux/knn_centroids_" + key
-      case None       => "/tmp/graft_knn_centroids_" + key
+      case None       => graft.core.Scratch.stablePath(s, "graft_knn_centroids_" + key)
     }
   }
 
@@ -309,7 +311,7 @@ object Ann {
     * `knn_ivf_kmeans`. */
   def knnIvfKmeansSearch(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val path = frozenCentroidsPath(dir)
+    val path = frozenCentroidsPath(s, dir)
     frozenTrained.computeIfAbsent(path, _ => {
       val t0 = System.nanoTime()
       trainCentroids(s, v, iters = 10)

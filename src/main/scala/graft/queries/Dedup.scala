@@ -528,13 +528,13 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Persist `edges0`, run connected components, land `expand(labels)` to
-    * a temp parquet, and drop the cached iteration state so bench reps
-    * don't accumulate persisted lineage. */
+    * a scratch parquet ([[graft.core.Scratch]] — cluster-portable, JVM-exit
+    * reaped), and drop the cached iteration state so bench reps don't
+    * accumulate persisted lineage. */
   private def ccLand(s: SparkSession, edges0: DataFrame)(expand: DataFrame => DataFrame): DataFrame = {
     val edges = edges0.persist()
     val labels = connectedComponents(edges)
-    val out = java.nio.file.Files.createTempDirectory("graft_cc_").toString
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(out))
+    val out = graft.core.Scratch.tempDir(s, "graft_cc_")
     expand(labels).write.mode("overwrite").parquet(out)
     labels.unpersist()
     edges.unpersist()

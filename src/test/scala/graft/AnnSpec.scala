@@ -79,7 +79,7 @@ class AnnSpec extends SparkSpec {
     val out = Ann.knnIvfKmeansSearch(spark, dir)
       .select("query_id", "neighbor_id", "rk").as[(Long, Long, Long)].collect()
     // frozen centroid parquet exists and is non-empty
-    val frozen = spark.read.parquet(Ann.frozenCentroidsPath(dir))
+    val frozen = spark.read.parquet(Ann.frozenCentroidsPath(spark, dir))
     assert(frozen.count() >= 4)
     assert(frozen.columns.toSet == Set("cent_id", "cv"))
     // every query returns a dense 1..k rank prefix with distinct neighbors

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Scratch
+import graft.queries.Ann
+
+/** Pins the cluster-portable scratch contract: every intermediate landing
+  * (cc labels, frozen centroids, Verify aux) resolves under ONE root that
+  * `spark.graft.scratch.dir` overrides, and the default root reproduces the
+  * pre-Scratch local paths bit-for-bit (so oracle hashes can't move). */
+class ScratchSpec extends SparkSpec {
+
+  private def withRoot[A](root: String)(body: => A): A =
+    try { spark.conf.set(Scratch.ConfKey, root); body }
+    finally spark.conf.unset(Scratch.ConfKey)
+
+  test("default root is the JVM tmpdir; conf overrides it") {
+    val tmp = sys.props("java.io.tmpdir").stripSuffix("/")
+    assert(Scratch.root(spark) == tmp)
+    withRoot("/some/shared/store/") {
+      assert(Scratch.root(spark) == "/some/shared/store")
+      assert(Scratch.stablePath(spark, "x") == "/some/shared/store/x")
+      assert(Scratch.tempDir(spark, "pfx_").startsWith("/some/shared/store/pfx_"))
+    }
+  }
+
+  test("tempDir paths are unique and live under the root") {
+    val a = Scratch.tempDir(spark, "graft_t_")
+    val b = Scratch.tempDir(spark, "graft_t_")
+    assert(a != b)
+    assert(a.startsWith(Scratch.root(spark) + "/graft_t_"))
+  }
+
+  test("frozenCentroidsPath: default equals the historical /tmp cache path; scratch root honored") {
+    val dir = "/root/testdata/sf0.001"
+    // default (no conf, no graft.centroids.dir property): the exact path
+    // pre-Scratch rounds used — bench reps across JVMs reuse the cache.
+    assert(sys.props.get("graft.centroids.dir").isEmpty)
+    assert(Ann.frozenCentroidsPath(spark, dir)
+      == sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_knn_centroids__root_testdata_sf0.001")
+    withRoot("/shared/scratch") {
+      assert(Ann.frozenCentroidsPath(spark, dir)
+        == "/shared/scratch/graft_knn_centroids__root_testdata_sf0.001")
+    }
+    // the Verify per-run property still wins over the scratch root (the
+    // pending-DuckDB-compare isolation contract)
+    try {
+      System.setProperty("graft.centroids.dir", "/verify/run1")
+      withRoot("/shared/scratch") {
+        assert(Ann.frozenCentroidsPath(spark, dir)
+          == "/verify/run1/.graft_aux/knn_centroids__root_testdata_sf0.001")
+      }
+    } finally System.clearProperty("graft.centroids.dir")
+  }
+
+  test("Lake bucket count: spark.graft.buckets conf applies; explicit arg wins") {
+    import graft.core.Lake
+    val root = tmpDir("graft_lake_conf_")
+    assert(new Lake(spark, root).bucketCount == Lake.DefaultBuckets)
+    try {
+      spark.conf.set(Lake.BucketsKey, "32")
+      assert(new Lake(spark, root).bucketCount == 32)
+      assert(new Lake(spark, root, buckets = 4).bucketCount == 4)
+    } finally spark.conf.unset(Lake.BucketsKey)
+  }
+
+  test("dedup cc landing honors the scratch root end-to-end") {
+    val root = tmpDir("graft_scratch_root_")
+    val out = withRoot(root) {
+      graft.queries.Dedup.dedupClusters(spark, "/root/testdata/sf0.001")
+    }
+    // the returned DataFrame reads parquet under the overridden root
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(root)), files.take(2).mkString(", "))
+    assert(out.count() > 0)
+  }
+}
