@@ -22,6 +22,7 @@ sealed abstract class DvError {
       case _: DvError.Entity        => "DVEntityError"
       case _: DvError.Configuration => "DVConfigurationError"
       case _: DvError.Etl           => "DVETLError"
+      case _: DvError.Concurrency   => "DVConcurrencyError"
     }
     val c = cause.map(t => s": ${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}").getOrElse("")
     s"$kind: $message$c"
@@ -51,6 +52,13 @@ object DvError {
 
   /** Anything else that failed mid-ETL (exceptions.py:36-38). */
   final case class Etl(message: String, cause: Option[Throwable] = None) extends DvError
+
+  /** Another flow holds the ingestion claim for the same (source, file) —
+    * a Spark-side extension with no reference counterpart: the reference
+    * inherits DuckDB's single-writer transactionality
+    * (db/database_connection.py), while a lake has to claim explicitly
+    * ([[FlowExecutor]] run-claim markers). */
+  final case class Concurrency(message: String, cause: Option[Throwable] = None) extends DvError
 
   /** Classify a caught exception the way the reference's `except` blocks
     * route to DVException subclasses: analysis/parse failures are SQL

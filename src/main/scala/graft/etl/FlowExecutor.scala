@@ -2,6 +2,7 @@ package graft.etl
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -68,6 +69,54 @@ final class FlowExecutor(
       .filter(col("source_file") === filePath && col("source_table") === sourceTable && col("status") === status)
       .limit(1).count() > 0
 
+  /** Ingestion claim marker for one (source table, file). The ledger check
+    * above is check-then-act: two concurrent flows over the same file both
+    * see "not ingested" and double-load. The claim closes the race — a
+    * marker file under the lake's metadata layer, acquired with the Hadoop
+    * FS create-fails-if-exists primitive (atomic on HDFS; local FS gets the
+    * additional JVM-wide [[FlowExecutor.localClaims]] guard, which also
+    * makes same-process races deterministic). The reference needs none of
+    * this: it inherits DuckDB's transactionality
+    * (db/database_connection.py); a lake claims explicitly.
+    *
+    * Lifecycle: acquired after the ledger check, kept forever on success
+    * (a durable second line of defense beside the ledger row), released on
+    * a caught failure so the file can be retried. A hard crash between
+    * claim and ledger write leaves a stale marker; recovery is
+    * `forceLoad = true` (which bypasses ledger AND claim — an explicit
+    * operator override) or deleting the marker. */
+  private def claimPath(sourceTable: String, filePath: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(filePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(lake.tablePath("metadata", ".flow_claims"), s"${sourceTable}__$digest")
+  }
+
+  /** Atomically claim (source, file); false when another flow holds it. */
+  private def tryClaim(sourceTable: String, filePath: String): Boolean = {
+    val p = claimPath(sourceTable, filePath)
+    if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
+      return false
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, /* overwrite = */ false)
+      try out.write(filePath.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        FlowExecutor.localClaims.remove(p.toString)
+        if (fs.exists(p)) false else throw e
+    }
+  }
+
+  private def releaseClaim(sourceTable: String, filePath: String): Unit = {
+    val p = claimPath(sourceTable, filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    FlowExecutor.localClaims.remove(p.toString)
+    ()
+  }
+
   private def logRun(sourceTable: String, runId: Long, filePath: Option[String], status: String, message: String = ""): Unit = {
     val row = Row(sourceTable, runId, new Timestamp(System.currentTimeMillis()), filePath.orNull, status, message)
     lake.append(
@@ -85,6 +134,16 @@ final class FlowExecutor(
   ): FlowResult = {
     if (!forceLoad && filePath.exists(alreadyIngested(sourceTable, _)))
       return FlowResult(0L, "skipped", skipped = true, Nil, Map.empty)
+    // Atomic run-claim between the ledger check and any load work: of two
+    // flows racing past the check above, exactly one proceeds; the loser
+    // reports the conflict as a typed skip, not a double-ingest.
+    if (!forceLoad && filePath.exists(fp => !tryClaim(sourceTable, fp)))
+      return FlowResult(0L, "skipped", skipped = true,
+        Seq(DvError.Concurrency(
+          s"flow $sourceTable: another flow holds the ingestion claim for ${filePath.get} " +
+            "(concurrent load in progress, or a crashed run left a stale claim — " +
+            "retry with forceLoad=true or remove the metadata/.flow_claims marker)")),
+        Map.empty)
 
     val runId = nextRunId()
     logRun(sourceTable, runId, filePath, "start")
@@ -122,6 +181,9 @@ final class FlowExecutor(
       case e: Exception =>
         logRun(sourceTable, runId, filePath, "failure",
           Option(e.getMessage).getOrElse(e.getClass.getName).take(4095))
+        // Release the claim so the file can be retried (the ledger check
+        // only skips on status=success). forceLoad never claimed.
+        if (!forceLoad) filePath.foreach(releaseClaim(sourceTable, _))
         FlowResult(runId, "failure", skipped = false, Seq(DvError.from(e, s"flow $sourceTable")), Map.empty)
     }
   }
@@ -258,4 +320,14 @@ final class FlowExecutor(
 
   private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long =
     lake.appendIncrementBucketed(rows, "dv", target, keyCol)
+}
+
+object FlowExecutor {
+  /** JVM-wide in-process claim registry, keyed by claim-file path: makes
+    * same-process races deterministic (the Hadoop create-no-overwrite on
+    * RawLocalFileSystem is itself check-then-act) and costs nothing on a
+    * real cluster where HDFS create(overwrite=false) is the atomic arbiter
+    * across processes. */
+  private val localClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

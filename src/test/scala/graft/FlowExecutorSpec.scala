@@ -141,6 +141,68 @@ class FlowExecutorSpec extends SparkSpec {
     assert(r.errors.head.render.contains("Error") || r.errors.head.render.contains("nope"))
   }
 
+  test("two racing flows over one file ingest exactly once") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val f1 = s"$root/batch.csv"
+    writeCsv(f1, Seq("1,ann,A", "2,bob,B", "3,cat,C"))
+    val ts = Some(Timestamp.valueOf("2026-01-01 00:00:00"))
+    // Separate executor INSTANCES sharing one lake: the claim must
+    // arbitrate across executors, not within one object's state. A latch
+    // releases both past the ledger check window together.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to 2).map { _ =>
+      val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+      Future { latch.await(); flow.executeFlow("customer", "race", Some(f1), ts) }
+    }
+    latch.countDown()
+    val rs = runs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    assert(rs.count(_.status == "success") == 1, rs.map(_.status))
+    assert(rs.count(_.skipped) == 1, rs.map(_.status))
+    // the loser that lost the CLAIM (not the ledger) carries the typed error
+    rs.filter(_.skipped).foreach { r =>
+      r.errors.foreach(e => assert(e.isInstanceOf[DvError.Concurrency], e.render))
+    }
+    // exactly one ingest hit the vault
+    assert(lake.read("dv", "hub_customer").count() == 3)
+    assert(lake.read("dv", "hsat_customer").count() == 3)
+  }
+
+  test("stale claim skips with a typed Concurrency error; forceLoad overrides; failure releases the claim") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    val f1 = s"$root/batch.csv"
+    writeCsv(f1, Seq("1,ann,A"))
+    // Simulate a crashed run's leftover marker (same derivation tryClaim
+    // uses: sourceTable __ sha1(file path)).
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(f1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val marker = java.nio.file.Paths.get(s"$root/metadata/.flow_claims/customer__$digest")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, f1)
+
+    val ts = Some(Timestamp.valueOf("2026-01-01 00:00:00"))
+    val blocked = flow.executeFlow("customer", "unit", Some(f1), ts)
+    assert(blocked.skipped && blocked.status == "skipped")
+    assert(blocked.errors.exists(_.isInstanceOf[DvError.Concurrency]), blocked.errors.mkString("; "))
+    assert(!lake.exists("dv", "hub_customer"))
+
+    // documented recovery: forceLoad bypasses ledger AND claim
+    val forced = flow.executeFlow("customer", "unit", Some(f1), ts, forceLoad = true)
+    assert(forced.status == "success" && forced.loaded("hub_customer") == 1L)
+
+    // failure path releases the claim so a fixed input can be retried
+    val missing = s"$root/nope.csv"
+    assert(flow.executeFlow("customer", "unit", Some(missing), ts).status == "failure")
+    writeCsv(missing, Seq("2,bob,B"))
+    val retry = flow.executeFlow("customer", "unit", Some(missing), ts)
+    assert(retry.status == "success", retry.errors.mkString("; "))
+    assert(retry.loaded("hub_customer") == 1L)
+  }
+
   test("per-entity loads: loadRelatedHubs/Links/Sats load exactly their family") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)
