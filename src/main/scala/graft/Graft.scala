@@ -60,8 +60,31 @@ final class Graft(
   def sql(sqlText: String, args: Map[String, Any]): DataFrame =
     spark.sql(sqlText, args)
 
-  /** A lake table as a DataFrame (`layer.name`). */
-  def table(layer: String, name: String): DataFrame = lake.read(layer, name)
+  /** A lake table as a DataFrame (`layer.name`). Vault (`dv`) tables the
+    * metadata declares are read with their metadata-derived schema imposed
+    * ([[readDv]]) so evolved tables — old part files missing a
+    * later-added column — read deterministically with NULL backfill. */
+  def table(layer: String, name: String): DataFrame =
+    if (layer == "dv") readDv(name) else lake.read(layer, name)
+
+  /** Metadata-derived expected schema of a dv table (hub_/link_/nhl_/
+    * hsat_/lsat_ naming), when the metadata declares it — the same
+    * derivation the create path uses, so create and read can't diverge. */
+  private def dvSchemaOf(name: String): Option[org.apache.spark.sql.types.StructType] =
+    meta.tables.groupBy(t => (t.relType, t.baseName)).collectFirst {
+      case ((rt, base), cols) if s"${rt}_$base" == name && rt == "hub" =>
+        VaultSchemas.hub(base, cols)
+      case ((rt, base), cols) if s"${rt}_$base" == name && (rt == "link" || rt == "nhl") =>
+        VaultSchemas.link(base, cols)
+      case ((rt, base), cols) if s"${rt}_$base" == name && (rt == "hsat" || rt == "lsat") =>
+        VaultSchemas.sat(satHkOf(base, cols), cols)
+    }
+
+  /** Read a dv table with the metadata-expected schema imposed (the
+    * schema-evolution contract — [[graft.core.Lake.readOr]] doc); falls
+    * back to a raw read for tables the metadata doesn't describe. */
+  private def readDv(name: String): DataFrame =
+    dvSchemaOf(name).map(lake.readOr("dv", name, _)).getOrElse(lake.read("dv", name))
 
   /** When set, per-entity create/load calls echo what they are about to do
     * and the optimized Spark plan of each load — the Spark counterpart of
@@ -192,7 +215,7 @@ final class Graft(
     cols.find(_.mapping == "hk").map(c => s"${c.columnName}_hk").getOrElse(s"${base}_hk")
 
   private def registerCurrentView(satTable: String, hk: String): Unit =
-    DvOps.currentRows(lake.read("dv", satTable), hk).createOrReplaceTempView(s"${satTable}_cv")
+    DvOps.currentRows(readDv(satTable), hk).createOrReplaceTempView(s"${satTable}_cv")
 
   /** Re-register metadata-declared current views over the lake's CURRENT
     * file listing (temp-view plans pin the listing at registration). `only`
@@ -224,9 +247,10 @@ final class Graft(
   /** Latest-row current view of a satellite (reference
     * create_current_sat_from_metadata); registered as `<sat>_cv`. */
   def currentView(satTable: String): DataFrame = {
-    val hk = lake.read("dv", satTable).columns.headOption.getOrElse(
+    val sat = readDv(satTable)
+    val hk = sat.columns.headOption.getOrElse(
       throw new IllegalArgumentException(s"empty satellite: $satTable"))
-    val cv = DvOps.currentRows(lake.read("dv", satTable), hk)
+    val cv = DvOps.currentRows(sat, hk)
     cv.createOrReplaceTempView(s"${satTable}_cv")
     cv
   }

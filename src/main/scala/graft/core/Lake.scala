@@ -37,13 +37,28 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   def read(layer: String, name: String): DataFrame =
     spark.read.parquet(tablePath(layer, name))
 
-  /** Read, or an empty frame of `schema` when the table doesn't exist yet. */
+  /** Read, or an empty frame of `schema` when the table doesn't exist yet.
+    *
+    * The EXPECTED schema is imposed on the scan — the schema-evolution
+    * contract: a column added to satellite metadata after earlier appends
+    * is absent from the old part files, and the parquet reader
+    * null-backfills it per file, so an evolved satellite reads with the
+    * new column as NULL history instead of silently dropping it (the
+    * pre-r12 column-intersection behavior). This is also cheaper than
+    * `mergeSchema` (no footer-merge job over every part file — at 100 TB
+    * that job is a full listing + footer read), and it keeps the column
+    * set stable: on-disk extras like the `hk_bucket` partition column are
+    * simply not part of the imposed schema. Columns REMOVED from metadata
+    * while still on disk are likewise dropped here; history stays in the
+    * files. */
   def readOr(layer: String, name: String, schema: StructType): DataFrame =
-    if (exists(layer, name)) {
-      // Keep a stable column set: bucketed tables carry hk_bucket on disk.
-      val df = read(layer, name)
-      df.select(schema.fieldNames.filter(df.columns.contains).map(col).toIndexedSeq: _*)
-    } else
+    if (exists(layer, name))
+      // The select drops DISCOVERED partition columns (hk_bucket): a
+      // user-specified schema governs data columns, but partition
+      // discovery still appends directory-derived ones.
+      spark.read.schema(schema).parquet(tablePath(layer, name))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Spark shares a JVM-wide file-listing cache across path reads and

@@ -302,7 +302,11 @@ final class FlowExecutor(
       val hashdiffField =
         if (fields.nonEmpty) s"${satT.groupName}_hashdiff" else satT.sourceField
       val satSchema =
-        graft.dv.VaultSchemas.satFromFields(satHk, fields.map(f => f._2 -> (StringType: DataType)))
+        // Payload types from the hash view (what the writes actually carry,
+        // e.g. BIGINT staging columns stay LongType) — readOr now IMPOSES
+        // this schema on the scan, so a declared-vs-written mismatch would
+        // fail the read instead of being silently reconciled.
+        graft.dv.VaultSchemas.satFromFields(satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
       val existing = lake.readOr("dv", satName, satSchema)
       val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
       var n = appendCounted(newRows, satName, satHk)

@@ -112,8 +112,10 @@ object StreamingDv {
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None
   ): StreamingQuery = {
+    // Payload types from the staged stream (what the writes carry) — the
+    // readOr below imposes this schema on the scan (see Lake.readOr).
     val satSchema = graft.dv.VaultSchemas.satFromFields(
-      satHk, fields.map(f => f._2 -> (StringType: org.apache.spark.sql.types.DataType)))
+      satHk, fields.map { case (s, t) => t -> staged.schema(s).dataType })
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -109,6 +109,49 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g2.createCurrentSat().forall(_.endsWith("_cv")))
   }
 
+  test("facade: evolved satellite metadata null-backfills the new column over existing parquet") {
+    val root = tmpDir("graft")
+    val g = new Graft(spark, s"$root/lake", meta, None, HashGen.Md5)
+    g.initVault()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/c1.csv"),
+      "c_custkey,c_name\n1,ann\n2,bob")
+    assert(g.executeFlow("customer", "t", Some(s"$root/c1.csv"),
+      Some(Timestamp.valueOf("2026-01-01 00:00:00"))).status == "success")
+
+    // Metadata gains a payload column (c_segment) on the live satellite.
+    val evolved = MetaStore(
+      tables = meta.tables ++ Seq(
+        TableColumn("customer", "stg", "c_segment", "VARCHAR", 3, "c"),
+        TableColumn("customer", "hsat", "c_segment", "VARCHAR", 2, "f")),
+      transitions = meta.transitions :+
+        Transition("customer", "c_segment", "hsat_customer", "c_segment", "customer_details", 2, raw = false, None, "f"))
+    val g2 = new Graft(spark, s"$root/lake", evolved, None, HashGen.Md5)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/c2.csv"),
+      "c_custkey,c_name,c_segment\n1,ann,GOLD\n2,bob,SILVER")
+    // The evolved load reads the existing sat (old part files LACK
+    // c_segment) without dropping the new column: Lake.readOr imposes the
+    // expected schema and parquet null-backfills per file. The hashdiff now
+    // covers c_segment, so both keys re-version — correct DV semantics for
+    // a payload-shape change.
+    val r2 = g2.executeFlow("customer", "t", Some(s"$root/c2.csv"),
+      Some(Timestamp.valueOf("2026-02-01 00:00:00")))
+    assert(r2.status == "success", r2.errors.mkString("; "))
+    assert(r2.loaded("hsat_customer") == 2L)
+
+    val sat = g2.table("dv", "hsat_customer")
+    assert(sat.columns.contains("c_segment"))
+    assert(sat.count() == 4)
+    // old history: c_segment survives as NULL; new versions carry values
+    assert(sat.filter(col("load_dts") === "2026-01-01 00:00:00")
+      .filter(col("c_segment").isNull).count() == 2)
+    assert(sat.filter(col("load_dts") === "2026-02-01 00:00:00")
+      .select("c_segment").as[String].collect().sorted.toSeq == Seq("GOLD", "SILVER"))
+    // the current view reflects the evolved payload
+    val cv = g2.currentView("hsat_customer")
+    assert(cv.count() == 2)
+    assert(cv.select("c_segment").as[String].collect().sorted.toSeq == Seq("GOLD", "SILVER"))
+  }
+
   test("facade: applyScripts without a scripts path raises a typed configuration error") {
     val g = new Graft(spark, s"${tmpDir("graft")}/lake", meta, None, HashGen.Md5)
     val e = intercept[graft.etl.DvException](g.applyScripts("bv_vw"))
