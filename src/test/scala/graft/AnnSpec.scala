@@ -40,6 +40,52 @@ class AnnSpec extends SparkSpec {
     assert(approx.size == brute.size)
   }
 
+  test("kmeans training: inertia improves on the seed centroids (full-corpus brute-force assignment)") {
+    // A silent training regression (e.g. iterations that no-op) can hide
+    // behind recall@10 at one configuration — this gates the OBJECTIVE:
+    // spherical inertia Σ(1 - cos(v, nearest centroid)) over the WHOLE
+    // corpus, nearest computed brute-force over all centroids, must improve
+    // on the deterministic seed set (iters=0 returns the seeds verbatim).
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.VectorFns.toDouble(col("embedding")).as("vd"))
+    val vd = v.select("vd").as[Array[Double]].collect().map { x =>
+      val n = math.sqrt(x.map(e => e * e).sum); if (n == 0) x else x.map(_ / n)
+    }
+    def inertia(cents: Array[Array[Double]]): Double =
+      vd.map { x =>
+        val best = KMeans.nearest(cents, x)
+        1.0 - cents(best).zip(x).map { case (a, b) => a * b }.sum
+      }.sum
+    val k = 20
+    val seedI = inertia(KMeans.fit(v, "vec_id", "vd", k, iters = 0))
+    val trainedI = inertia(KMeans.fit(v, "vec_id", "vd", k, iters = 10))
+    info(f"inertia: seeds $seedI%.4f -> trained $trainedI%.4f (${trainedI / seedI}%.3f x)")
+    assert(trainedI < seedI * 0.95,
+      f"training did not improve inertia: $seedI%.4f -> $trainedI%.4f")
+  }
+
+  test("knn_ivf_kmeans: fixed-seed recall sweep holds at a second (nlist, nprobe) point") {
+    // The flagship gate above runs one configuration; a second point with a
+    // different list count and probe width catches regressions that happen
+    // to keep one operating point lucky (e.g. a broken assignment that
+    // degenerates into few giant cells scans everything at small nlist).
+    val brute = Ann.knnBrute(spark, dir).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // Operating points sized for this 500-vector corpus's recall regime
+    // (recall tracks the scanned fraction nprobe·replicate/nlist on a small
+    // weakly-clustered corpus — Ann.knnIvfKmeans doc): ~60% and ~64%,
+    // leaving headroom over the 0.9 gate for treeAggregate float-order
+    // jitter moving boundary vectors between cells.
+    for ((nl, np) <- Seq((10, 3), (25, 8))) {
+      val approx = Ann.ivfKmeans(spark, dir, _ => nl, nProbe = np, iters = 10, replicate = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute & approx).size.toDouble / brute.size
+      info(f"nlist=$nl nprobe=$np: recall@10 = $recall%.3f")
+      assert(recall >= 0.9, f"nlist=$nl nprobe=$np: recall@10 $recall%.3f < 0.9")
+      assert(approx.size == brute.size)
+    }
+  }
+
   test("topCentroids: bit-equal to the crossJoin+rank window form, ties included") {
     // The streaming per-partition argmax replaced a crossJoin-then-rank
     // window; its m-slot insertion must reproduce the window's ordering
