@@ -264,7 +264,11 @@ object Dedup {
   private[graft] case class Collapsed(
     members: DataFrame, // (doc_id, grp) — every doc with its group key
     reps: DataFrame, // (grp, doc_id = min member, norm, gsz)
-    repPairs: DataFrame) // (a_id, b_id, jaccard) — verified rep-level pairs
+    repPairs: DataFrame, // (a_id, b_id, jaccard) — verified rep-level pairs
+    sigs: DataFrame, // (doc_id, sh, bands) — reps that survived the shingle filter
+    handles: Seq[DataFrame] = Nil) { // persisted intermediates (cache mode)
+    def release(): Unit = handles.foreach(_.unpersist())
+  }
 
   /** MinHash+LSH near-dup: 16 salted-md5 min-signatures per doc (computed as
     * array folds — no shingle explosion), 4 band keys, candidate pairs from
@@ -333,17 +337,42 @@ object Dedup {
   }
 
   /** The collapsed (dup-heavy) pipeline up to rep-level verified pairs. */
-  private[graft] def minhashCollapsed(s: SparkSession, dn: DataFrame): Collapsed = {
+  /** `cache = true` (for EAGER consumers like the clusters landing, which
+    * evaluate everything inside the call and can release afterwards):
+    * persists the narrow (doc_id, grp) member map and the rep-level
+    * signature frame, MEMORY_AND_DISK. Without it, the member md5 pass and
+    * the rep shingle/signature pass each run once PER PLAN CONSUMER — three
+    * full-corpus text scans + md5s and three signature passes profiled at
+    * the sf1 dedup_clusters floor (~50 s of the ~85 s total CPU). With it,
+    * each runs once; the caches are a 40-byte/doc id→group sidecar and the
+    * distinct-text shingle arrays (disk-spilling, ≈ the width the verify
+    * rejoin already shuffles). Lazy consumers (dedupMinhash returns an
+    * unevaluated frame) keep the recompute shape — a persist they can't
+    * release would leak across queries. */
+  private[graft] def minhashCollapsed(s: SparkSession, dn: DataFrame, cache: Boolean = false): Collapsed = {
     import s.implicits._
     // Exact-duplicate groups keyed by md5(norm); one representative (min
-    // doc_id) per group runs the LSH pipeline. first(norm) rides the same
-    // aggregate — partial aggregation ships one norm per group per map
-    // partition, so the text shuffle is bounded by the distinct corpus.
+    // doc_id) per group runs the LSH pipeline.
     val grouped = dn.withColumn("grp", md5(col("norm")))
-    val members = grouped.select(col("doc_id"), col("grp"))
-    val reps = grouped.groupBy(col("grp"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
-        count(lit(1)).as("gsz"))
+    val members0 = grouped.select(col("doc_id"), col("grp"))
+    val members =
+      if (cache) members0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else members0
+    // Rep rows: cached mode re-derives (min member, size) from the member
+    // map — no second md5 pass — and fetches the rep's norm by id join
+    // (group members have IDENTICAL norms, so the min member's norm ≡ the
+    // uncached first(norm)). Uncached mode keeps first(norm) riding the
+    // grouping aggregate — partial aggregation ships one norm per group
+    // per map partition, so the text shuffle is bounded by the distinct
+    // corpus.
+    val reps =
+      if (cache)
+        members.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gsz"))
+          .join(dn, "doc_id")
+      else grouped.groupBy(col("grp"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
+          count(lit(1)).as("gsz"))
     // Shingles + 16 signatures + 4 band keys in ONE typed pass per rep (the
     // Column/HOF formulation runs interpreted and re-evaluates per operator
     // — 139s at sf0.1; this path is ~2s). md5 semantics identical.
@@ -352,7 +381,7 @@ object Dedup {
     // map; one cheap round-robin exchange restores full-core parallelism
     // (measured 6× on the signature pass). defaultParallelism = total
     // cores, so the same line right-sizes on a real cluster.
-    val withBands = reps
+    val withBands0 = reps
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("norm"))
       .as[(Long, String)]
@@ -365,6 +394,11 @@ object Dedup {
       }
       .toDF("doc_id", "sh", "bands")
       .filter(size(col("sh")) > 0)
+    // Three consumers (band explode + both verify rejoins) — see the cache
+    // doc above: cached mode computes the signature pass once.
+    val withBands =
+      if (cache) withBands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withBands0
     // Candidate generation carries IDS ONLY: the band self-join inflates to
     // Σ(bucket²) rows pre-dedup, and shipping the shingle arrays through
     // that shuffle multiplied its width ~50× (measured at ×100 scale: the
@@ -390,7 +424,8 @@ object Dedup {
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    Collapsed(members, reps, repPairs)
+    Collapsed(members, reps, repPairs, withBands,
+      handles = if (cache) Seq(members, withBands) else Nil)
   }
 
   /** The liveness predicate for a collapsed group: its (identical) text
@@ -482,18 +517,22 @@ object Dedup {
   /** Iteration cap for cluster label propagation. LSH-verified near-dup
     * components are near-cliques (every pair that survives Jaccard ≥ 0.5
     * verification tends to connect directly), so propagation converges in
-    * 2–4 rounds; with pointer-jumping engaged after [[JumpAfter]] rounds
-    * the worst case is 8 + O(log n), so the cap is a loud failure mode for
-    * a genuine bug, not a reachable limit. */
+    * 2–3 rounds; with pointer-jumping engaged after [[JumpAfter]] rounds
+    * the worst case is [[JumpAfter]] + O(log diameter), so the cap is a
+    * loud failure mode for a genuine bug, not a reachable limit. */
   private val MaxCcRounds = 25
 
   /** After this many plain min-propagation rounds, each subsequent round
     * also pointer-jumps (label ← label(label), Shiloach–Vishkin-style
     * shortcutting): the label-reference distance then halves per round, so
     * an adversarial chain graph converges in O(log diameter) rounds where
-    * plain propagation needs O(diameter). Near-clique LSH components never
-    * reach this; the jump join is over the node-sized label table only. */
-  private val JumpAfter = 8
+    * plain propagation needs O(diameter). Near-clique LSH components
+    * converge in 2–3 rounds and never reach this — measured at sf1, jump
+    * joins on EVERY round cost more in per-round exchanges (+1.4 s) than
+    * their saved rounds, so the jump stays lazy; 4 (down from 8 pre-r12)
+    * engages it as soon as the graph has proven deeper than any LSH
+    * near-clique, trimming 4 plain rounds off adversarial inputs. */
+  private val JumpAfter = 4
 
   /** Near-dup CLUSTER assignment: connected components over the MinHash
     * verified-pair graph, labels = min doc_id reachable. This is the step a
@@ -533,10 +572,13 @@ object Dedup {
     * accumulate persisted lineage. */
   private def ccLand(s: SparkSession, edges0: DataFrame)(expand: DataFrame => DataFrame): DataFrame = {
     val edges = edges0.persist()
-    val labels = connectedComponents(edges)
+    val cc = connectedComponents(edges)
     val out = graft.core.Scratch.tempDir(s, "graft_cc_")
-    expand(labels).write.mode("overwrite").parquet(out)
-    labels.unpersist()
+    // cc is the persisted 3-column round handle; the landing write reads
+    // its cache through the projection (sameResult substitution applies to
+    // the matching subplan) — no extra persist+materialize round.
+    expand(cc.select("node", "label")).write.mode("overwrite").parquet(out)
+    cc.unpersist()
     edges.unpersist()
     s.read.parquet(out)
   }
@@ -554,69 +596,91 @@ object Dedup {
     * exactly: reps are group MINIMA, so the min rep id of a rep-space
     * component IS the min doc id of the expanded component. */
   private[graft] def clustersCollapsed(s: SparkSession, dn: DataFrame): DataFrame = {
-    val c = minhashCollapsed(s, dn)
-    val liveMulti = c.reps.filter(col("gsz") >= 2 && liveGroup)
-    val self = liveMulti.select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    // cache = true: everything here — edge materialization, rounds, the
+    // landing write — evaluates inside this call, so the member map and
+    // the rep signature frame persist once and release on the way out
+    // (the minhashCollapsed cache doc has the measured recompute costs).
+    val c = minhashCollapsed(s, dn, cache = true)
+    // Live multi-member groups WITHOUT a third corpus scan: a rep is live
+    // iff it survived the shingle filter — i.e. it has a row in the CACHED
+    // signature frame (shinglesOf is empty exactly when liveGroup is
+    // false: both mean "fewer than 3 words") — and group sizes come from
+    // the cached member map. The reps-with-norm frame (which re-fetches
+    // rep norms from the corpus) never evaluates a second time.
+    val repsLite = c.members.groupBy(col("grp"))
+      .agg(min(col("doc_id")).as("node"), count(lit(1)).as("gsz"))
+    val self = c.sigs.select(col("doc_id"))
+      .join(repsLite.filter(col("gsz") >= 2).select(col("node").as("doc_id")), "doc_id")
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
     val edges = symmetrized(c.repPairs.select(col("a_id"), col("b_id"))).unionAll(self)
-    ccLand(s, edges) { labels =>
-      val withGrp = labels
-        .join(c.reps.select(col("doc_id").as("node"), col("grp"), col("gsz")), "node")
+    try ccLand(s, edges) { labels =>
+      // The landing joins only CACHED inputs (labels, repsLite, members).
+      // No broadcast hints: labels is component-graph-sized — usually tiny,
+      // but a 100 TB crawl's pair graph is not broadcastable by contract,
+      // so AQE decides from the actual cached sizes at runtime.
+      val withGrp = labels.join(repsLite, "node")
       val multi = withGrp.filter(col("gsz") >= 2)
         .join(c.members, "grp")
         .select(col("doc_id"), col("label").as("cluster_id"))
       val single = withGrp.filter(col("gsz") === 1)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       multi.unionAll(single)
-    }
+    } finally c.release()
   }
 
   /** Connected components over a SYMMETRIC (src, dst) edge set → (node,
-    * label) with label = min node id of the component. Min-label
+    * label, __chg) with label = min node id of the component. Min-label
     * propagation (one edge join + one aggregate per round); from round
     * [[JumpAfter]] each round also pointer-jumps label ← label(label), so
-    * pathological chain graphs converge in 8 + O(log diameter) rounds.
-    * Invariant maintained throughout: every label value is the id of a
-    * node in the same component that is itself present in the label table
-    * (labels start as own ids, propagate as neighbor mins, and jump to
-    * another node's current label), so the jump self-join is total and the
-    * fixpoint argument — no change ⟹ labels uniform per component ⟹
-    * uniform value is the component min — is unchanged. Returns a PERSISTED
-    * DataFrame; caller unpersists. */
+    * pathological chain graphs converge in JumpAfter + O(log diameter)
+    * rounds. Invariant maintained throughout: every label value is the id
+    * of a node in the same component that is itself present in the label
+    * table (labels start as own ids, propagate as neighbor mins, and jump
+    * to another node's current label), so the jump self-join is total and
+    * the fixpoint argument — no change ⟹ labels uniform per component ⟹
+    * uniform value is the component min — is unchanged. Returns the
+    * PERSISTED (node, label, __chg) handle — callers project the two label
+    * columns and unpersist the returned handle itself (Dataset.unpersist
+    * only releases a plan that sameResult-matches the cache entry, so
+    * handing back a projection would cost an extra persist+materialize
+    * round just to make unpersist work — the pre-r12 shape). */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     // Seed labels at distance 1 — min(node, min neighbor) — in the SAME
     // aggregate that discovers the node set: one groupBy replaces the
     // distinct + a whole propagation round (the loop then starts from the
-    // state plain propagation reaches after round 1). For the 2-4-round
+    // state plain propagation reaches after round 1). For the 2-3-round
     // near-clique LSH graphs this is a ~25% round cut.
-    // `cached` always holds the EXACT handle that was persisted — Dataset
-    // .unpersist only releases a plan that sameResult-matches the cache
-    // entry, so unpersisting the drop("__chg") projection would be a
-    // silent no-op and every round's buffer would leak for the session.
     var cached = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("node"), col("label"))
+      .select(col("src").as("node"), col("label"), lit(true).as("__chg"))
       .persist()
-    var labels: DataFrame = cached
+    var labels: DataFrame = cached.drop("__chg")
     var converged = false
     var iter = 0
     while (!converged && iter < MaxCcRounds) {
+      // Jump rounds self-join the round's result — re-root them at a
+      // LogicalRDD LEAF over the previous round's persisted rows first, or
+      // the logical plan doubles per round (exponential analysis time).
+      // The pre-r12 shape paid an extra localCheckpoint JOB per jump round
+      // for the same truncation; the leaf costs none — .rdd on the
+      // materialized persisted frame reads the cache blocks, never the
+      // lineage. Plain rounds skip it: their linear 2×-per-round growth is
+      // bounded by JumpAfter.
+      val src = if (iter < JumpAfter) labels
+        else spark.createDataFrame(cached.rdd, cached.schema).select("node", "label")
       val nbr = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .join(src.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbl"))
-      val prop = labels
+      val prop = src
         .join(nbr.select(col("src").as("node"), col("nbl")), Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
           (col("nbl") < col("label")).as("__chg"))
       val updated = (if (iter < JumpAfter) prop
       else {
-        // The self-join references `prop` twice — without truncating
-        // lineage the logical plan doubles per jump round and analysis
-        // time explodes exponentially. localCheckpoint materializes the
-        // round and cuts the plan back to a leaf.
-        val p = prop.localCheckpoint(true)
-        val byNode = p.select(col("label").as("ll"), col("node").as("label"))
-        p.join(byNode, Seq("label"))
+        val byNode = prop.select(col("label").as("ll"), col("node").as("label"))
+        prop.join(byNode, Seq("label"))
           .select(col("node"), col("ll").as("label"),
             (col("__chg") || col("ll") < col("label")).as("__chg"))
       }).persist()
@@ -630,13 +694,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"cluster propagation did not converge in $MaxCcRounds rounds")
-    // Hand the caller a handle whose unpersist actually matches its cache
-    // entry: persist the final projection, materialize it, then release
-    // the last round's 3-column buffer.
-    val out = labels.persist()
-    out.count()
-    cached.unpersist()
-    out
+    cached
   }
 
   /** Oracle: the same component semantics via transitive closure — min

@@ -36,8 +36,23 @@ object Profile {
     // Per-stage breakdown (PROF_STAGES=1): where a query's wall time lands —
     // scan vs exchange-read vs reduce — straight from the task-end stream.
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     if (sys.env.contains("PROF_STAGES")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          // Prefer the first graft frame from the full callsite stack (the
+          // short name is usually the SQL-execution thread wrapper).
+          val graftFrame = s.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("Profile"))
+            .map(_.trim.take(90))
+          stageNames.put(s.stageInfo.stageId,
+            graftFrame.getOrElse(s.stageInfo.name.takeWhile(_ != '\n').take(90)))
+          ()
+        }
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          println(s"[prof]   job ${j.jobId}: stages=${j.stageIds.mkString(",")} " +
+            Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
+        }
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
           if (m != null) {
@@ -58,7 +73,8 @@ object Profile {
       if (!stages.isEmpty) {
         Thread.sleep(300)
         stages.asScala.toSeq.sortBy(_._1).foreach { case (id, a) =>
-          println(f"[prof]   stage $id%3d: tasks=${a(0)}%4d cpuSum=${a(1) / 1000.0}%7.1f s maxTask=${a(2) / 1000.0}%5.1f s shufRead=${a(3) / 1048576.0}%7.1f MB input=${a(4) / 1048576.0}%7.1f MB")
+          val nm = Option(stageNames.get(id)).getOrElse("")
+          println(f"[prof]   stage $id%3d: tasks=${a(0)}%4d cpuSum=${a(1) / 1000.0}%7.1f s maxTask=${a(2) / 1000.0}%5.1f s shufRead=${a(3) / 1048576.0}%7.1f MB input=${a(4) / 1048576.0}%7.1f MB  $nm")
         }
       }
     }

@@ -138,8 +138,8 @@ class CorpusOpsSpec extends SparkSpec {
   test("connectedComponents: adversarial chain converges via pointer-jumping") {
     import spark.implicits._
     // A 60-node path has diameter 59: plain min-label propagation needs 59
-    // rounds and would blow the 25-round cap — the jump rounds engaged
-    // after round 8 must close it in 8 + O(log n).
+    // rounds and would blow the 25-round cap — the pointer jump folded
+    // into every round must close it in O(log n) rounds.
     val n = 60
     val chain = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
       .toDF("src", "dst")
