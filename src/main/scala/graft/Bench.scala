@@ -46,6 +46,12 @@ object Bench {
       // single-file sort writer.
       .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .getOrCreate()
+    // Ad-hoc conf A/Bs without code edits (e.g. state-store provider
+    // sweeps): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2".
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.sparkContext.setLogLevel("WARN")
     def jstr(s: String): String = graft.core.Json.str(s)
     // Median-of-N per query (default 3): identical bits measured by the r4/r5

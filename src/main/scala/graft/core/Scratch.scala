@@ -50,4 +50,31 @@ object Scratch {
     * centroids keyed by corpus dir. Not scheduled for deletion. */
   def stablePath(spark: SparkSession, name: String): String =
     new Path(root(spark), name).toString
+
+  /** Scratch root for EPHEMERAL streaming replays (the oracle/bench lakes
+    * that stage a finite file stream, run one AvailableNow pass, and are
+    * reaped at JVM exit). Structured Streaming fsyncs its checkpoint
+    * (offset log, commit log, state store snapshots) once per micro-batch
+    * per partition — on this container's disk that I/O held
+    * events_stream_join at a ~7 s floor that RAM backing removes (r11
+    * verdict ask; measurements in BASELINE.md). Resolution: the
+    * [[ConfKey]] override wins as usual; else `/dev/shm` when present and
+    * writable (Linux tmpfs); else the JVM tmpdir. NOT for production
+    * streams — a durable checkpoint on shared storage is what makes a
+    * real stream recoverable, and the StreamingDv sinks take that path
+    * explicitly from the caller. */
+  def streamRoot(spark: SparkSession): String =
+    spark.conf.getOption(ConfKey).getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    }.stripSuffix("/")
+
+  /** [[tempDir]] against [[streamRoot]]. */
+  def streamTempDir(spark: SparkSession, prefix: String): String = {
+    val p = new Path(streamRoot(spark), prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(p)
+    p.toString
+  }
 }

@@ -446,9 +446,49 @@ object DvQueries {
     * The lake root is unique per call (concurrent sessions/bench reps must
     * not clobber each other's lake/checkpoint) and reaped at JVM exit —
     * the returned DataFrame lazily reads this lake, so not earlier. */
+  /** Session confs scoped to the streaming REPLAY queries (r12, closing the
+    * r11 streaming-floor adjudication with code):
+    *
+    *  - `fileChecksum.enabled=false` — Spark 4.1 writes a checksum sidecar
+    *    per checkpoint file and BLOCKS the state commit on it
+    *    (ChecksumCheckpointFileManager.awaitResult in every task's stack);
+    *    measured 8.0 -> 4.5 s on the events_stream_join floor. The replay
+    *    checkpoints are ephemeral (JVM-exit reaped) and never resumed, so
+    *    checksum protection buys nothing here. Production streams passing
+    *    their own durable checkpoint keep Spark's default.
+    *  - 8 shuffle partitions — streaming state tasks pay a fixed per-task
+    *    setup (4 OneSideHashJoiner codegen inits per join task + state
+    *    store commit files); at 32 partitions that fixed cost dominated
+    *    (task stacks: ~3 s blocked, <0.1 s CPU). 8 tasks bound the replay's
+    *    per-partition state at sf10-stress scale to ~1M rows — in-map —
+    *    while cutting the floor 4.5 -> 2.5 s. A production stream sizes
+    *    state partitions to ITS key cardinality at stream creation (they
+    *    are fixed for a checkpoint's lifetime).
+    *
+    * The stream runs to completion inside `body` (AvailableNow +
+    * awaitTermination), so restoring the confs afterwards is sound;
+    * registered queries run sequentially under Verify/Bench. */
+  private def streamReplay[A](s: SparkSession)(body: => A): A = {
+    val kvs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def stagedStream(s: SparkSession, dir: String, table: String): (graft.core.Lake, DataFrame, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_lake_").toString
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
+    // RAM-backed root (Scratch.streamRoot): the checkpoint fsync-per-batch
+    // was the dominant cost of every streaming row on this container's
+    // disk — events_stream_join floor 7.1 -> ~2 s with the same code (r11
+    // verdict ask; BASELINE.md has the A/B). These lakes are ephemeral
+    // replay harnesses (AvailableNow + JVM-exit reap), so tmpfs is sound;
+    // production streams pass their own durable checkpoint to StreamingDv.
+    val root = graft.core.Scratch.streamTempDir(s, "graft_stream_lake_")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val lake = new graft.core.Lake(s, root, buckets = 4)
     val srcDir = java.nio.file.Paths.get(root, "src")
     java.nio.file.Files.createDirectories(srcDir)
@@ -477,7 +517,7 @@ object DvQueries {
     (lake, staged, root)
   }
 
-  def streamHub(s: SparkSession, dir: String): DataFrame = {
+  def streamHub(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     val (lake, staged, root) = stagedStream(s, dir, "customer")
     val transitions = Seq(
       Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
@@ -504,7 +544,7 @@ object DvQueries {
     * version row inserts); result is the streamed satellite table. Single
     * micro-batch ⇒ run_id (= batchId) 0 and the pinned load_dts are
     * deterministic, making the whole row hash-comparable. */
-  def streamSat(s: SparkSession, dir: String): DataFrame = {
+  def streamSat(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     val (lake, staged, root) = stagedStream(s, dir, "customer")
     val transitions = Seq(
       Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
@@ -540,7 +580,7 @@ object DvQueries {
     * micro-batch ⇒ run_id (= batchId) 0 and the pinned load_dts are
     * deterministic, making the whole row hash-comparable. Completes the
     * streaming trio: hub + sat + link all oracle-checked end-to-end. */
-  def streamLink(s: SparkSession, dir: String): DataFrame = {
+  def streamLink(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     val (lake, staged, root) = stagedStream(s, dir, "orders")
     val transitions = Seq(
       Transition("orders", "o_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
@@ -580,7 +620,7 @@ object DvQueries {
     * absent: per-key exact distinct over an unbounded stream is not a
     * streaming-supported aggregate — the batch `events_hourly` row carries
     * that column. */
-  def streamEventsHourly(s: SparkSession, dir: String): DataFrame = {
+  def streamEventsHourly(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val events = Tables.normalizeTs(staged)
@@ -614,21 +654,40 @@ object DvQueries {
     * buffered view once the purchase-side watermark passes view_ts + 10 min
     * (without them, state grows with the stream). Inner join in Append
     * mode; on a finite AvailableNow replay every in-window pair lands in
-    * batch 0, so the result equals the batch interval self-join exactly. */
-  def streamEventsJoin(s: SparkSession, dir: String): DataFrame = {
+    * batch 0, so the result equals the batch interval self-join exactly.
+    *
+    * The equi-key is (user, 10-minute bucket), not user alone — the same
+    * band trick as the batch [[graft.functions.Joins]] interval join.
+    * Spark's symmetric join buffers rows PER EQUI-KEY and evaluates the
+    * range as a post-filter over every buffered row of the key, so keying
+    * by user alone makes each task's work Σ_user(views × purchases) —
+    * profiled at ~200 s CPU / 7 s floor on the month-spanning sf0.1 replay
+    * (tmpfs checkpoints and the RocksDB store both left it unchanged:
+    * it is probe CPU, not I/O — BASELINE.md r12). A view can only match
+    * purchases in its own or the next bucket, so each view is buffered
+    * under those two keys and every in-window pair still meets EXACTLY
+    * once (bucket(p) ∈ {bucket(v), bucket(v)+1} and the two keys differ);
+    * probes collapse to per-(user, bucket) cardinalities. */
+  def streamEventsJoin(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val ev = Tables.normalizeTs(staged)
+    val bucketSecs = 600L // == the 10-minute join window
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
+      .withColumn("bk", explode(array(
+        floor(unix_micros(col("view_ts")) / (bucketSecs * 1000000L)),
+        floor(unix_micros(col("view_ts")) / (bucketSecs * 1000000L)) + 1L)))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
+      .withColumn("p_bk", floor(unix_micros(col("purchase_ts")) / (bucketSecs * 1000000L)))
     val out = s"$root/out"
     val q = views.join(
         purchases,
         col("user_id") === col("p_user_id") &&
+          col("bk") === col("p_bk") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("user_id"), col("view_id"), col("purchase_id"))
@@ -660,7 +719,7 @@ object DvQueries {
     * unbounded key (event_id, content hash) would instead use
     * `dropDuplicatesWithinWatermark` so state stays inside the watermark
     * horizon. Equal to batch SELECT DISTINCT. */
-  def streamEventsDedup(s: SparkSession, dir: String): DataFrame = {
+  def streamEventsDedup(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val out = s"$root/out"
@@ -703,7 +762,7 @@ object DvQueries {
     * (end + gap) sits strictly past the final watermark (max ts, delay 0)
     * by construction. Emitted rows are therefore exactly the batch
     * sessionization, with no reliance on timeout batches at all. */
-  def streamEventsSessions(s: SparkSession, dir: String): DataFrame = {
+  def streamEventsSessions(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val srcDir = s"$root/src"

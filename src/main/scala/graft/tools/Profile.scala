@@ -56,12 +56,13 @@ object Profile {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
           if (m != null) {
-            val a = stages.computeIfAbsent(t.stageId, _ => new Array[Long](5))
+            val a = stages.computeIfAbsent(t.stageId, _ => new Array[Long](6))
             a.synchronized {
               a(0) += 1; a(1) += m.executorRunTime
               a(2) = math.max(a(2), m.executorRunTime)
               a(3) += m.shuffleReadMetrics.totalBytesRead
               a(4) += m.inputMetrics.bytesRead
+              a(5) += m.executorCpuTime / 1000000L
             }
           }
         }
@@ -74,7 +75,7 @@ object Profile {
         Thread.sleep(300)
         stages.asScala.toSeq.sortBy(_._1).foreach { case (id, a) =>
           val nm = Option(stageNames.get(id)).getOrElse("")
-          println(f"[prof]   stage $id%3d: tasks=${a(0)}%4d cpuSum=${a(1) / 1000.0}%7.1f s maxTask=${a(2) / 1000.0}%5.1f s shufRead=${a(3) / 1048576.0}%7.1f MB input=${a(4) / 1048576.0}%7.1f MB  $nm")
+          println(f"[prof]   stage $id%3d: tasks=${a(0)}%4d runSum=${a(1) / 1000.0}%7.1f s cpuSum=${a(5) / 1000.0}%7.1f s maxTask=${a(2) / 1000.0}%5.1f s shufRead=${a(3) / 1048576.0}%7.1f MB input=${a(4) / 1048576.0}%7.1f MB  $nm")
         }
       }
     }
