@@ -150,6 +150,19 @@ object DvOps {
     * @param hashdiffField hash-view column holding the payload hashdiff
     * @param fields        staged source field → satellite column
     */
+  /** @param salt per-key fan-out for HOT-KEY batches (default 1 = off). The
+    *   default shape assumes per-key staged/history cardinality is
+    *   batch-bounded; a pathological key holding ~10% of all version rows
+    *   concentrates its whole history + staged set in ONE task (SkewBench
+    *   sf10: max task 31.6 s vs 0.97 s stage median). With salt = n the
+    *   probe aggregates two-level ((key, salt-of-row) partials, then per
+    *   key), the staged distinct co-partitions on (key, salt-of-hashdiff)
+    *   — the salt is a pure function of the row, so distinct semantics are
+    *   unchanged — and the one-row-per-key probe replicates ×n into the
+    *   join, bounding every task at 1/n of the hot key. Same rows out
+    *   (DvOpsSpec pins salted ≡ unsalted); costs one extra tiny exchange
+    *   (≤ keys×n probe rows), so leave it off unless the batch is known
+    *   hot (SkewBench sf10: 50.4 → 9.1 s wall with salt = 16). */
   def satNewRows(
       hashView: DataFrame,
       existingSat: DataFrame,
@@ -157,7 +170,8 @@ object DvOps {
       hashdiffField: String,
       fields: Seq[(String, String)],
       satHk: String,
-      ctx: LoadContext
+      ctx: LoadContext,
+      salt: Int = 1
   ): DataFrame = {
     // Two co-partitioned branches, one wave-granular key shuffle each, no
     // object-buffer aggregation anywhere:

@@ -79,6 +79,86 @@ object SkewBench {
     )
     val js = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"bench":"skew_join","hot_frac":0.5,"salt_factor":8,$js,"sf":"$sfDir"}""")
+
+    // ------------------------------------------------- vault-load skew (r12)
+    // The satellite family under a deliberately hot hash key (10% of all
+    // version rows on ONE key): validates clusterBy + graft_latest and the
+    // satNewRows probe/staged join when the key distribution is hostile.
+    // The straggler bound reported is max task vs the same stage's median.
+    spark.conf.set("spark.sql.adaptive.enabled", true)
+    val stageDurs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Queue[Long]]()
+    val spills = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          stageDurs.computeIfAbsent(t.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(m.executorRunTime)
+          spills.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    // 10% of lineitem version rows remapped to one hot natural key —
+    // deterministic, same row-hash trick as the join section.
+    def skewedSat: DataFrame = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) === 0, lit(hotKey))
+          .otherwise(col("l_orderkey")).as("__nk"),
+        col("l_shipdate").as("load_dts"),
+        md5(concat_ws("|", col("l_partkey"), col("l_linenumber"))).as("hash_diff"),
+        col("l_linenumber").cast("long").as("run_id"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+
+    def runSkew(label: String)(mk: => DataFrame): String = {
+      stageDurs.clear(); spills.set(0L)
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let async task-end events drain
+      // The straggler stage = the one holding the slowest single task;
+      // compare against ITS OWN median so scan stages don't dilute it.
+      val worst = {
+        import scala.jdk.CollectionConverters._
+        stageDurs.asScala.values.map(_.asScala.toSeq.sorted)
+          .filter(_.nonEmpty).maxByOption(_.last)
+      }
+      val (maxMs, medMs) = worst.map(d => (d.last, d(d.size / 2))).getOrElse((0L, 0L))
+      val row = s""""$label":{"sec":${f"$sec%.1f"},"max_task_s":${f"${maxMs / 1000.0}%.2f"},""" +
+        s""""stage_median_task_s":${f"${medMs / 1000.0}%.2f"},"spill_disk_mb":${f"${spills.get / 1048576.0}%.1f"}}"""
+      println(s"[skew] $row")
+      row
+    }
+
+    val sat = skewedSat
+    val vaultRows = Seq(
+      // the dv_sat_current shape: size-scaled key clustering, then the
+      // hash-based latest-row aggregate runs partition-local — the hot
+      // key's whole history lands in ONE task by construction
+      runSkew("sat_current_clusterBy") {
+        graft.dv.DvOps.currentRows(graft.core.Tables.clusterBy(sat, "__nk"), "__nk")
+      },
+      // the natural shape: ObjectHashAggregate partial BEFORE the exchange
+      // collapses the hot key to one row per map task — skew-immune, but
+      // pays the partial pass clusterBy exists to avoid on uniform keys
+      runSkew("sat_current_partial") {
+        graft.dv.DvOps.currentRows(sat, "__nk")
+      },
+      // the dv_sat_delta shape: co-partitioned probe/staged shuffle-hash
+      // join keyed on the hot key
+      runSkew("sat_delta_coClustered") {
+        val staged = sat.select(col("__nk"), col("hash_diff"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val existing = sat.filter(col("load_dts") < lit("1996-01-01"))
+          .withColumn("del_flag", lit(false))
+        graft.dv.DvOps.satNewRows(
+          staged, existing, hkSource = "__nk", hashdiffField = "hash_diff",
+          fields = Seq("l_partkey" -> "l_partkey", "l_suppkey" -> "l_suppkey", "l_quantity" -> "l_quantity"),
+          satHk = "__nk",
+          ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L))
+      }
+    )
+    println(s"""{"bench":"skew_vault","hot_frac":0.1,${vaultRows.mkString(",")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
