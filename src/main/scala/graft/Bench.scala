@@ -48,9 +48,13 @@ object Bench {
       .getOrCreate()
     // Ad-hoc conf A/Bs without code edits (e.g. state-store provider
     // sweeps): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2".
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+    // Tolerant parse: empty segments (trailing ';') are skipped, a token
+    // without '=' warns instead of MatchError-aborting the whole run.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_EXTRA_CONF token '$kv' (want k=v)")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     def jstr(s: String): String = graft.core.Json.str(s)

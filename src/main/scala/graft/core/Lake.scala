@@ -21,10 +21,25 @@ import org.apache.spark.sql.types.StructType
   */
 final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.FromConf) {
 
-  /** Bucket count in force for this lake (see class doc for resolution). */
-  val bucketCount: Int =
-    if (buckets != Lake.FromConf) buckets
-    else spark.conf.getOption(Lake.BucketsKey).map(_.toInt).getOrElse(Lake.DefaultBuckets)
+  /** Bucket count in force for this lake (see class doc for resolution).
+    * Validated here so a malformed conf or a 0/negative count fails at
+    * lake construction with the offending key named, not later inside
+    * pmod/repartition with an opaque arithmetic error. */
+  val bucketCount: Int = {
+    val resolved =
+      if (buckets != Lake.FromConf) buckets
+      else spark.conf.getOption(Lake.BucketsKey).map { v =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${Lake.BucketsKey} must be a positive integer, got '$v'")
+        }
+      }.getOrElse(Lake.DefaultBuckets)
+    require(resolved > 0,
+      s"Lake bucket count must be > 0, got $resolved " +
+        s"(constructor arg or ${Lake.BucketsKey})")
+    resolved
+  }
 
   def tablePath(layer: String, name: String): String = s"$root/$layer/$name"
 

@@ -90,6 +90,50 @@ object Tables {
   def clusterBy(df: DataFrame, parts: Int, keys: String*): DataFrame =
     df.repartition(parts, keys.map(df.col): _*)
 
+  /** [[clusterBy]] with a hostile-key-distribution escape hatch. The
+    * clusterBy-then-aggregate shape deliberately skips the map-side partial
+    * (right on uniform keys — see the clusterBy doc), which is exactly what
+    * makes it skew-exposed: a degenerate key (null/default sentinel) holding
+    * ~10% of all rows lands its ENTIRE history in one task (SkewBench sf10:
+    * 31.6 s max task vs 0.97 s stage median). Skipping the pre-clustering
+    * restores Spark's partial-before-exchange aggregation, which collapses
+    * the hot key to one row per map task — skew-immune, at the price of the
+    * partial pass clusterBy exists to avoid.
+    *
+    * Selection via `spark.graft.skewGuard`:
+    *  - `off`  (default) — always cluster: today's shape, uniform-key fast
+    *    path, bit-identical plans to a bare [[clusterBy]];
+    *  - `force` — never cluster: callers that KNOW the batch is hot;
+    *  - `auto` — one sampled key histogram (column-pruned scan of the keys
+    *    at `spark.graft.skewGuard.sampleFraction`, default 0.01) decides:
+    *    if the hottest key's row share exceeds
+    *    `spark.graft.skewGuard.hotShare` (default 0.05) the clustering is
+    *    skipped. The sample only picks the PLAN — query results are
+    *    identical either way — so sampling noise can cost performance,
+    *    never correctness. Samples below ~200 rows fall back to clustered
+    *    (too noisy to overrule the uniform-key default). */
+  def clusterByGuarded(df: DataFrame, keys: String*): DataFrame = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.skewGuard").getOrElse("off") match {
+      case "off"   => clusterBy(df, keys: _*)
+      case "force" => df
+      case "auto" =>
+        val frac = conf.getOption("spark.graft.skewGuard.sampleFraction").getOrElse("0.01").toDouble
+        val hotShare = conf.getOption("spark.graft.skewGuard.hotShare").getOrElse("0.05").toDouble
+        val stats = df.select(keys.map(df.col): _*)
+          .sample(withReplacement = false, frac, seed = 42L)
+          .groupBy(keys.map(df.col): _*).count()
+          .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
+               org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
+          .head()
+        val hot = !stats.isNullAt(0) && stats.getLong(1) >= 200 &&
+          stats.getLong(0).toDouble / stats.getLong(1) > hotShare
+        if (hot) df else clusterBy(df, keys: _*)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.skewGuard must be off|force|auto, got '$other'")
+    }
+  }
+
   /** The `events` table carries a TIMESTAMP(NANOS) parquet column, which Spark
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and
     * convert to a microsecond timestamp with exact integer arithmetic

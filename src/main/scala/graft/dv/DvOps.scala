@@ -150,19 +150,24 @@ object DvOps {
     * @param hashdiffField hash-view column holding the payload hashdiff
     * @param fields        staged source field → satellite column
     */
-  /** @param salt per-key fan-out for HOT-KEY batches (default 1 = off). The
-    *   default shape assumes per-key staged/history cardinality is
-    *   batch-bounded; a pathological key holding ~10% of all version rows
-    *   concentrates its whole history + staged set in ONE task (SkewBench
-    *   sf10: max task 31.6 s vs 0.97 s stage median). With salt = n the
-    *   probe aggregates two-level ((key, salt-of-row) partials, then per
-    *   key), the staged distinct co-partitions on (key, salt-of-hashdiff)
-    *   — the salt is a pure function of the row, so distinct semantics are
-    *   unchanged — and the one-row-per-key probe replicates ×n into the
-    *   join, bounding every task at 1/n of the hot key. Same rows out
-    *   (DvOpsSpec pins salted ≡ unsalted); costs one extra tiny exchange
-    *   (≤ keys×n probe rows), so leave it off unless the batch is known
-    *   hot (SkewBench sf10: 50.4 → 9.1 s wall with salt = 16). */
+  /** @param salt hot-key fan-out (default 1 = off). The default shape
+    *   assumes per-key staged/history cardinality is batch-bounded; a
+    *   pathological key holding ~10% of all version rows concentrates its
+    *   whole history + staged set in ONE task (SkewBench sf10: max task
+    *   34.3 s vs 0.58 s stage median). With salt = n, a sampled key
+    *   histogram (skewGuard confs: `spark.graft.skewGuard.sampleFraction`
+    *   / `.hotShare`) names the hot keys (≤ 64) and ONLY their rows fan
+    *   out over n (key, cell) cells — probe history by salt-of-row, staged
+    *   distinct by salt-of-hashdiff, the one-row-per-key probe replicated
+    *   ×n into the co-partitioned join — while every other key keeps cell
+    *   0, preserving the unsalted shape's bytes and per-key collapse (an
+    *   earlier salt-everything variant cost 2× wall at sf10 by
+    *   re-shuffling uncollapsed version rows at level 2). Same rows out
+    *   for ANY hot-key set, including empty (DvOpsSpec "salted delta load
+    *   matches unsalted on a hot-key batch" pins salted ≡ unsalted); costs
+    *   one sampled key-column pass + a narrow one-row-per-key exchange, so
+    *   leave it off unless the batch may be hot. Measured numbers:
+    *   BASELINE.md vault-skew table (SkewBench `sat_delta_salted`). */
   def satNewRows(
       hashView: DataFrame,
       existingSat: DataFrame,
@@ -211,18 +216,90 @@ object DvOps {
     // counts in the transition region, and EnsureRequirements then inserts a
     // third exchange above one side — exactly the co-partitioned shape the
     // PlanSpec dv_sat_delta guard pins against.
+    require(salt >= 1, s"satNewRows salt must be >= 1, got $salt")
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
-    val probe = Tables.clusterBy(probeIn, parts, satHk)
-      .groupBy(col(satHk))
-      .agg(maxStruct(
-        struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))).as("__active"))
-    val staged = Tables.clusterBy(stagedIn, parts, satHk)
-      .distinct()
-    // shuffle_hash: the probe side is one narrow row per key and both
-    // sides are already co-partitioned, so a per-task hash build beats the
-    // sort-merge pair of per-task sorts; per-task build size is keys /
-    // (ClusterWaves × cores), wave-bounded by construction.
-    staged.join(probe.hint("shuffle_hash"), Seq(satHk), "left")
+    val activeStruct = struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))
+    val (staged, probe, joinKeys) =
+      if (salt == 1) {
+        val probe1 = Tables.clusterBy(probeIn, parts, satHk)
+          .groupBy(col(satHk))
+          .agg(maxStruct(activeStruct).as("__active"))
+        val staged1 = Tables.clusterBy(stagedIn, parts, satHk).distinct()
+        (staged1, probe1, Seq(satHk))
+      } else {
+        // HOT-KEY SPLIT. Salting EVERY key would forfeit the per-key
+        // collapse the first aggregation level provides — for a uniform
+        // key with ~10 versions and salt 16, almost every (key, cell) holds
+        // one row, so the second level re-shuffles ≈ the whole satellite
+        // (measured 2× wall at sf10). Instead a sampled key histogram
+        // (reusing the skewGuard confs) names the hot keys (≤ 64), and ONLY
+        // their rows fan out over `salt` cells; every other key keeps cell
+        // 0. The (key, cell) exchange then carries exactly the unsalted
+        // shape's bytes, level 2 ships one narrow row per key (+`salt` per
+        // hot key), and the hot keys' history/staged sets are bounded at
+        // 1/salt per task.
+        val conf = hashView.sparkSession.conf
+        val frac = conf.getOption("spark.graft.skewGuard.sampleFraction").getOrElse("0.01").toDouble
+        val hotShare = conf.getOption("spark.graft.skewGuard.hotShare").getOrElse("0.05").toDouble
+        val sampled = probeIn.select(col(satHk))
+          .sample(withReplacement = false, frac, seed = 42L)
+          .union(stagedIn.select(col(satHk)).sample(withReplacement = false, frac, seed = 42L))
+          .groupBy(col(satHk)).count()
+        sampled.persist()
+        val hotKeys: Array[Any] =
+          try {
+            val tot = Option(sampled.agg(sum("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+            // below ~200 sampled rows the histogram is too noisy to name
+            // hot keys — fall through to the unsalted shape
+            if (tot < 200) Array.empty
+            else sampled.filter(col("count") >= lit(math.max(2.0, tot * hotShare)))
+              .orderBy(col("count").desc).limit(64)
+              .select(col(satHk)).collect().map(_.get(0))
+          } finally { sampled.unpersist(); () }
+        if (hotKeys.isEmpty) {
+          // nothing hot found: the unsalted shape IS the right plan
+          val probe1 = Tables.clusterBy(probeIn, parts, satHk)
+            .groupBy(col(satHk))
+            .agg(maxStruct(activeStruct).as("__active"))
+          val staged1 = Tables.clusterBy(stagedIn, parts, satHk).distinct()
+          (staged1, probe1, Seq(satHk))
+        } else {
+          def isHot(c: Column) = c.isin(hotKeys.toIndexedSeq: _*)
+          // salt-of-row for the probe history; the salt is a pure function
+          // of the row, so `max` over any cell partition is associative-
+          // safe and the two-level result equals the one-level max.
+          val rowSalt = when(isHot(col(satHk)),
+            pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(salt)))
+            .otherwise(lit(0)).cast("int")
+          val level1 = Tables.clusterBy(probeIn.withColumn("__salt", rowSalt), parts, satHk, "__salt")
+            .groupBy(col(satHk), col("__salt"))
+            .agg(maxStruct(activeStruct).as("__active"))
+          // level 2: one row per key ± salt per hot key — a narrow exchange
+          val probeRow = level1.groupBy(col(satHk)).agg(maxStruct(col("__active")).as("__active"))
+          // replicate the probe row into every cell its staged twin can
+          // land in: ×salt for hot keys, cell 0 only for the rest
+          val probeN = Tables.clusterBy(
+            probeRow.withColumn("__salt",
+              explode(sequence(lit(0), when(isHot(col(satHk)), lit(salt - 1)).otherwise(lit(0))))),
+            parts, satHk, "__salt")
+          // salt-of-hashdiff, NOT salt-of-row: duplicate staged rows share
+          // their hash_diff, so they land in the same cell and the
+          // partition-local distinct still collapses them. __salt rides
+          // along as a distinct column — a pure function of (key,
+          // hash_diff), so the groups are unchanged.
+          val stagedSalt = when(isHot(col(satHk)), pmod(xxhash64(col("hash_diff")), lit(salt)))
+            .otherwise(lit(0)).cast("int")
+          val stagedN = Tables.clusterBy(
+            stagedIn.withColumn("__salt", stagedSalt), parts, satHk, "__salt")
+            .distinct()
+          (stagedN, probeN, Seq(satHk, "__salt"))
+        }
+      }
+    // shuffle_hash: the probe side is one narrow row per key (×salt when
+    // salted) and both sides are co-partitioned, so a per-task hash build
+    // beats the sort-merge pair of per-task sorts; per-task build size is
+    // keys / (ClusterWaves × cores), wave-bounded by construction.
+    staged.join(probe.hint("shuffle_hash"), joinKeys, "left")
       .filter(
         col("__active").isNull || col("__active.del_flag") ||
           col("__active.hash_diff") =!= col("hash_diff"))

@@ -145,13 +145,18 @@ final class FlowExecutor(
             "retry with forceLoad=true or remove the metadata/.flow_claims marker)")),
         Map.empty)
 
-    val runId = nextRunId()
-    logRun(sourceTable, runId, filePath, "start")
-    val ctx = LoadContext(
-      loadDtsOverwrite.getOrElse(new Timestamp(System.currentTimeMillis())),
-      recordSource, runId)
-
+    // runId allocation and the start-ledger row do lake I/O — they live
+    // INSIDE the try so a throw there still releases the ingestion claim
+    // (a leaked claim permanently blocks the file until forceLoad/manual
+    // marker delete, even though no run ever touched the vault).
+    var runId = 0L
     try {
+      runId = nextRunId()
+      logRun(sourceTable, runId, filePath, "start")
+      val ctx = LoadContext(
+        loadDtsOverwrite.getOrElse(new Timestamp(System.currentTimeMillis())),
+        recordSource, runId)
+
       // Stage (truncate-and-load) when a file is given and the source is a
       // staging table (reference CHECK_SOURCE_FOR_INGESTION). A non-stg
       // source (stg_vw view) is read from the session catalog instead —
@@ -179,11 +184,15 @@ final class FlowExecutor(
       } finally hv.unpersist()
     } catch {
       case e: Exception =>
-        logRun(sourceTable, runId, filePath, "failure",
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(4095))
-        // Release the claim so the file can be retried (the ledger check
-        // only skips on status=success). forceLoad never claimed.
+        // Release the claim FIRST so the file can be retried (the ledger
+        // check only skips on status=success) — ordered before the
+        // failure-ledger write, which itself does lake I/O and must not be
+        // able to leak the claim by throwing. forceLoad never claimed.
         if (!forceLoad) filePath.foreach(releaseClaim(sourceTable, _))
+        // Best-effort: when the lake is down the failure row can't land
+        // anyway — the caller still gets the original error in the result.
+        scala.util.Try(logRun(sourceTable, runId, filePath, "failure",
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(4095)))
         FlowResult(runId, "failure", skipped = false, Seq(DvError.from(e, s"flow $sourceTable")), Map.empty)
     }
   }

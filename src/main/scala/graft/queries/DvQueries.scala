@@ -297,9 +297,12 @@ object DvQueries {
   // UNIONS this frame with the key set before its own single aggregation
   // exchange, and a union destroys co-partitioning — pre-clustering there
   // ships the whole satellite through an exchange that buys nothing.
+  // clusterByGuarded: `spark.graft.skewGuard` lets a deployment facing a
+  // degenerate key distribution (null/sentinel keys) drop to the skew-immune
+  // partial-before-exchange shape — default off keeps this exact plan.
   private def lineitemSatNat(s: SparkSession, dir: String, clustered: Boolean = true): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    (if (clustered) Tables.clusterBy(li, "l_orderkey") else li).select(
+    (if (clustered) Tables.clusterByGuarded(li, "l_orderkey") else li).select(
       col("l_orderkey").as("__nk"),
       col("l_shipdate").as("load_dts"),
       HashGen.hashCols(Seq(col("l_partkey"), col("l_linenumber")), Algo).as("hash_diff"),
@@ -400,9 +403,11 @@ object DvQueries {
   def flowHub(s: SparkSession, dir: String): DataFrame = {
     // Unique per-call scratch root (concurrent sessions/bench reps must not
     // clobber each other's lake), reaped at JVM exit — the returned DataFrame
-    // lazily reads this lake, so we can't delete earlier.
-    val root = java.nio.file.Files.createTempDirectory("graft_flow_lake_").toString
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
+    // lazily reads this lake, so we can't delete earlier. streamTempDir:
+    // same cluster-portable resolution as every other scratch landing (and
+    // the RAM-backed root on this host — real lake writes are the row's
+    // dominant cost, exactly like the streaming replays).
+    val root = graft.core.Scratch.streamTempDir(s, "graft_flow_lake_")
     val lake = new graft.core.Lake(s, root, buckets = 4)
     val meta = graft.meta.MetaStore(
       tables = Seq(
@@ -487,26 +492,31 @@ object DvQueries {
     // verdict ask; BASELINE.md has the A/B). These lakes are ephemeral
     // replay harnesses (AvailableNow + JVM-exit reap), so tmpfs is sound;
     // production streams pass their own durable checkpoint to StreamingDv.
+    // All staging-dir handling goes through the Hadoop FS API: the Scratch
+    // root honors spark.graft.scratch.dir, which may be a non-local URI
+    // (hdfs://, s3a://) — java.nio.Paths would then create a bogus local
+    // './hdfs:/...' dir while the Lake writes to the real remote path.
     val root = graft.core.Scratch.streamTempDir(s, "graft_stream_lake_")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val hconf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    fs.mkdirs(rootPath)
     val lake = new graft.core.Lake(s, root, buckets = 4)
-    val srcDir = java.nio.file.Paths.get(root, "src")
-    java.nio.file.Files.createDirectories(srcDir)
-    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
-    if (java.nio.file.Files.isDirectory(src)) {
-      val listing = java.nio.file.Files.list(src)
-      try {
-        val it = listing.iterator()
-        var i = 0
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.toString.endsWith(".parquet")) {
-            java.nio.file.Files.copy(p, srcDir.resolve(s"part_$i.parquet"))
-            i += 1
-          }
+    val srcDir = new org.apache.hadoop.fs.Path(rootPath, "src")
+    fs.mkdirs(srcDir)
+    val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val srcFs = src.getFileSystem(hconf)
+    if (srcFs.getFileStatus(src).isDirectory) {
+      srcFs.listStatus(src).filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (st, i) =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, st.getPath, fs, new org.apache.hadoop.fs.Path(srcDir, s"part_$i.parquet"),
+            /* deleteSource = */ false, hconf)
         }
-      } finally listing.close()
-    } else java.nio.file.Files.copy(src, srcDir.resolve(s"$table.parquet"))
+    } else
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, src, fs, new org.apache.hadoop.fs.Path(srcDir, s"$table.parquet"),
+        /* deleteSource = */ false, hconf)
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
     // maxFilesPerTrigger pinned far above any staged file count: the oracle
     // asserts run_id = 0, which requires ALL files to land in micro-batch 0
@@ -843,8 +853,9 @@ object DvQueries {
   val lakeLookupKeys: Seq[Long] = Seq(7L, 13L, 42L, 57L, 91L)
 
   def lakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_lake_rt_").toString
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(root))
+    // Scratch-routed (was Files.createTempDirectory): cluster-portable and
+    // RAM-backed on this host — see flowHub's note.
+    val root = graft.core.Scratch.streamTempDir(s, "graft_lake_rt_")
     val lake = new graft.core.Lake(s, root, buckets = 8)
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))

@@ -29,8 +29,26 @@ import graft.meta.Transition
   */
 object StreamingDv {
 
+  /** Per-stream shuffle/state partition sizing for the micro-batch plans.
+    * Streaming tasks pay a FIXED per-task setup (state/codegen init, commit
+    * files) that dominates under-filled partitions: BASELINE.md's r12 A/B
+    * ladder measured the session default (32) wasting ~25× the needed setup
+    * on a 40k-key replay — 8 partitions cut the streaming family floor
+    * 18.2 → 13.0 s with identical results. Size to the stream's KEY
+    * CARDINALITY (aim ≥ ~10⁵ keys or ≥ tens of MB of state per partition),
+    * not to the cluster's core count. Applied inside foreachBatch on the
+    * stream's CLONED session (Structured Streaming snapshots the session at
+    * start), so it scopes to this query and never leaks to the caller's
+    * session. None (default) keeps the session conf. */
+  private def sizeBatch(batch: DataFrame, statePartitions: Option[Int]): Unit =
+    statePartitions.foreach { n =>
+      require(n > 0, s"statePartitions must be > 0, got $n")
+      batch.sparkSession.conf.set("spark.sql.shuffle.partitions", n)
+    }
+
   /** Wire a streaming staged source into an incremental hub load. Returns a
-    * started query writing to `dv/<hubTable>` in the lake. */
+    * started query writing to `dv/<hubTable>` in the lake.
+    * `statePartitions`: see [[sizeBatch]]. */
   def hubSink(
       lake: Lake,
       staged: DataFrame,
@@ -41,7 +59,8 @@ object StreamingDv {
       recordSource: String,
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
-      loadDts: Option[Timestamp] = None
+      loadDts: Option[Timestamp] = None,
+      statePartitions: Option[Int] = None
   ): StreamingQuery = {
     val hkName = s"${hubTable.stripPrefix("hub_")}_hk"
     staged.writeStream
@@ -49,6 +68,7 @@ object StreamingDv {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", hubTable, StructType(StructField(hkName, StringType) :: Nil))
@@ -78,13 +98,15 @@ object StreamingDv {
       recordSource: String,
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
-      loadDts: Option[Timestamp] = None
+      loadDts: Option[Timestamp] = None,
+      statePartitions: Option[Int] = None
   ): StreamingQuery =
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", linkTable, StructType(StructField(hkName, StringType) :: Nil))
@@ -110,7 +132,8 @@ object StreamingDv {
       recordSource: String,
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
-      loadDts: Option[Timestamp] = None
+      loadDts: Option[Timestamp] = None,
+      statePartitions: Option[Int] = None
   ): StreamingQuery = {
     // Payload types from the staged stream (what the writes carry) — the
     // readOr below imposes this schema on the scan (see Lake.readOr).
@@ -121,6 +144,7 @@ object StreamingDv {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", satTable, satSchema)

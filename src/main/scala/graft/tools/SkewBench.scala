@@ -130,6 +130,11 @@ object SkewBench {
       row
     }
 
+    def satStaged(sat: DataFrame): DataFrame = sat.select(col("__nk"), col("hash_diff"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    def satExisting(sat: DataFrame): DataFrame = sat.filter(col("load_dts") < lit("1996-01-01"))
+      .withColumn("del_flag", lit(false))
+
     val sat = skewedSat
     val vaultRows = Seq(
       // the dv_sat_current shape: size-scaled key clustering, then the
@@ -144,18 +149,32 @@ object SkewBench {
       runSkew("sat_current_partial") {
         graft.dv.DvOps.currentRows(sat, "__nk")
       },
+      // the guarded production path under auto mode: the sampled key
+      // histogram must detect the 10% hot key and skip the clustering —
+      // wall/max-task should land on the partial row above (+ the sample)
+      runSkew("sat_current_guarded_auto") {
+        spark.conf.set("spark.graft.skewGuard", "auto")
+        try graft.dv.DvOps.currentRows(graft.core.Tables.clusterByGuarded(sat, "__nk"), "__nk")
+        finally spark.conf.unset("spark.graft.skewGuard")
+      },
       // the dv_sat_delta shape: co-partitioned probe/staged shuffle-hash
       // join keyed on the hot key
       runSkew("sat_delta_coClustered") {
-        val staged = sat.select(col("__nk"), col("hash_diff"),
-          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        val existing = sat.filter(col("load_dts") < lit("1996-01-01"))
-          .withColumn("del_flag", lit(false))
         graft.dv.DvOps.satNewRows(
-          staged, existing, hkSource = "__nk", hashdiffField = "hash_diff",
+          satStaged(sat), satExisting(sat), hkSource = "__nk", hashdiffField = "hash_diff",
           fields = Seq("l_partkey" -> "l_partkey", "l_suppkey" -> "l_suppkey", "l_quantity" -> "l_quantity"),
           satHk = "__nk",
           ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L))
+      },
+      // same load with the two-level salted shape (DvOps.satNewRows salt):
+      // hot key's probe history and staged distinct spread over 16 tasks
+      runSkew("sat_delta_salted") {
+        graft.dv.DvOps.satNewRows(
+          satStaged(sat), satExisting(sat), hkSource = "__nk", hashdiffField = "hash_diff",
+          fields = Seq("l_partkey" -> "l_partkey", "l_suppkey" -> "l_suppkey", "l_quantity" -> "l_quantity"),
+          satHk = "__nk",
+          ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L),
+          salt = 16)
       }
     )
     println(s"""{"bench":"skew_vault","hot_frac":0.1,${vaultRows.mkString(",")},"sf":"$sfDir"}""")

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** [[graft.core.Tables.clusterByGuarded]]: the skew escape hatch must keep
+  * the exact clusterBy shape by default, skip clustering under `force`, and
+  * under `auto` pick per the sampled key histogram — skip on a hostile
+  * distribution, cluster on a uniform one. Results are plan-shape-only:
+  * every mode returns the same rows (pinned below). */
+class SkewGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case r: RepartitionByExpression => r }.nonEmpty
+
+  // 10k rows, one key holding 30% — far past the 5% default threshold
+  private def hotFrame =
+    spark.range(10000)
+      .select(when(col("id") % 10 < 3, lit(0L)).otherwise(col("id")).as("k"), col("id").as("v"))
+
+  private def uniformFrame = spark.range(10000).select((col("id") % 997).as("k"), col("id").as("v"))
+
+  test("default mode clusters exactly like clusterBy") {
+    val g = Tables.clusterByGuarded(hotFrame, "k")
+    assert(clustered(g))
+    assert(g.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("force mode returns the input unclustered") {
+    spark.conf.set("spark.graft.skewGuard", "force")
+    try assert(!clustered(Tables.clusterByGuarded(hotFrame, "k")))
+    finally spark.conf.unset("spark.graft.skewGuard")
+  }
+
+  test("auto mode skips clustering on a hot key and clusters on uniform keys") {
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.5")
+    try {
+      assert(!clustered(Tables.clusterByGuarded(hotFrame, "k")), "30%-hot key must skip clustering")
+      assert(clustered(Tables.clusterByGuarded(uniformFrame, "k")), "uniform keys must keep clusterBy")
+    } finally {
+      spark.conf.unset("spark.graft.skewGuard")
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    }
+  }
+
+  test("auto mode with an under-sized sample falls back to clustered") {
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    // 10k rows × 1e-4 ≈ 1 sampled row — below the 200-row floor
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.0001")
+    try assert(clustered(Tables.clusterByGuarded(hotFrame, "k")))
+    finally {
+      spark.conf.unset("spark.graft.skewGuard")
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    }
+  }
+
+  test("all modes return identical rows") {
+    def rows(df: DataFrame) = df.as[(Long, Long)].collect().sorted.toSeq
+    val base = rows(Tables.clusterBy(hotFrame, "k"))
+    spark.conf.set("spark.graft.skewGuard", "force")
+    val forced = rows(Tables.clusterByGuarded(hotFrame, "k"))
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.5")
+    val auto = rows(Tables.clusterByGuarded(hotFrame, "k"))
+    spark.conf.unset("spark.graft.skewGuard")
+    spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    assert(forced == base && auto == base)
+  }
+
+  test("unknown mode fails loudly") {
+    spark.conf.set("spark.graft.skewGuard", "sometimes")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.clusterByGuarded(hotFrame, "k"))
+      assert(e.getMessage.contains("skewGuard"))
+    } finally spark.conf.unset("spark.graft.skewGuard")
+  }
+}

@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("statePartitions sizes the micro-batch plans without changing results") {
+    val root = tmpDir("sizedstream")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val lake = new Lake(spark, root, buckets = 4)
+
+    Seq((1L, "ann"), (2L, "bob"), (3L, "cat")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$root/stage")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stage"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, "b1.parquet"))
+
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val staged = spark.readStream.schema("id LONG, name STRING").parquet(srcDir)
+    val q = StreamingDv.hubSink(
+      lake, staged, transitions, "hub_user", "user",
+      Seq("id" -> "id_bk"), "stream-test", s"$root/ckpt",
+      graft.dv.HashGen.Md5, statePartitions = Some(2))
+    q.awaitTermination()
+
+    val hub = lake.read("dv", "hub_user")
+    assert(hub.count() == 3)
+    assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // scoped to the stream's cloned session — the caller's conf is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("streaming satellite load versions changed payloads, skips unchanged") {
     val root = tmpDir("satstream")
     val srcDir = s"$root/src"
