@@ -74,7 +74,7 @@ object Dedup {
     * The small test parquet arrives as ONE split; fan it out so the typed
     * per-doc work (shingling, minhash) uses every core. At 100 TB the input
     * has plenty of splits and this is a no-op. */
-  private def docNorms(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docNorms(s: SparkSession, dir: String): DataFrame =
     Tables.spread(docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm")))
 
   /** Per-doc distinct 3-shingle rows (doc_id, shingle). Typed flatMap, not
@@ -573,7 +573,11 @@ object Dedup {
   private def ccLand(s: SparkSession, edges0: DataFrame)(expand: DataFrame => DataFrame): DataFrame = {
     val edges = edges0.persist()
     val cc = connectedComponents(edges)
-    val out = graft.core.Scratch.tempDir(s, "graft_cc_")
+    // streamTempDir, not tempDir: same conf-root resolution on a cluster
+    // (spark.graft.scratch.dir), but RAM-backed by default on this host —
+    // the landing is ephemeral (JVM-exit reaped) and its write+read-back
+    // was ~0.3-0.5 s of disk I/O per run on /tmp.
+    val out = graft.core.Scratch.streamTempDir(s, "graft_cc_")
     // cc is the persisted 3-column round handle; the landing write reads
     // its cache through the projection (sameResult substitution applies to
     // the matching subplan) — no extra persist+materialize round.
@@ -628,7 +632,57 @@ object Dedup {
     } finally c.release()
   }
 
-  /** Connected components over a SYMMETRIC (src, dst) edge set → (node,
+  /** Edge-count gate below which components run as a driver-side
+    * union-find instead of the distributed loop. The pair graph after LSH
+    * verification + exact-dup collapse is component-graph-sized — 490
+    * edges on the sf0.1 driver corpus — and at that size every
+    * distributed round is pure job-scheduling floor (measured 1.04 s of
+    * rounds for those 490 edges; the union-find is microseconds). 2^20
+    * edges = 16 MB of (long, long) on the driver — bounded, and far below
+    * any size where the distributed loop's rounds amortize. A 100 TB
+    * crawl's pair graph blows the gate and takes the loop unchanged.
+    * Conf-overridable (`spark.graft.cc.driverMaxEdges`) so tests can pin
+    * either path; 0 forces the loop. */
+  private val DriverCcMaxEdges = 1L << 20
+
+  /** Connected components — gated dispatch (see [[DriverCcMaxEdges]]):
+    * `edges.count()` materializes the caller's persisted edge cache
+    * (the seed aggregate used to do the same work), then either the
+    * driver union-find or the distributed min-label loop runs. Both
+    * return the same persisted (node, label, __chg) handle contract with
+    * label = component-min node id. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val gate = edges.sparkSession.conf
+      .getOption("spark.graft.cc.driverMaxEdges").map(_.toLong).getOrElse(DriverCcMaxEdges)
+    if (edges.count() <= gate) driverCc(edges) else loopCc(edges)
+  }
+
+  /** Driver-side union-find with union-by-min-root + path compression:
+    * the root of every set is its minimum member, so find(x) IS the
+    * component-min label the loop computes. */
+  private def driverCc(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => (k, find(k), false)).toSeq
+      .toDF("node", "label", "__chg").persist()
+  }
+
+  /** Distributed components over a SYMMETRIC (src, dst) edge set → (node,
     * label, __chg) with label = min node id of the component. Min-label
     * propagation (one edge join + one aggregate per round); from round
     * [[JumpAfter]] each round also pointer-jumps label ← label(label), so
@@ -644,7 +698,7 @@ object Dedup {
     * only releases a plan that sameResult-matches the cache entry, so
     * handing back a projection would cost an extra persist+materialize
     * round just to make unpersist work — the pre-r12 shape). */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+  private def loopCc(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     // Seed labels at distance 1 — min(node, min neighbor) — in the SAME
     // aggregate that discovers the node set: one groupBy replaces the

@@ -87,6 +87,7 @@ object SkewBench {
     // The straggler bound reported is max task vs the same stage's median.
     spark.conf.set("spark.sql.adaptive.enabled", true)
     val stageDurs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Queue[Long]]()
+    val stageShuffleRead = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     val spills = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -94,6 +95,8 @@ object SkewBench {
         if (m != null) {
           stageDurs.computeIfAbsent(t.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
             .add(m.executorRunTime)
+          stageShuffleRead.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(m.shuffleReadMetrics.totalBytesRead)
           spills.addAndGet(m.diskBytesSpilled)
           ()
         }
@@ -111,17 +114,26 @@ object SkewBench {
         col("l_partkey"), col("l_suppkey"), col("l_quantity"))
 
     def runSkew(label: String)(mk: => DataFrame): String = {
-      stageDurs.clear(); spills.set(0L)
+      stageDurs.clear(); stageShuffleRead.clear(); spills.set(0L)
       val t0 = System.nanoTime()
       mk.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let async task-end events drain
-      // The straggler stage = the one holding the slowest single task;
-      // compare against ITS OWN median so scan stages don't dilute it.
+      // The straggler stage = the one holding the slowest single task,
+      // compared against ITS OWN median. Attribution is restricted to
+      // SHUFFLE-READING stages (key skew can only concentrate work at or
+      // above an exchange read) — under co-tenant storms a uniformly-
+      // slowed scan otherwise wins the max-task pick and reports
+      // max ≈ median, masking the skew signal (observed r13; raw sessions
+      // in bench/r13_skew_vault.jsonl). Falls back to all stages when
+      // nothing read a shuffle.
       val worst = {
         import scala.jdk.CollectionConverters._
-        stageDurs.asScala.values.map(_.asScala.toSeq.sorted)
-          .filter(_.nonEmpty).maxByOption(_.last)
+        val byStage = stageDurs.asScala.toMap
+        val reading = byStage.filter { case (sid, _) =>
+          Option(stageShuffleRead.get(sid)).exists(_.get() > 0L) }
+        (if (reading.nonEmpty) reading else byStage)
+          .values.map(_.asScala.toSeq.sorted).filter(_.nonEmpty).maxByOption(_.last)
       }
       val (maxMs, medMs) = worst.map(d => (d.last, d(d.size / 2))).getOrElse((0L, 0L))
       val row = s""""$label":{"sec":${f"$sec%.1f"},"max_task_s":${f"${maxMs / 1000.0}%.2f"},""" +

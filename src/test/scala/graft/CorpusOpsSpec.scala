@@ -139,14 +139,43 @@ class CorpusOpsSpec extends SparkSpec {
     import spark.implicits._
     // A 60-node path has diameter 59: plain min-label propagation needs 59
     // rounds and would blow the 25-round cap — the pointer jump folded
-    // into every round must close it in O(log n) rounds.
-    val n = 60
-    val chain = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
-      .toDF("src", "dst")
-    val labels = graft.queries.Dedup.connectedComponents(chain)
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    labels.unpersist()
-    assert(got.keySet == (0L until n).toSet)
-    assert(got.values.forall(_ == 0L), s"all labels must be the component min: $got")
+    // into every round must close it in O(log n) rounds. Gate pinned to 0
+    // so the DISTRIBUTED loop runs (the driver union-find would otherwise
+    // absorb this graph).
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      val n = 60
+      val chain = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+        .toDF("src", "dst")
+      val labels = graft.queries.Dedup.connectedComponents(chain)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.unpersist()
+      assert(got.keySet == (0L until n).toSet)
+      assert(got.values.forall(_ == 0L), s"all labels must be the component min: $got")
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
+
+  test("connectedComponents: driver union-find equals the distributed loop") {
+    import spark.implicits._
+    // Random-ish multi-component graph (deterministic): chains, cliques,
+    // singly-linked pairs, and an isolated self-loop, shuffled across ids.
+    val edges0 = (
+      (0L until 40L by 2).map(i => (i, i + 2)) ++            // even chain
+      (for (a <- 101L to 105L; b <- 101L to 105L if a < b) yield (a, b)) ++ // clique
+      Seq((200L, 300L), (300L, 400L), (500L, 500L))          // path + self-loop
+    )
+    val sym = edges0.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def run(): Map[Long, Long] = {
+      val h = graft.queries.Dedup.connectedComponents(sym)
+      val m = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      h.unpersist()
+      m
+    }
+    val viaDriver = run() // default gate: 2^20 edges — takes the union-find
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    val viaLoop = try run() finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(40L) == 0L && viaDriver(105L) == 101L && viaDriver(400L) == 200L
+      && viaDriver(500L) == 500L)
   }
 }
