@@ -157,10 +157,28 @@ object Dedup {
     // set is exactly the uncollapsed pipeline's.
     val rare = e.groupBy(col("shingle")).agg(sum(col("gsz")).as("df"))
       .filter(col("df") <= BlockingDfCap).select("shingle")
+    // Explicit shingle-keyed width for the self-join below: AQE coalesces
+    // the blocking exchange by BYTES (~1 MB → ~10 partitions), but the
+    // self-join's per-bucket pair generation + the fused map-side distinct
+    // over the emitted (a_id, b_id) pairs is the query's CPU hot spot —
+    // profiled 24.6 s of CPU in 10 tasks on 32 cores (stage wall ≈ 4 s,
+    // ~60% of the warm query). HashPartitioning(shingle, cores) serves
+    // BOTH join sides (one reused exchange) at full width; at cluster
+    // scale the exchange is the same bytes it always was.
     val blk = e.join(rare, "shingle").select(col("doc_id"), col("shingle"))
+      .repartition(s.sparkContext.defaultParallelism, col("shingle"))
+    // Explicit pair-keyed width for everything downstream: the distinct's
+    // exchange is AQE-coalesced by BYTES (~11 MB → 11 partitions), and the
+    // ENTIRE verify tail — distinct final, the broadcast joins attaching
+    // both full shingle arrays to every pair, array_intersect, and the
+    // member expansion — fuses into that one coalesced stage (profiled
+    // 26 s of CPU in 11 tasks on 32 cores ≈ 60% of the warm query wall).
+    // HashPartitioning(a_id, b_id, cores) satisfies the distinct exactly
+    // (no extra exchange) and runs the tail at full width; same bytes.
     val cands = blk.as("a")
       .join(blk.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val repPairs = cands
       .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
