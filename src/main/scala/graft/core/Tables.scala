@@ -95,7 +95,9 @@ object Tables {
     * (right on uniform keys — see the clusterBy doc), which is exactly what
     * makes it skew-exposed: a degenerate key (null/default sentinel) holding
     * ~10% of all rows lands its ENTIRE history in one task (SkewBench sf10:
-    * 31.6 s max task vs 0.97 s stage median). Skipping the pre-clustering
+    * 22.6 s max task vs 3.4 s stage median + 318-334 MB spill — BASELINE.md
+    * vault-skew table, raw sessions bench/r13_skew_vault.jsonl). Skipping
+    * the pre-clustering
     * restores Spark's partial-before-exchange aggregation, which collapses
     * the hot key to one row per map task — skew-immune, at the price of the
     * partial pass clusterBy exists to avoid.

@@ -154,7 +154,8 @@ object DvOps {
     *   assumes per-key staged/history cardinality is batch-bounded; a
     *   pathological key holding ~10% of all version rows concentrates its
     *   whole history + staged set in ONE task (SkewBench sf10: max task
-    *   34.3 s vs 0.58 s stage median). With salt = n, a sampled key
+    *   9.45 s vs 0.67 s stage median — BASELINE.md vault-skew table,
+    *   raw sessions bench/r13_skew_vault.jsonl). With salt = n, a sampled key
     *   histogram (skewGuard confs: `spark.graft.skewGuard.sampleFraction`
     *   / `.hotShare`) names the hot keys (≤ 64) and ONLY their rows fan
     *   out over n (key, cell) cells — probe history by salt-of-row, staged

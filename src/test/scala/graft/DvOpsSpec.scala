@@ -129,6 +129,41 @@ class DvOpsSpec extends SparkSpec {
     assert(fallback.toSeq == unsalted.toSeq)
   }
 
+  test("salted delta load matches unsalted across randomized batches and salts") {
+    // Deterministic pseudo-random sweep: varying key counts, version
+    // depths, hot-key shares, staged duplication, and salt values — the
+    // hot-split must return the exact unsalted row set every time,
+    // whatever the sampled hot set turns out to be (including empty).
+    val rng = new scala.util.Random(4242L)
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    try {
+      for (round <- 0 until 4) {
+        val nKeys = 5 + rng.nextInt(40)
+        val hotVersions = 20 + rng.nextInt(120)
+        val existing = sat((
+          (for (v <- 0 until hotVersions) yield
+            ("hotk", f"2026-01-${1 + v % 27}%02d 00:00:00", rng.nextBoolean() && v != hotVersions - 1,
+              s"hd-h$v", (v % 4).toLong, s"hp$v")) ++
+          (for (k <- 0 until nKeys; v <- 0 to rng.nextInt(3)) yield
+            (s"k$k", f"2026-01-${1 + v}%02d 00:00:00", false, s"hd$k-$v", v.toLong, s"p$k-$v"))
+        ): _*).repartition(1 + rng.nextInt(16))
+        val staged = (
+          Seq.fill(1 + rng.nextInt(30))(("hotk", s"staged-h$round", "hp")) ++
+          (for (k <- 0 until nKeys; if rng.nextBoolean()) yield
+            (s"k$k", if (rng.nextBoolean()) s"hd$k-0" else s"new-$k-$round", "np"))
+        ).toDF("src_hk", "grp_hashdiff", "payload").repartition(1 + rng.nextInt(8))
+        def run(salt: Int) = DvOps.satNewRows(
+          staged, existing, "src_hk", "grp_hashdiff",
+          Seq("payload" -> "payload"), "hk", ctx, salt = salt)
+          .select("hk", "hash_diff", "payload", "del_flag")
+          .as[(String, String, String, Boolean)].collect().sorted.toSeq
+        val base = run(1)
+        val salt = 2 + rng.nextInt(15)
+        assert(run(salt) == base, s"round $round salt $salt diverged")
+      }
+    } finally spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+  }
+
   test("satDeleteRows emits del rows for latest-active keys absent from staging") {
     val existing = sat(
       ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "p1"), // staged -> no delete
