@@ -501,7 +501,13 @@ object DvQueries {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hconf)
     fs.mkdirs(rootPath)
-    val lake = new graft.core.Lake(s, root, buckets = 4)
+    // Bucket count sized to cores (cap 16): the bucketed append's write
+    // exchange has exactly `buckets` tasks, so 4 buckets serialized the
+    // sf1 replay's parquet encode into 4× ~35 MB tasks (~1.9 s stage wall,
+    // the row's largest). Bucket count is lake LAYOUT — result rows and
+    // oracle hashes are bucket-count-invariant.
+    val lake = new graft.core.Lake(s, root,
+      buckets = math.min(16, s.sparkContext.defaultParallelism))
     val srcDir = new org.apache.hadoop.fs.Path(rootPath, "src")
     fs.mkdirs(srcDir)
     val src = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
@@ -531,10 +537,16 @@ object DvQueries {
     val (lake, staged, root) = stagedStream(s, dir, "customer")
     val transitions = Seq(
       Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
+    // statePartitions: the replay harness's 8-partition conf (streamReplay)
+    // is sized for the STATE-store rows' per-task commit overhead; these DV
+    // sinks are stateless foreachBatch loads whose batch plans (hash-view
+    // distinct + anti-join) want full cores — the knob scopes the width to
+    // this stream's cloned session.
     val q = graft.streaming.StreamingDv.hubSink(
       lake, staged, transitions, "hub_customer", "customer",
       Seq("c_custkey" -> "c_custkey_bk"), "verify", s"$root/ckpt",
-      Algo, loadDts = Some(ctx.loadDts))
+      Algo, loadDts = Some(ctx.loadDts),
+      statePartitions = Some(s.sparkContext.defaultParallelism))
     q.awaitTermination()
     lake.read("dv", "hub_customer")
       .select(col("customer_hk"), col("load_dts"), col("record_source"), col("run_id"), col("c_custkey_bk"))
@@ -565,7 +577,8 @@ object DvQueries {
       hkSource = "customer_hk", hashdiffField = "customer_details_hashdiff",
       fields = Seq("c_name" -> "c_name", "c_mktsegment" -> "c_mktsegment"),
       satHk = "customer_hk", "verify", s"$root/ckpt",
-      Algo, loadDts = Some(ctx.loadDts))
+      Algo, loadDts = Some(ctx.loadDts),
+      statePartitions = Some(s.sparkContext.defaultParallelism)) // see streamHub
     q.awaitTermination()
     lake.read("dv", "hsat_customer")
       .select(
@@ -601,7 +614,8 @@ object DvQueries {
       lake, staged, transitions, "link_order_customer", "oc",
       Seq("customer_hk" -> "customer_hk", "order_hk" -> "order_hk"),
       "order_customer_hk", "verify", s"$root/ckpt",
-      Algo, loadDts = Some(ctx.loadDts))
+      Algo, loadDts = Some(ctx.loadDts),
+      statePartitions = Some(s.sparkContext.defaultParallelism)) // see streamHub
     q.awaitTermination()
     lake.read("dv", "link_order_customer")
       .select(
