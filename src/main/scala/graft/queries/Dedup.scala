@@ -342,6 +342,11 @@ object Dedup {
         col("a.band_id") === col("b.band_id") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // Explicit pair-keyed width: same AQE-bytes-vs-CPU mismatch as
+      // dedupNgramJaccard — the distinct final + array rejoins +
+      // array_intersect verify all fuse into the distinct exchange's
+      // coalesced read (~10 tasks for ~12 MB), while their cost is CPU.
+      .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands
       .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
@@ -432,6 +437,9 @@ object Dedup {
         col("a.band_id") === col("b.band_id") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // Explicit pair-keyed width for the fused verify tail — see
+      // minhashPlain's note.
+      .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val repPairs = cands
       .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
