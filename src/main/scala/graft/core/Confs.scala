@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.RuntimeConfig
+
+/** Named-key conf parsing for the `spark.graft.*` tuning knobs.
+  *
+  * Malformed values fail at the read site with the offending key NAMED
+  * (matching the `Lake.bucketCount` validation style), instead of a raw
+  * `NumberFormatException` from `.toDouble`/`.toLong` — and range checks
+  * run here too, so a `sampleFraction` of 1.5 fails with this message
+  * rather than deep inside Spark's `sample()`.
+  */
+object Confs {
+  val SampleFractionKey = "spark.graft.skewGuard.sampleFraction"
+  val HotShareKey = "spark.graft.skewGuard.hotShare"
+
+  def double(conf: RuntimeConfig, key: String, default: Double): Double =
+    conf.getOption(key).map { v =>
+      try v.trim.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a number, got '$v'")
+      }
+    }.getOrElse(default)
+
+  def long(conf: RuntimeConfig, key: String, default: Long): Long =
+    conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
+
+  /** skewGuard sample fraction — a Spark `sample()` fraction, so (0, 1]. */
+  def sampleFraction(conf: RuntimeConfig): Double = {
+    val f = double(conf, SampleFractionKey, 0.01)
+    require(f > 0.0 && f <= 1.0, s"$SampleFractionKey must be in (0, 1], got $f")
+    f
+  }
+
+  /** skewGuard hot-key row-share threshold — a proper fraction, so (0, 1). */
+  def hotShare(conf: RuntimeConfig): Double = {
+    val s = double(conf, HotShareKey, 0.05)
+    require(s > 0.0 && s < 1.0, s"$HotShareKey must be in (0, 1), got $s")
+    s
+  }
+}

@@ -113,15 +113,20 @@ object Tables {
     *    skipped. The sample only picks the PLAN — query results are
     *    identical either way — so sampling noise can cost performance,
     *    never correctness. Samples below ~200 rows fall back to clustered
-    *    (too noisy to overrule the uniform-key default). */
+    *    (too noisy to overrule the uniform-key default).
+    *
+    * `auto` runs its sampled histogram EAGERLY at plan-construction time —
+    * building plans over the same input in a loop re-pays the sample each
+    * time; hoist the guarded DataFrame out of the loop (or cache the
+    * input) if that matters. */
   def clusterByGuarded(df: DataFrame, keys: String*): DataFrame = {
     val conf = df.sparkSession.conf
     conf.getOption("spark.graft.skewGuard").getOrElse("off") match {
       case "off"   => clusterBy(df, keys: _*)
       case "force" => df
       case "auto" =>
-        val frac = conf.getOption("spark.graft.skewGuard.sampleFraction").getOrElse("0.01").toDouble
-        val hotShare = conf.getOption("spark.graft.skewGuard.hotShare").getOrElse("0.05").toDouble
+        val frac = Confs.sampleFraction(conf)
+        val hotShare = Confs.hotShare(conf)
         val stats = df.select(keys.map(df.col): _*)
           .sample(withReplacement = false, frac, seed = 42L)
           .groupBy(keys.map(df.col): _*).count()

@@ -167,8 +167,25 @@ object DvOps {
     *   for ANY hot-key set, including empty (DvOpsSpec "salted delta load
     *   matches unsalted on a hot-key batch" pins salted ≡ unsalted); costs
     *   one sampled key-column pass + a narrow one-row-per-key exchange, so
-    *   leave it off unless the batch may be hot. Measured numbers:
+    *   leave it off unless the batch may be hot. The histogram runs
+    *   EAGERLY at plan-construction time — calling satNewRows in a loop
+    *   over the same inputs re-pays the sample per call. Measured numbers:
     *   BASELINE.md vault-skew table (SkewBench `sat_delta_salted`). */
+  /** Hot-set membership that treats a NULL key as a real key.
+    * `Column.isin` yields NULL (falsy under `when()`) for a null-valued
+    * input, so a bare isin over a hot set containing null would silently
+    * exclude the null sentinel key — the canonical degenerate key the
+    * skewGuard docs cite — from the hot split, leaving its entire pileup
+    * in cell 0. Null membership gets an explicit `isNull` branch instead.
+    * Always returns true/false, never NULL. */
+  private[graft] def hotKeyPredicate(hotKeys: Seq[Any], c: Column): Column = {
+    val nullIsHot = hotKeys.contains(null)
+    val nonNullHot = hotKeys.filterNot(_ == null).toIndexedSeq
+    if (nonNullHot.isEmpty) c.isNull && lit(nullIsHot)
+    else if (nullIsHot) c.isNull || c.isin(nonNullHot: _*)
+    else c.isNotNull && c.isin(nonNullHot: _*)
+  }
+
   def satNewRows(
       hashView: DataFrame,
       existingSat: DataFrame,
@@ -240,8 +257,8 @@ object DvOps {
         // hot key), and the hot keys' history/staged sets are bounded at
         // 1/salt per task.
         val conf = hashView.sparkSession.conf
-        val frac = conf.getOption("spark.graft.skewGuard.sampleFraction").getOrElse("0.01").toDouble
-        val hotShare = conf.getOption("spark.graft.skewGuard.hotShare").getOrElse("0.05").toDouble
+        val frac = graft.core.Confs.sampleFraction(conf)
+        val hotShare = graft.core.Confs.hotShare(conf)
         val sampled = probeIn.select(col(satHk))
           .sample(withReplacement = false, frac, seed = 42L)
           .union(stagedIn.select(col(satHk)).sample(withReplacement = false, frac, seed = 42L))
@@ -265,7 +282,7 @@ object DvOps {
           val staged1 = Tables.clusterBy(stagedIn, parts, satHk).distinct()
           (staged1, probe1, Seq(satHk))
         } else {
-          def isHot(c: Column) = c.isin(hotKeys.toIndexedSeq: _*)
+          def isHot(c: Column) = hotKeyPredicate(hotKeys.toIndexedSeq, c)
           // salt-of-row for the probe history; the salt is a pure function
           // of the row, so `max` over any cell partition is associative-
           // safe and the two-level result equals the one-level max.

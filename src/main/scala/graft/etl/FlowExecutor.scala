@@ -14,7 +14,7 @@ import graft.meta.{MetaStore, Transition}
 /** One vault-load flow outcome. Errors are typed ([[DvError]]) so callers
   * dispatch on the failure kind like the reference's DVException handlers. */
 final case class FlowResult(
-    runId: Long,
+    runId: Long, // 0 = skipped (no run started); -1 = failed before a run id was allocated
     status: String, // success | failure | skipped
     skipped: Boolean,
     errors: Seq[DvError],
@@ -149,7 +149,11 @@ final class FlowExecutor(
     // INSIDE the try so a throw there still releases the ingestion claim
     // (a leaked claim permanently blocks the file until forceLoad/manual
     // marker delete, even though no run ever touched the vault).
-    var runId = 0L
+    // -1 = "no run id was ever allocated" — distinct from the run-id-0
+    // sentinel skipped results carry, so a nextRunId() failure can neither
+    // write a ledger row attributed to a run that never existed nor be
+    // confused with a skip by callers inspecting FlowResult.runId.
+    var runId = -1L
     try {
       runId = nextRunId()
       logRun(sourceTable, runId, filePath, "start")
@@ -191,8 +195,11 @@ final class FlowExecutor(
         if (!forceLoad) filePath.foreach(releaseClaim(sourceTable, _))
         // Best-effort: when the lake is down the failure row can't land
         // anyway — the caller still gets the original error in the result.
-        scala.util.Try(logRun(sourceTable, runId, filePath, "failure",
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(4095)))
+        // No ledger row at all when nextRunId() itself threw (runId still
+        // -1): there is no run to attribute the failure to.
+        if (runId >= 0)
+          scala.util.Try(logRun(sourceTable, runId, filePath, "failure",
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(4095)))
         FlowResult(runId, "failure", skipped = false, Seq(DvError.from(e, s"flow $sourceTable")), Map.empty)
     }
   }

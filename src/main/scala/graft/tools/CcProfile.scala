@@ -49,10 +49,17 @@ object CcProfile {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val edges = sym.unionAll(self).persist()
     val (nEdges, tEdges) = t(edges.count())
+    // Pin the distributed min-label loop: this tool exists to adjudicate
+    // the ROUNDS (the small-corpus gate would otherwise route a sub-2^20
+    // edge graph to the driver union-find and time that instead). The
+    // gate's own dispatch cost is visible in total_s, which runs the
+    // production path unpinned.
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     val (cc, tRounds) = t {
       val h = graft.queries.Dedup.connectedComponents(edges)
       h // all round actions run inside
     }
+    spark.conf.unset("spark.graft.cc.driverMaxEdges")
     val out = graft.core.Scratch.tempDir(spark, "graft_ccprof_")
     val (_, tLand) = t {
       val labels = cc.select("node", "label")
@@ -66,7 +73,7 @@ object CcProfile {
     cc.unpersist(); edges.unpersist(); c.release()
     println(
       f"""{"bench":"cc_profile","total_s":$total%.2f,"collapse_build_s":$tCollapse%.2f,""" +
-      f""""edges_s":$tEdges%.2f,"edges":$nEdges,"cc_rounds_s":$tRounds%.2f,""" +
+      f""""edges_s":$tEdges%.2f,"edges":$nEdges,"cc_rounds_s":$tRounds%.2f,"cc_path":"loop",""" +
       f""""landing_s":$tLand%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -178,4 +178,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaDriver(40L) == 0L && viaDriver(105L) == 101L && viaDriver(400L) == 200L
       && viaDriver(500L) == 500L)
   }
+
+  test("connectedComponents: string node ids fail loudly at the boundary") {
+    import spark.implicits._
+    // cast("long") over string doc_ids would yield nulls and NPE deep in
+    // the union-find — the guard must throw a named message instead.
+    val edges = Seq(("doc-a", "doc-b"), ("doc-b", "doc-a")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      graft.queries.Dedup.connectedComponents(edges))
+    assert(e.getMessage.contains("numeric node ids") && e.getMessage.contains("src"))
+  }
 }

@@ -129,6 +129,55 @@ class DvOpsSpec extends SparkSpec {
     assert(fallback.toSeq == unsalted.toSeq)
   }
 
+  test("hotKeyPredicate treats a null key as a real hot-set member") {
+    // Column.isin yields NULL (falsy under when()) for a null input — the
+    // predicate must return real booleans so a hot NULL sentinel key
+    // actually fans out instead of silently staying in cell 0.
+    val df = Seq(Some("a"), Some("b"), None).toDF("k")
+    def marks(hot: Seq[Any]): Map[Option[String], Boolean] =
+      df.select(col("k"), when(DvOps.hotKeyPredicate(hot, col("k")), true).otherwise(false).as("h"))
+        .as[(Option[String], Boolean)].collect().toMap
+    // null named hot alongside a non-null key
+    assert(marks(Seq("a", null)) == Map(Some("a") -> true, Some("b") -> false, None -> true))
+    // null the ONLY hot key
+    assert(marks(Seq(null)) == Map(Some("a") -> false, Some("b") -> false, None -> true))
+    // null not hot: null row must be plain false, not NULL-falsy
+    assert(marks(Seq("b")) == Map(Some("a") -> false, Some("b") -> true, None -> false))
+  }
+
+  test("salted delta load matches unsalted when the hot key is NULL") {
+    // The degenerate null sentinel key carries most version rows and a
+    // duplicated staged batch; with a full-sample histogram the null key
+    // is named hot and the split path must (a) run — hotKeyPredicate makes
+    // isin null-safe — and (b) return the exact unsalted row set.
+    val nullK: String = null
+    val existing = sat((
+      (for (v <- 0 until 200) yield
+        (nullK, f"2026-01-${1 + v % 27}%02d 00:00:00", v % 7 == 0, s"nhd$v", (v % 3).toLong, s"np$v")) ++
+      (for (k <- 0 until 30; v <- 0 to k % 3) yield
+        (s"k$k", f"2026-01-${1 + v}%02d 00:00:00", false, s"hd$k-$v", v.toLong, s"p$k-$v"))
+    ): _*).repartition(16)
+    val staged = (
+      Seq.fill(40)((nullK, "null-staged-hd", "null-payload")) ++
+      Seq(("k1", "changed-hd", "newp"), ("new", "new-hd", "newp"))
+    ).toDF("src_hk", "grp_hashdiff", "payload").repartition(8)
+    def run(salt: Int) = DvOps.satNewRows(
+      staged, existing, "src_hk", "grp_hashdiff",
+      Seq("payload" -> "payload"), "hk", ctx, salt = salt)
+      .select("hk", "hash_diff", "payload", "del_flag")
+      .as[(Option[String], String, String, Boolean)].collect().sortBy(_.toString).toSeq
+    val unsalted = run(1)
+    assert(unsalted.nonEmpty)
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    val salted =
+      try run(8)
+      finally spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    assert(salted == unsalted,
+      s"null-hot salted(8) diverged: ${salted.diff(unsalted)} vs ${unsalted.diff(salted)}")
+    // the duplicated null-key staged rows still collapse to one insert
+    assert(salted.count(_._1.isEmpty) == 1)
+  }
+
   test("salted delta load matches unsalted across randomized batches and salts") {
     // Deterministic pseudo-random sweep: varying key counts, version
     // depths, hot-key shares, staged duplication, and salt values — the

@@ -141,6 +141,28 @@ class FlowExecutorSpec extends SparkSpec {
     assert(r.errors.head.render.contains("Error") || r.errors.head.render.contains("nope"))
   }
 
+  test("runId allocation failure: -1 sentinel, no ledger row for a phantom run") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root, buckets = 4)
+    // Corrupt ledger: run_id persisted as STRING — the imposed LONG schema
+    // makes nextRunId's max() throw at read time, BEFORE any run exists.
+    // The failure must not write a ledger row (there is no run to attribute
+    // it to) and must not reuse the run-id-0 "skipped" sentinel.
+    Seq(("customer", "one", new Timestamp(0L), "seen.csv", "success", ""))
+      .toDF("source_table", "run_id", "log_date", "source_file", "status", "message")
+      .write.parquet(lake.tablePath("metadata", "runinfo"))
+    val dir = new java.io.File(lake.tablePath("metadata", "runinfo"))
+    val before = dir.listFiles().map(_.getName).toSet
+    val csv = s"$root/c.csv"
+    writeCsv(csv, Seq("1,alice,BUILDING"))
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    val r = flow.executeFlow("customer", "unit", Some(csv))
+    assert(r.status == "failure" && !r.skipped && r.errors.nonEmpty)
+    assert(r.runId == -1L, s"unallocated run must carry the -1 sentinel, got ${r.runId}")
+    val after = dir.listFiles().map(_.getName).toSet
+    assert(after == before, s"phantom-run ledger rows appended: ${after.diff(before)}")
+  }
+
   test("two racing flows over one file ingest exactly once") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)

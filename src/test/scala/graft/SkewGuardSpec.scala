@@ -79,4 +79,32 @@ class SkewGuardSpec extends SparkSpec {
       assert(e.getMessage.contains("skewGuard"))
     } finally spark.conf.unset("spark.graft.skewGuard")
   }
+
+  test("malformed or out-of-range skewGuard confs fail naming the key") {
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    try {
+      for ((key, bad) <- Seq(
+          graft.core.Confs.SampleFractionKey -> "often", // not a number
+          graft.core.Confs.SampleFractionKey -> "1.5",   // > 1: would fail deep in sample()
+          graft.core.Confs.SampleFractionKey -> "0",
+          graft.core.Confs.HotShareKey -> "lots",
+          graft.core.Confs.HotShareKey -> "1.0")) {
+        spark.conf.set(key, bad)
+        try {
+          val e = intercept[IllegalArgumentException](Tables.clusterByGuarded(hotFrame, "k"))
+          assert(e.getMessage.contains(key), s"message for $key='$bad' must name the key: ${e.getMessage}")
+        } finally spark.conf.unset(key)
+      }
+    } finally spark.conf.unset("spark.graft.skewGuard")
+  }
+
+  test("malformed cc.driverMaxEdges fails naming the key") {
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "many")
+    try {
+      val edges = Seq((1L, 2L)).toDF("src", "dst")
+      val e = intercept[IllegalArgumentException](
+        graft.queries.Dedup.connectedComponents(edges))
+      assert(e.getMessage.contains("spark.graft.cc.driverMaxEdges"))
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
 }
