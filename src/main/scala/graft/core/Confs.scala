@@ -11,8 +11,10 @@ import org.apache.spark.sql.RuntimeConfig
   * rather than deep inside Spark's `sample()`.
   */
 object Confs {
+  val SkewGuardKey = "spark.graft.skewGuard"
   val SampleFractionKey = "spark.graft.skewGuard.sampleFraction"
   val HotShareKey = "spark.graft.skewGuard.hotShare"
+  val SaltKey = "spark.graft.skewGuard.salt"
 
   def double(conf: RuntimeConfig, key: String, default: Double): Double =
     conf.getOption(key).map { v =>
@@ -45,4 +47,22 @@ object Confs {
     require(s > 0.0 && s < 1.0, s"$HotShareKey must be in (0, 1), got $s")
     s
   }
+
+  /** Hot-key fan-out width when `spark.graft.skewGuard=auto` engages the
+    * salted satellite-delta shape (DvOps.satNewRows). 16 is the measured
+    * sweet spot at sf10 (BASELINE.md vault-skew table); 1 would make the
+    * fan-out a no-op, so require >= 2. */
+  def salt(conf: RuntimeConfig): Int = {
+    val n = long(conf, SaltKey, 16L)
+    require(n >= 2L && n <= 4096L, s"$SaltKey must be in [2, 4096], got $n")
+    n.toInt
+  }
+
+  /** The `spark.graft.skewGuard` mode itself: off | force | auto. */
+  def skewGuard(conf: RuntimeConfig): String =
+    conf.getOption(SkewGuardKey).getOrElse("off") match {
+      case m @ ("off" | "force" | "auto") => m
+      case other => throw new IllegalArgumentException(
+        s"$SkewGuardKey must be off|force|auto, got '$other'")
+    }
 }

@@ -121,7 +121,7 @@ object Tables {
     * input) if that matters. */
   def clusterByGuarded(df: DataFrame, keys: String*): DataFrame = {
     val conf = df.sparkSession.conf
-    conf.getOption("spark.graft.skewGuard").getOrElse("off") match {
+    Confs.skewGuard(conf) match {
       case "off"   => clusterBy(df, keys: _*)
       case "force" => df
       case "auto" =>
@@ -136,8 +136,6 @@ object Tables {
         val hot = !stats.isNullAt(0) && stats.getLong(1) >= 200 &&
           stats.getLong(0).toDouble / stats.getLong(1) > hotShare
         if (hot) df else clusterBy(df, keys: _*)
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.skewGuard must be off|force|auto, got '$other'")
     }
   }
 

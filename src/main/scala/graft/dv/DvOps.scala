@@ -235,10 +235,19 @@ object DvOps {
     // third exchange above one side — exactly the co-partitioned shape the
     // PlanSpec dv_sat_delta guard pins against.
     require(salt >= 1, s"satNewRows salt must be >= 1, got $salt")
+    // `spark.graft.skewGuard=auto` engages the hot-key split for callers
+    // that left salt at its default — the internal sampled histogram still
+    // decides, and an empty hot set falls through to the UNSALTED plan, so
+    // auto on a uniform batch costs exactly one histogram and nothing else.
+    // An explicit salt always wins over the conf.
+    val conf = hashView.sparkSession.conf
+    val effSalt =
+      if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") graft.core.Confs.salt(conf)
+      else salt
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
     val activeStruct = struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))
     val (staged, probe, joinKeys) =
-      if (salt == 1) {
+      if (effSalt == 1) {
         val probe1 = Tables.clusterBy(probeIn, parts, satHk)
           .groupBy(col(satHk))
           .agg(maxStruct(activeStruct).as("__active"))
@@ -256,7 +265,6 @@ object DvOps {
         // shape's bytes, level 2 ships one narrow row per key (+`salt` per
         // hot key), and the hot keys' history/staged sets are bounded at
         // 1/salt per task.
-        val conf = hashView.sparkSession.conf
         val frac = graft.core.Confs.sampleFraction(conf)
         val hotShare = graft.core.Confs.hotShare(conf)
         val sampled = probeIn.select(col(satHk))
@@ -287,7 +295,7 @@ object DvOps {
           // of the row, so `max` over any cell partition is associative-
           // safe and the two-level result equals the one-level max.
           val rowSalt = when(isHot(col(satHk)),
-            pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(salt)))
+            pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
             .otherwise(lit(0)).cast("int")
           val level1 = Tables.clusterBy(probeIn.withColumn("__salt", rowSalt), parts, satHk, "__salt")
             .groupBy(col(satHk), col("__salt"))
@@ -298,14 +306,14 @@ object DvOps {
           // land in: ×salt for hot keys, cell 0 only for the rest
           val probeN = Tables.clusterBy(
             probeRow.withColumn("__salt",
-              explode(sequence(lit(0), when(isHot(col(satHk)), lit(salt - 1)).otherwise(lit(0))))),
+              explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0))))),
             parts, satHk, "__salt")
           // salt-of-hashdiff, NOT salt-of-row: duplicate staged rows share
           // their hash_diff, so they land in the same cell and the
           // partition-local distinct still collapses them. __salt rides
           // along as a distinct column — a pure function of (key,
           // hash_diff), so the groups are unchanged.
-          val stagedSalt = when(isHot(col(satHk)), pmod(xxhash64(col("hash_diff")), lit(salt)))
+          val stagedSalt = when(isHot(col(satHk)), pmod(xxhash64(col("hash_diff")), lit(effSalt)))
             .otherwise(lit(0)).cast("int")
           val stagedN = Tables.clusterBy(
             stagedIn.withColumn("__salt", stagedSalt), parts, satHk, "__salt")

@@ -129,6 +129,49 @@ class DvOpsSpec extends SparkSpec {
     assert(fallback.toSeq == unsalted.toSeq)
   }
 
+  test("skewGuard=auto engages the hot-key split at default salt, same rows") {
+    // Same hot-key frame shape as the explicit-salt test, but the caller
+    // leaves salt at its default — the conf alone must (a) route through
+    // the salted branch (visible as __salt in the analyzed plan), (b)
+    // return the exact unsalted row set, and (c) stay on the plain shape
+    // when the guard is off.
+    val existing = sat((
+      (for (v <- 0 until 300) yield
+        ("hot", f"2026-01-${1 + v % 27}%02d 00:00:00", false, s"hd$v", (v % 3).toLong, s"p$v")) ++
+      (for (k <- 0 until 40; v <- 0 to k % 4) yield
+        (s"k$k", f"2026-01-${1 + v}%02d 00:00:00", false, s"hd$k-$v", v.toLong, s"p$k-$v"))
+    ): _*).repartition(16)
+    val staged = (
+      Seq.fill(50)(("hot", "hot-staged-hd", "hot-payload")) ++
+      Seq(("k2", "changed-hd", "newp"), ("new", "new-hd", "newp"))
+    ).toDF("src_hk", "grp_hashdiff", "payload").repartition(16)
+    def run() = DvOps.satNewRows(
+      staged, existing, "src_hk", "grp_hashdiff",
+      Seq("payload" -> "payload"), "hk", ctx) // salt left at default
+    val off = run()
+    assert(!off.queryExecution.analyzed.toString.contains("__salt"))
+    val offRows = off.select("hk", "hash_diff", "payload")
+      .as[(String, String, String)].collect().sorted.toSeq
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    try {
+      val auto = run()
+      assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+        "auto + hot key must engage the salted branch")
+      val autoRows = auto.select("hk", "hash_diff", "payload")
+        .as[(String, String, String)].collect().sorted.toSeq
+      assert(autoRows == offRows)
+      // malformed fan-out width fails naming the key
+      spark.conf.set(graft.core.Confs.SaltKey, "1")
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains(graft.core.Confs.SaltKey))
+    } finally {
+      spark.conf.unset("spark.graft.skewGuard")
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      spark.conf.unset(graft.core.Confs.SaltKey)
+    }
+  }
+
   test("hotKeyPredicate treats a null key as a real hot-set member") {
     // Column.isin yields NULL (falsy under when()) for a null input — the
     // predicate must return real booleans so a hot NULL sentinel key
