@@ -17,8 +17,8 @@ import org.apache.spark.sql.types._
   * so THOSE containers fall back to the clearly-marked deterministic STUB
   * ([[stubDecode]]) — the Spark-side contract (schema, partitioning, batch
   * shape, iterator-to-iterator processing) is identical either way, and a
-  * production deployment swaps the stub for a JNI/FFmpeg call without
-  * touching the plumbing.
+  * production deployment swaps in a JNI/FFmpeg-backed [[FrameDecoder]]
+  * (one [[frameDecoders]] registry entry) without touching the plumbing.
   */
 object Multimodal {
 
@@ -204,61 +204,22 @@ object Multimodal {
       width: Int, height: Int, microSecPerFrame: Long, headerFrames: Long,
       nFrames: Int, durationMs: Long, frames: IndexedSeq[VideoFrame])
 
-  /** REAL video decode for MJPEG-in-AVI via a RIFF container walk + JDK
-    * `javax.imageio` per frame — no external codec libraries: verifies the
-    * `RIFF..AVI ` signature, walks the chunk tree (LIST recursion, even-byte
-    * chunk padding per the RIFF spec), reads frame geometry/timing from the
-    * `avih` main header, demuxes the compressed video chunks (`##dc`/`##db`)
-    * out of the `movi` list, and JPEG-decodes each frame through
-    * [[decodeImage]]. Returns None for non-AVI bytes or an AVI whose frames
-    * don't decode, so callers can fall back to [[stubDecode]]. MJPEG is the
-    * one video codec a JDK-only runtime can fully decode (every frame is a
-    * standalone JPEG); inter-frame codecs need a native decoder and keep the
-    * stub path. Runs entirely inside an executor task. */
-  def decodeVideo(payload: Array[Byte]): Option[VideoDecoded] =
-    try {
-      if (payload.length < 12) return None
-      def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
-      def u32(off: Int): Long =
-        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
-        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
-      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-      var microSec = 0L; var headerFrames = 0L; var avihW = 0; var avihH = 0
-      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      val isFrame = java.util.regex.Pattern.compile("\\d\\d(dc|db)")
-      def walk(start: Int, end: Int): Unit = {
-        var off = start
-        while (off + 8 <= end) {
-          val fc = fourcc(off)
-          val sz = u32(off + 4).toInt
-          val dataStart = off + 8
-          val dataEnd = math.min(dataStart + math.max(sz, 0), end)
-          if (fc == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
-          else if (fc == "avih" && sz >= 40) {
-            microSec = u32(dataStart)
-            headerFrames = u32(dataStart + 16)
-            avihW = u32(dataStart + 32).toInt
-            avihH = u32(dataStart + 36).toInt
-          } else if (isFrame.matcher(fc).matches())
-            frameChunks += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
-          off = dataStart + math.max(sz, 0) + (sz & 1) // chunks pad to even
-        }
-      }
-      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
-      if (microSec <= 0 && frameChunks.isEmpty) None
-      else {
-        val decoded = frameChunks.map(decodeImage)
-        if (decoded.exists(_.isEmpty)) None // a demuxed chunk that isn't a JPEG: not MJPEG
-        else {
-          val frames = decoded.map { d =>
-            val (w, h, grid) = d.get
-            VideoFrame(w, h, if (grid.isEmpty) 0f else grid.sum / grid.length)
-          }.toIndexedSeq
-          val durMs = if (microSec > 0) frames.length * microSec / 1000 else 0L
-          Some(VideoDecoded(avihW, avihH, microSec, headerFrames, frames.length, durMs, frames))
-        }
-      }
-    } catch { case _: Exception => None }
+  /** Registered video decoders, tried in order by [[decodeVideo]]. The
+    * JDK-only build ships MJPEG-in-AVI ([[MjpegAviDecoder]]); a production
+    * deployment PREPENDS an FFmpeg/JNI-backed [[FrameDecoder]] here for
+    * mp4/h264 — one list entry, no Spark-side plumbing changes. */
+  val frameDecoders: Seq[FrameDecoder] = Seq(MjpegAviDecoder)
+
+  /** REAL video decode via the first registered [[FrameDecoder]] that
+    * claims the container (magic-byte sniff, cheap). Returns None when no
+    * decoder claims the bytes (e.g. mp4/h264 on the JDK-only build) or the
+    * claimed stream doesn't fully decode, so callers can fall back to
+    * [[stubDecode]]. Runs entirely inside an executor task. */
+  def decodeVideo(payload: Array[Byte],
+      decoders: Seq[FrameDecoder] = frameDecoders): Option[VideoDecoded] =
+    decoders.collectFirst {
+      case d if d.claims(payload) => d.decode(payload)
+    }.flatten
 
   /** Minimal AVI/MJPEG writer (the video analogue of [[wavPcm16]]):
     * RIFF(AVI ) { LIST(hdrl){ avih, LIST(strl){ strh 'vids'/'MJPG', strf

@@ -386,6 +386,61 @@ object Ann {
        |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk
        |FROM scored WHERE rk <= $K""".stripMargin
 
+  /** Spherical inertia Σ(1 − cos(v, nearest centroid)) over the corpus,
+    * computed DISTRIBUTED — broadcast centroids, per-partition argmax fold,
+    * scalar sum — so the bench can evaluate training quality at any scale
+    * without the full-corpus driver collect AnnSpec's small-corpus gate
+    * uses. */
+  private def inertia(v: DataFrame, cents: DataFrame): Double = {
+    val s = v.sparkSession
+    import s.implicits._
+    val cArr = cents.select(col("cent_id").cast("long"), col("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(cArr)
+    Tables.spread(v).as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (_, vd) =>
+        // normalized-vector spherical objective, matching AnnSpec's gate
+        val vn = math.sqrt(vd.map(e => e * e).sum)
+        var best = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val cv = cs(ci)
+          val n = math.min(vd.length, cv.length)
+          var dot = 0.0; var nb = 0.0; var i = 0
+          while (i < n) { dot += vd(i) * cv(i); nb += cv(i) * cv(i); i += 1 }
+          val sim = dot / (vn * math.sqrt(nb))
+          if (sim > best) best = sim
+          ci += 1
+        }
+        1.0 - best
+      }
+    }.toDF("d").agg(sum(col("d"))).head().getDouble(0)
+  }
+
+  /** Bench-facing quality numbers for the trained-IVF operator: recall@10
+    * of [[knnIvfKmeans]] vs the exact [[knnBrute]] search, and the
+    * trained/seed spherical-inertia ratio (< 1 ⇒ Lloyd iterations improved
+    * the objective). `knn_ivf_kmeans` is rows-only in CORRECTNESS (float
+    * training has no SQL twin), so the per-round bench artifact carries
+    * the quality gate AnnSpec enforces; both searches return K per query,
+    * bounded collects. */
+  def qualityMetrics(s: SparkSession, dir: String): (Double, Double) = {
+    import s.implicits._
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val approx = knnIvfKmeans(s, dir).select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / math.max(1, brute.size)
+    val v = vecs(s, dir)
+    val k = nlistOf(v.count())
+    val seed = graft.functions.KMeans.toDf(
+        s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = 0))
+      .select(col("cent_id"), col("cv"))
+    val trained = trainCentroids(s, v, iters = 10)
+    (recall, inertia(v, trained) / inertia(v, seed))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),

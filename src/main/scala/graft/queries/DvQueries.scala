@@ -632,6 +632,137 @@ object DvQueries {
        |       ${sqlHash("o_orderkey")} AS order_hk
        |FROM orders""".stripMargin
 
+  /** Generation-staged source for the MULTI-BATCH incremental streaming
+    * oracles: each generation DataFrame lands as ONE parquet file with a
+    * strictly increasing modification time, and the returned stream reads
+    * them with `maxFilesPerTrigger=1` — so AvailableNow drives exactly
+    * one micro-batch per generation, in generation order, and
+    * `run_id = batchId = generation` is deterministic end-to-end. This is
+    * the semantics class the single-batch replays (run_id pinned 0) never
+    * exercise: state folding ACROSS batch boundaries. */
+  private def stagedGenStream(s: SparkSession, gens: Seq[DataFrame]): (graft.core.Lake, DataFrame, String) = {
+    val root = graft.core.Scratch.streamTempDir(s, "graft_stream_gen_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    fs.mkdirs(rootPath)
+    val lake = new graft.core.Lake(s, root,
+      buckets = math.min(16, s.sparkContext.defaultParallelism))
+    val srcDir = new org.apache.hadoop.fs.Path(rootPath, "src")
+    fs.mkdirs(srcDir)
+    // The file source orders pending files by modification time; stamp the
+    // generations a minute apart (well past any FS timestamp granularity)
+    // so batch order IS generation order. Values are relative to now —
+    // only the ORDER matters, and fresh stamps keep maxFileAge pruning
+    // out of play.
+    val base = System.currentTimeMillis() - 3600000L
+    gens.zipWithIndex.foreach { case (df, g) =>
+      val tmp = new org.apache.hadoop.fs.Path(rootPath, s"gen_tmp_$g")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"gen_$g%03d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, /* deleteSource = */ false, hconf)
+      fs.setTimes(dst, base + g * 60000L, -1)
+      fs.delete(tmp, true)
+    }
+    val staged = s.readStream.schema(gens.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    (lake, staged, root)
+  }
+
+  /** #16 (multi-batch): INCREMENTAL streaming hub load under the oracle —
+    * three micro-batches with GROWING key subsets (batch g carries keys
+    * with c_custkey % 3 ≤ g), so every key with c_custkey % 3 = 0 is
+    * re-delivered in all three batches and the anti-join idempotency must
+    * dedup it ACROSS batch boundaries, not within one. A key's hub row
+    * therefore carries run_id = the first batch that contained it
+    * = c_custkey % 3 — advancing run_ids and cross-batch state, the two
+    * things the single-batch `dv_stream_hub` row can't check. */
+  def streamHubMulti(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
+    val cust = Tables.load(s, dir, "customer")
+    val gens = (0 to 2).map(g => cust.filter(pmod(col("c_custkey"), lit(3)) <= g))
+    val (lake, staged, root) = stagedGenStream(s, gens)
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"))
+    val q = graft.streaming.StreamingDv.hubSink(
+      lake, staged, transitions, "hub_customer", "customer",
+      Seq("c_custkey" -> "c_custkey_bk"), "verify", s"$root/ckpt",
+      Algo, loadDts = Some(ctx.loadDts),
+      statePartitions = Some(s.sparkContext.defaultParallelism)) // see streamHub
+    q.awaitTermination()
+    lake.read("dv", "hub_customer")
+      .select(col("customer_hk"), col("load_dts"), col("record_source"), col("run_id"), col("c_custkey_bk"))
+  }
+
+  val streamHubMultiSql: String =
+    s"""SELECT ${sqlHash("c_custkey")} AS customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       'verify' AS record_source,
+       |       CAST(c_custkey % 3 AS BIGINT) AS run_id,
+       |       c_custkey AS c_custkey_bk
+       |FROM customer""".stripMargin
+
+  /** #39a (multi-batch): INCREMENTAL streaming satellite load under the
+    * oracle — every key appears in all three micro-batches, with the
+    * payload MUTATING across generations (g≥1 rewrites c_mktsegment to
+    * GEN1 for keys %5=0; g≥2 to GEN2 for keys %10=0). Each batch's delta
+    * therefore compares staged hashdiffs against the satellite state the
+    * PREVIOUS batch wrote: unchanged payloads must not re-version, changed
+    * ones must insert with run_id = their batch. With one staged row per
+    * key per batch, the insert set is exactly the run-length encoding of
+    * each key's payload sequence — which is what the SQL twin's LAG
+    * reproduces (latest-after-batch-g always equals payload g, inserted or
+    * not, so "differs from latest" ⇔ "differs from previous generation"). */
+  def streamSatMulti(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
+    val cust = Tables.load(s, dir, "customer")
+    def seg(g: Int): Column = {
+      val gen1 = when(pmod(col("c_custkey"), lit(5)) === 0, lit("GEN1")).otherwise(col("c_mktsegment"))
+      if (g >= 2) when(pmod(col("c_custkey"), lit(10)) === 0, lit("GEN2")).otherwise(gen1)
+      else if (g >= 1) gen1
+      else col("c_mktsegment")
+    }
+    val gens = (0 to 2).map(g =>
+      cust.select(col("c_custkey"), col("c_name"), seg(g).as("c_mktsegment")))
+    val (lake, staged, root) = stagedGenStream(s, gens)
+    val transitions = Seq(
+      Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+      Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"))
+    val q = graft.streaming.StreamingDv.satSink(
+      lake, staged, transitions, "hsat_customer",
+      hkSource = "customer_hk", hashdiffField = "customer_details_hashdiff",
+      fields = Seq("c_name" -> "c_name", "c_mktsegment" -> "c_mktsegment"),
+      satHk = "customer_hk", "verify", s"$root/ckpt",
+      Algo, loadDts = Some(ctx.loadDts),
+      statePartitions = Some(s.sparkContext.defaultParallelism)) // see streamHub
+    q.awaitTermination()
+    lake.read("dv", "hsat_customer")
+      .select(
+        col("customer_hk"), col("load_dts"), col("del_flag"), col("hash_diff"),
+        col("record_source"), col("run_id"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val streamSatMultiSql: String =
+    s"""WITH gens AS (
+       |  SELECT c_custkey, c_name, g,
+       |         CASE WHEN g >= 2 AND c_custkey % 10 = 0 THEN 'GEN2'
+       |              WHEN g >= 1 AND c_custkey % 5 = 0 THEN 'GEN1'
+       |              ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS g) t
+       |), marked AS (
+       |  SELECT gens.*, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY g) AS prev
+       |  FROM gens
+       |)
+       |SELECT ${sqlHash("c_custkey")} AS customer_hk,
+       |       TIMESTAMP '2026-01-01 00:00:00' AS load_dts,
+       |       FALSE AS del_flag,
+       |       ${sqlHash("c_name", "c_mktsegment")} AS hash_diff,
+       |       'verify' AS record_source,
+       |       CAST(g AS BIGINT) AS run_id,
+       |       c_name, c_mktsegment
+       |FROM marked WHERE prev IS NULL OR prev <> c_mktsegment""".stripMargin
+
   /** #39c: streaming event-time windowed aggregation under the driver's
     * oracle — events.parquet through a file stream, 1-hour tumbling windows
     * with per-type counts and exact decimal sums, parquet-sunk per batch via
@@ -909,6 +1040,8 @@ object DvQueries {
     "dv_stream_hub" -> (streamHub _),
     "dv_stream_sat" -> (streamSat _),
     "dv_stream_link" -> (streamLink _),
+    "dv_stream_hub_multi" -> (streamHubMulti _),
+    "dv_stream_sat_multi" -> (streamSatMulti _),
     "events_stream_hourly" -> (streamEventsHourly _),
     "events_stream_sessions" -> (streamEventsSessions _),
     "events_stream_dedup" -> (streamEventsDedup _),
@@ -933,6 +1066,8 @@ object DvQueries {
     "dv_stream_hub" -> streamHubSql,
     "dv_stream_sat" -> streamSatSql,
     "dv_stream_link" -> streamLinkSql,
+    "dv_stream_hub_multi" -> streamHubMultiSql,
+    "dv_stream_sat_multi" -> streamSatMultiSql,
     "events_stream_hourly" -> streamEventsHourlySql,
     "events_stream_sessions" -> streamEventsSessionsSql,
     "events_stream_dedup" -> streamEventsDedupSql,

@@ -127,6 +127,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(badFrames).isEmpty)
   }
 
+  test("FrameDecoder seam: a registered codec impl takes mp4 without plumbing changes") {
+    import graft.multimodal.{FrameDecoder, MjpegAviDecoder}
+    // The documented FFmpeg/JNI swap point as a TYPE: an mp4-claiming
+    // decoder prepended to the registry picks up ftyp payloads while AVI
+    // still routes to the MJPEG impl — and claims-order dispatch means the
+    // fake never sees containers it didn't claim.
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII") ++ Array.fill[Byte](32)(7)
+    object FakeMp4Decoder extends FrameDecoder {
+      override def claims(p: Array[Byte]): Boolean =
+        p.length >= 8 && new String(p, 4, 4, "US-ASCII") == "ftyp"
+      override def decode(p: Array[Byte]): Option[Multimodal.VideoDecoded] =
+        Some(Multimodal.VideoDecoded(16, 16, 40000L, 1L, 1, 40L,
+          IndexedSeq(Multimodal.VideoFrame(16, 16, 0.5f))))
+    }
+    val registry = Seq(FakeMp4Decoder, MjpegAviDecoder)
+    assert(Multimodal.decodeVideo(mp4, registry).exists(_.nFrames == 1))
+    val avi = Multimodal.aviMjpeg(Seq(Multimodal.jpegGray(90, 8, 8)), 8, 8)
+    assert(Multimodal.decodeVideo(avi, registry).exists(d => d.width == 8 && d.nFrames == 1))
+    // default registry (JDK-only): mp4 stays undecodable -> stub fallback
+    assert(Multimodal.decodeVideo(mp4).isEmpty)
+    assert(!MjpegAviDecoder.claims(mp4) && MjpegAviDecoder.claims(avi))
+  }
+
   test("extractFeatures routes video through the real MJPEG/AVI decoder") {
     // 8 frames -> every one of the 8 temporal bins is populated
     val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)

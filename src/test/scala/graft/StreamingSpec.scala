@@ -12,6 +12,27 @@ class StreamingSpec extends SparkSpec {
   private val transitions = Seq(
     Transition("s", "id", "hub_user", "id_bk", "user", 1, raw = false, None, "bk"))
 
+  test("multi-batch oracle replays drive >= 3 micro-batches with advancing run_ids") {
+    // The single-batch streaming oracles pin everything into batch 0; these
+    // two queries exist precisely to fold state ACROSS batch boundaries.
+    // Pin that the generation staging really yields one batch per file:
+    // run_id (= batchId) must span {0, 1, 2} in both results, and the sat's
+    // re-versioned keys must carry the LATER batch's run_id.
+    val dir = "/root/testdata/sf0.001"
+    val hub = graft.queries.DvQueries.streamHubMulti(spark, dir)
+      .select($"run_id".cast("long")).as[Long].collect()
+    assert(hub.toSet == Set(0L, 1L, 2L), s"hub run_ids: ${hub.toSet}")
+    val sat = graft.queries.DvQueries.streamSatMulti(spark, dir)
+      .select($"customer_hk", $"run_id".cast("long")).as[(String, Long)].collect()
+    assert(sat.map(_._2).toSet == Set(0L, 1L, 2L), s"sat run_ids: ${sat.map(_._2).toSet}")
+    // every key has a batch-0 version; re-versioned keys stack later run_ids
+    val byKey = sat.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byKey.values.forall(_.head == 0L))
+    assert(byKey.values.exists(_ == Seq(0L, 1L)), "GEN1-only re-version missing")
+    assert(byKey.values.exists(_ == Seq(0L, 1L, 2L)), "GEN1+GEN2 re-version missing")
+    assert(byKey.values.exists(_ == Seq(0L)), "unchanged single-version keys missing")
+  }
+
   test("streaming hub load is incremental and idempotent across micro-batches") {
     val root = tmpDir("stream")
     val srcDir = s"$root/src"
