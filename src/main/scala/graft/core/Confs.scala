@@ -58,6 +58,23 @@ object Confs {
     n.toInt
   }
 
+  val MinBytesKey = "spark.graft.skewGuard.minBytes"
+
+  /** Input-size floor (optimized-plan estimate, compressed bytes) below
+    * which `auto` skips its sampled histogram entirely and keeps the
+    * default plan. Skew only hurts when one key's pileup exceeds a few
+    * tasks' worth of work: below this floor even a 100%-hot key is a
+    * bounded single-task job, while the histogram's fixed per-plan cost
+    * (sample scan + two actions; measured +14% on the full sf0.1 bench
+    * when UNgated — BASELINE.md r14 skew-guard table) dominates. Above it
+    * the histogram is noise against the load it protects. 0 = always
+    * sample (tests pin detection on tiny frames this way). */
+  def minBytes(conf: RuntimeConfig): Long = {
+    val b = long(conf, MinBytesKey, 256L << 20)
+    require(b >= 0L, s"$MinBytesKey must be >= 0, got $b")
+    b
+  }
+
   /** The `spark.graft.skewGuard` mode itself: off | force | auto. */
   def skewGuard(conf: RuntimeConfig): String =
     conf.getOption(SkewGuardKey).getOrElse("off") match {

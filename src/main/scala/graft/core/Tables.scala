@@ -76,9 +76,14 @@ object Tables {
     * (estimates between cores×ClusterTaskBytes and ClusterWaves×cores×
     * ClusterTaskBytes), and EnsureRequirements then re-exchanges one side —
     * invisible at sf0.001 where both clamp to the floor. */
+  /** Optimized-plan size estimate (compressed bytes for parquet scans) —
+    * the same number [[clusterParts]] sizes exchanges from; also gates the
+    * skew-guard histogram ([[clusterByGuarded]] `auto`). */
+  def estBytes(df: DataFrame): BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   def clusterParts(df: DataFrame): Int = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = estBytes(df)
     (est / ClusterTaskBytes).min(BigInt(ClusterWaves.toLong * cores)).max(BigInt(cores)).toInt
   }
 
@@ -125,17 +130,27 @@ object Tables {
       case "off"   => clusterBy(df, keys: _*)
       case "force" => df
       case "auto" =>
+        // Confs parse/validate EAGERLY — a misconfigured guard fails even
+        // on inputs the size gate would skip.
         val frac = Confs.sampleFraction(conf)
         val hotShare = Confs.hotShare(conf)
-        val stats = df.select(keys.map(df.col): _*)
-          .sample(withReplacement = false, frac, seed = 42L)
-          .groupBy(keys.map(df.col): _*).count()
-          .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
-               org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
-          .head()
-        val hot = !stats.isNullAt(0) && stats.getLong(1) >= 200 &&
-          stats.getLong(0).toDouble / stats.getLong(1) > hotShare
-        if (hot) df else clusterBy(df, keys: _*)
+        // Size gate: below minBytes skew cannot cost more than a couple of
+        // bounded tasks, while the histogram's fixed cost is pure overhead
+        // — skip it and keep the uniform-key plan. This is what makes auto
+        // safe as a DEFAULT: small/bench-scale inputs pay nothing, and the
+        // 100 TB loads the guard exists for amortize the sample to noise.
+        if (estBytes(df) < Confs.minBytes(conf)) clusterBy(df, keys: _*)
+        else {
+          val stats = df.select(keys.map(df.col): _*)
+            .sample(withReplacement = false, frac, seed = 42L)
+            .groupBy(keys.map(df.col): _*).count()
+            .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
+                 org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
+            .head()
+          val hot = !stats.isNullAt(0) && stats.getLong(1) >= 200 &&
+            stats.getLong(0).toDouble / stats.getLong(1) > hotShare
+          if (hot) df else clusterBy(df, keys: _*)
+        }
     }
   }
 

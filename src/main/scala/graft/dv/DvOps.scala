@@ -239,11 +239,20 @@ object DvOps {
     // that left salt at its default — the internal sampled histogram still
     // decides, and an empty hot set falls through to the UNSALTED plan, so
     // auto on a uniform batch costs exactly one histogram and nothing else.
-    // An explicit salt always wins over the conf.
+    // Size-gated like Tables.clusterByGuarded: when BOTH sides sit under
+    // skewGuard.minBytes, even a fully-hot key is a couple of bounded tasks
+    // and the histogram is pure overhead (measured +14% on the ungated
+    // sf0.1 bench, dominated by per-micro-batch histograms on small staged
+    // sets — BASELINE.md r14 skew-guard table). An explicit salt always
+    // wins over the conf, gate included.
     val conf = hashView.sparkSession.conf
     val effSalt =
-      if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") graft.core.Confs.salt(conf)
-      else salt
+      if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") {
+        val autoSalt = graft.core.Confs.salt(conf) // validate even when gated
+        if (Tables.estBytes(probeIn).max(Tables.estBytes(stagedIn)) >= graft.core.Confs.minBytes(conf))
+          autoSalt
+        else salt
+      } else salt
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
     val activeStruct = struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))
     val (staged, probe, joinKeys) =

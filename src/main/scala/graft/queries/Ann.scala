@@ -235,10 +235,23 @@ object Ann {
     * ≥ 0.9 vs knn_brute. */
   /** nlist sizing shared by the trained-IVF variants — see the regime
     * analysis on [[knnIvfKmeans]]. */
-  private def nlistOf(n: Long): Int =
+  private[graft] def nlistOf(n: Long): Int =
     math.max(4, math.min((4.0 * math.sqrt(n.toDouble)).toInt, (n / 25).toInt))
 
-  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
+  /** nprobe sizing for the trained-IVF default path — the probe-side twin
+    * of [[nlistOf]]'s two-regime clamp. On a small or weakly-clustered
+    * corpus recall@k tracks the SCANNED FRACTION nprobe·replicate/nlist
+    * (sf0.1 sweep, tools/RecallSweep: 7.5% → 0.82, 25% → 0.92,
+    * 40% → 0.96), so the fraction gets a floor: nprobe = ⌈nlist/5⌉ ≈ 40%
+    * scanned with replicate 2. On a large corpus trained lists are tight
+    * and recall stops depending on the fraction (sf1: 0.67% scanned →
+    * 0.988), so the CAP (32) binds instead and per-query cost keeps the
+    * √n economics — at n = 10⁹, nlist ≈ 126k, 32 probes scan 0.05% of the
+    * corpus. Floor 3 preserves the gate-corpus operating point. */
+  private[graft] def nprobeOf(nlist: Int): Int =
+    math.max(3, math.min(32, math.ceil(0.2 * nlist).toInt))
+
+  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     // nlist ∝ √n, the standard IVF sizing: centroid assignment then costs
     // n·√n (a linear-factor-√n scan, amortizable by training on a sample)
     // instead of the n²/k a linear-in-n list count implies — the difference
@@ -247,9 +260,13 @@ object Ann {
     // corpus, recall@k tracks the SCANNED FRACTION nprobe·replicate/nlist,
     // so nlist must stay ≤ n/25 (≈30% scanned at the gate's n=500) — while
     // past the n=10k crossover the √n term binds and per-query cost falls
-    // as the corpus grows. min of the two regimes, floor 4. Recall@10 vs
-    // brute is gated ≥ 0.9 in AnnSpec.
-    ivfKmeans(s, dir, nlistOf, nProbe = 3, iters = 10, replicate = 2)
+    // as the corpus grows. min of the two regimes, floor 4. nprobe scales
+    // with [[nprobeOf]]. Recall@10 vs brute is gated ≥ 0.9 in AnnSpec and
+    // emitted per-round in the bench JSON (ivf_recall_at10).
+    val v = vecs(s, dir)
+    val k = nlistOf(v.count())
+    ivfSearch(v, trainCentroidsK(s, v, iters = 10, k), nprobeOf(k), replicate = 2)
+  }
 
   /** Placeholder the static [[knnIvfKmeansSearchSql]] carries for the
     * frozen-centroid parquet location. `oracleSql` is a static map but the
@@ -293,12 +310,15 @@ object Ann {
     * → (cent_id, cv) projection) — single definition shared by the
     * recall-gated and the oracle-checked variants so they cannot diverge. */
   private def trainCentroids(s: SparkSession, v: DataFrame, iters: Int,
-      nlist: Long => Int = nlistOf): DataFrame = {
-    val k = nlist(v.count())
+      nlist: Long => Int = nlistOf): DataFrame =
+    trainCentroidsK(s, v, iters, nlist(v.count()))
+
+  /** [[trainCentroids]] with the list count already resolved — callers that
+    * need `nlist` for probe sizing too ([[knnIvfKmeans]]) count once. */
+  private def trainCentroidsK(s: SparkSession, v: DataFrame, iters: Int, k: Int): DataFrame =
     graft.functions.KMeans.toDf(
         s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = iters))
       .select(col("cent_id"), col("cv"))
-  }
 
   /** The driver-checkable split of the trained-IVF operator: k-means
     * training itself is iterative float work no SQL replays, but everything

@@ -27,6 +27,15 @@ class AnnSpec extends SparkSpec {
     assert(again.zip(first).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("nprobeOf: fraction floor in the small-nlist regime, 32-cap in the large") {
+    // the sizing contract the sf0.1 sweep picked (see knnIvfKmeans doc):
+    // gate-corpus nlist=20 -> 4 probes (~40% scanned with replicate 2),
+    // sf0.1's 80 -> 16 (recall 0.9575 measured), sf1's 894 and beyond cap
+    // at 32 so per-query cost keeps the sqrt(n) economics; floor 3.
+    assert(Ann.nprobeOf(4) == 3 && Ann.nprobeOf(20) == 4 && Ann.nprobeOf(80) == 16)
+    assert(Ann.nprobeOf(894) == 32 && Ann.nprobeOf(126000) == 32)
+  }
+
   test("knn_ivf_kmeans: recall@10 >= 0.9 vs brute force on real embeddings") {
     val brute = Ann.knnBrute(spark, dir).select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet

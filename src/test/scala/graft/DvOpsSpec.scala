@@ -155,19 +155,25 @@ class DvOpsSpec extends SparkSpec {
     spark.conf.set("spark.graft.skewGuard", "auto")
     spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
     try {
+      // size-GATED auto (tiny frames, default 256 MiB floor): plain shape,
+      // no histogram — this is what the bench-scale defaults exercise
+      assert(!run().queryExecution.analyzed.toString.contains("__salt"))
+      spark.conf.set(graft.core.Confs.MinBytesKey, "0") // force past the gate
       val auto = run()
       assert(auto.queryExecution.analyzed.toString.contains("__salt"),
-        "auto + hot key must engage the salted branch")
+        "auto + hot key past the gate must engage the salted branch")
       val autoRows = auto.select("hk", "hash_diff", "payload")
         .as[(String, String, String)].collect().sorted.toSeq
       assert(autoRows == offRows)
-      // malformed fan-out width fails naming the key
+      // malformed fan-out width fails naming the key (even when gated)
+      spark.conf.unset(graft.core.Confs.MinBytesKey)
       spark.conf.set(graft.core.Confs.SaltKey, "1")
       val e = intercept[IllegalArgumentException](run())
       assert(e.getMessage.contains(graft.core.Confs.SaltKey))
     } finally {
       spark.conf.unset("spark.graft.skewGuard")
       spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      spark.conf.unset(graft.core.Confs.MinBytesKey)
       spark.conf.unset(graft.core.Confs.SaltKey)
     }
   }

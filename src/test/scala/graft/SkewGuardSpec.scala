@@ -39,12 +39,38 @@ class SkewGuardSpec extends SparkSpec {
   test("auto mode skips clustering on a hot key and clusters on uniform keys") {
     spark.conf.set("spark.graft.skewGuard", "auto")
     spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.5")
+    spark.conf.set(graft.core.Confs.MinBytesKey, "0") // tiny test frames: force past the size gate
     try {
       assert(!clustered(Tables.clusterByGuarded(hotFrame, "k")), "30%-hot key must skip clustering")
       assert(clustered(Tables.clusterByGuarded(uniformFrame, "k")), "uniform keys must keep clusterBy")
     } finally {
       spark.conf.unset("spark.graft.skewGuard")
       spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      spark.conf.unset(graft.core.Confs.MinBytesKey)
+    }
+  }
+
+  test("auto size gate: sub-minBytes inputs keep clusterBy, no histogram sampled") {
+    // The gate is what makes auto a safe DEFAULT: this 10k-row frame sits
+    // far under the 256 MiB default floor, so even its 30%-hot key keeps
+    // the uniform-key plan — and ZERO extra Spark jobs run (the ungated
+    // histogram costs two actions per plan construction; BASELINE.md r14
+    // measured +14% on the full sf0.1 bench from exactly that).
+    spark.conf.set("spark.graft.skewGuard", "auto")
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    try {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(clustered(Tables.clusterByGuarded(hotFrame, "k")), "gated: plan = clusterBy")
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after == before, s"gated auto must sample nothing, ran ${after - before} jobs")
+      // malformed floor names the key
+      spark.conf.set(graft.core.Confs.MinBytesKey, "big")
+      val e = intercept[IllegalArgumentException](Tables.clusterByGuarded(hotFrame, "k"))
+      assert(e.getMessage.contains(graft.core.Confs.MinBytesKey))
+    } finally {
+      spark.conf.unset("spark.graft.skewGuard")
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      spark.conf.unset(graft.core.Confs.MinBytesKey)
     }
   }
 
@@ -52,10 +78,12 @@ class SkewGuardSpec extends SparkSpec {
     spark.conf.set("spark.graft.skewGuard", "auto")
     // 10k rows × 1e-4 ≈ 1 sampled row — below the 200-row floor
     spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.0001")
+    spark.conf.set(graft.core.Confs.MinBytesKey, "0")
     try assert(clustered(Tables.clusterByGuarded(hotFrame, "k")))
     finally {
       spark.conf.unset("spark.graft.skewGuard")
       spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      spark.conf.unset(graft.core.Confs.MinBytesKey)
     }
   }
 
@@ -66,9 +94,11 @@ class SkewGuardSpec extends SparkSpec {
     val forced = rows(Tables.clusterByGuarded(hotFrame, "k"))
     spark.conf.set("spark.graft.skewGuard", "auto")
     spark.conf.set("spark.graft.skewGuard.sampleFraction", "0.5")
+    spark.conf.set(graft.core.Confs.MinBytesKey, "0")
     val auto = rows(Tables.clusterByGuarded(hotFrame, "k"))
     spark.conf.unset("spark.graft.skewGuard")
     spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    spark.conf.unset(graft.core.Confs.MinBytesKey)
     assert(forced == base && auto == base)
   }
 
