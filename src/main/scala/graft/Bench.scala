@@ -139,9 +139,15 @@ object Bench {
       if (errors.nonEmpty || !results.contains("knn_ivf_kmeans")) None
       else try Some(graft.queries.Ann.qualityMetrics(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] quality metrics failed: $e"); None }
-    val qualityJson = quality.fold("") { case (recall, ratio) =>
-      s""","ivf_recall_at10":${ms3(recall)},"ivf_inertia_ratio":${ms3(ratio)}"""
-    }
+    // Finite-only: a zero-norm embedding drives both inertias to +Inf
+    // (ratio NaN), a zero seed inertia gives Inf, and %.3f would render
+    // those as bare NaN/Infinity — invalid JSON that decapitates the
+    // artifact exactly like the BENCH_r07 failure. Drop the fields instead.
+    val qualityJson = quality
+      .filter { case (r, q) => java.lang.Double.isFinite(r) && java.lang.Double.isFinite(q) }
+      .fold("") { case (recall, ratio) =>
+        s""","ivf_recall_at10":${ms3(recall)},"ivf_inertia_ratio":${ms3(ratio)}"""
+      }
     val qs = results.map { case (k, (med, _)) => jstr(k) + ":" + ms3(med) }.mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => jstr(k) + ":" + ms3(mn) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
@@ -164,7 +170,7 @@ object Bench {
     // truncated fragment for per-query numbers. Path is round-stamped (bump
     // per round) and env-overridable; non-fatal when cwd isn't the repo.
     val perQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r14_driver_perquery.json")
+      "bench/r15_driver_perquery.json")
     try {
       val p = java.nio.file.Paths.get(perQuery)
       if (p.getParent == null || java.nio.file.Files.isDirectory(p.getParent))
@@ -176,12 +182,29 @@ object Bench {
     spark.stop()
     println(line)
     // The driver archives only a ~2000-char stdout tail and json-parses its
-    // last line; the full 84-query line above is ~2100 chars and can never
-    // fit. So the TRUE last line is a compact headline that always fits and
-    // always parses — per-query timings live in the full line above (tail
-    // holds all but its first few entries) and in the durable sidecar.
+    // last line; the full-precision 87-query line above is ~4.5 KB and can
+    // never fit. So the TRUE last line is a headline that always fits and
+    // always parses. To make the round artifact self-contained (r14 verdict
+    // ask #8) it ALSO carries the per-query medians — at centisecond
+    // resolution ("queries_cs", integer 10 ms units), which shrinks the
+    // 87-entry map to ~1.7 KB. 10 ms is far below this host's documented
+    // 2-3x co-tenant swing, so nothing decision-grade is lost; millisecond
+    // precision lives in the full line above and the durable sidecars. The
+    // map is included ONLY while the whole line stays under 1970 chars
+    // (tail is exactly 2000; the line + newline must fit whole) — past
+    // that the tail would decapitate the line (the BENCH_r07 failure) and
+    // the artifact must degrade to the pointer form, never to garbage. The
+    // map variant drops the queries_file pointer to pay for itself; the
+    // sidecar path is deterministic from sfDir anyway (documented above).
+    val qsCs = results.map { case (k, (med, _)) =>
+      jstr(k) + ":" + Math.round(med * 100.0)
+    }.mkString("{", ",", "}")
+    val compactBase =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_min":${ms3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)}"""
+    val withMap = compactBase + s""","q_cs":$qsCs}"""
     val compact =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_min":${ms3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)},"queries_file":${jstr(out)}}"""
+      if (withMap.length <= 1970) withMap
+      else compactBase + s""","queries_file":${jstr(out)}}"""
     println(compact)
     System.out.flush()
     if (errors.nonEmpty) {

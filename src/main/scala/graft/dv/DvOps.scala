@@ -186,6 +186,32 @@ object DvOps {
     else c.isNotNull && c.isin(nonNullHot: _*)
   }
 
+  /** Sampled hot-key histogram shared by the salted satellite shapes
+    * ([[satNewRows]], [[satDeleteRows]]): union the sides' key columns at
+    * `spark.graft.skewGuard.sampleFraction`, count, and name the keys whose
+    * sampled share clears `spark.graft.skewGuard.hotShare` (≤ 64, hottest
+    * first). Below ~200 sampled rows the histogram is too noisy to overrule
+    * the default plan — returns empty and callers keep the unsalted shape.
+    * Runs EAGERLY (two actions) at plan-construction time. */
+  private[graft] def sampledHotKeys(
+      sides: Seq[DataFrame], keyCol: String,
+      conf: org.apache.spark.sql.RuntimeConfig): Array[Any] = {
+    val frac = graft.core.Confs.sampleFraction(conf)
+    val hotShare = graft.core.Confs.hotShare(conf)
+    val sampled = sides
+      .map(_.select(col(keyCol)).sample(withReplacement = false, frac, seed = 42L))
+      .reduce(_ union _)
+      .groupBy(col(keyCol)).count()
+    sampled.persist()
+    try {
+      val tot = Option(sampled.agg(sum("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (tot < 200) Array.empty
+      else sampled.filter(col("count") >= lit(math.max(2.0, tot * hotShare)))
+        .orderBy(col("count").desc).limit(64)
+        .select(col(keyCol)).collect().map(_.get(0))
+    } finally { sampled.unpersist(); () }
+  }
+
   def satNewRows(
       hashView: DataFrame,
       existingSat: DataFrame,
@@ -274,23 +300,7 @@ object DvOps {
         // shape's bytes, level 2 ships one narrow row per key (+`salt` per
         // hot key), and the hot keys' history/staged sets are bounded at
         // 1/salt per task.
-        val frac = graft.core.Confs.sampleFraction(conf)
-        val hotShare = graft.core.Confs.hotShare(conf)
-        val sampled = probeIn.select(col(satHk))
-          .sample(withReplacement = false, frac, seed = 42L)
-          .union(stagedIn.select(col(satHk)).sample(withReplacement = false, frac, seed = 42L))
-          .groupBy(col(satHk)).count()
-        sampled.persist()
-        val hotKeys: Array[Any] =
-          try {
-            val tot = Option(sampled.agg(sum("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
-            // below ~200 sampled rows the histogram is too noisy to name
-            // hot keys — fall through to the unsalted shape
-            if (tot < 200) Array.empty
-            else sampled.filter(col("count") >= lit(math.max(2.0, tot * hotShare)))
-              .orderBy(col("count").desc).limit(64)
-              .select(col(satHk)).collect().map(_.get(0))
-          } finally { sampled.unpersist(); () }
+        val hotKeys: Array[Any] = sampledHotKeys(Seq(probeIn, stagedIn), satHk, conf)
         if (hotKeys.isEmpty) {
           // nothing hot found: the unsalted shape IS the right plan
           val probe1 = Tables.clusterBy(probeIn, parts, satHk)
@@ -352,26 +362,77 @@ object DvOps {
 
   /** Full-load delete detection: latest active satellite rows whose key is
     * absent from the staged batch become `del_flag=true` rows carrying the
-    * previous payload and hash_diff — reference INSERT_SAT_DELETE semantics. */
+    * previous payload and hash_diff — reference INSERT_SAT_DELETE semantics.
+    *
+    * @param salt hot-key fan-out for the anti-join (default 1 = off; engaged
+    *   by `spark.graft.skewGuard=auto` above the size gate, like
+    *   [[satNewRows]]). The skew exposure here is the anti-join's OWN key
+    *   exchange, not the aggregation above it: the join shuffles the whole
+    *   satellite on the key, so a degenerate key's entire version history
+    *   lands in one join task (the 22.6 s / 330 MB-spill class from the
+    *   BASELINE vault-skew table) — and the latest-row aggregation then
+    *   fuses onto that same stage with no exchange between, inheriting the
+    *   pileup. With salt = n, the sampled histogram names the hot keys and
+    *   ONLY their existing rows fan out over n (key, cell) cells by
+    *   row-hash; the one-row-per-key staged probe replicates ×n for hot
+    *   keys (cell 0 for the rest), so the anti-join stays an equi-join on
+    *   (key, cell) with exchange bytes identical to the unsalted shape.
+    *   Dropping the cell column afterwards re-exposes the hot key to the
+    *   aggregation — deliberately: the (key, cell) partitioning no longer
+    *   satisfies groupBy(key), so Spark restores its partial-before-exchange
+    *   shape there, and the partial collapses each cell's pileup to one row
+    *   before the wire. Same rows out for any hot-key set (anti-join
+    *   membership is key-only either way). */
   def satDeleteRows(
       hashView: DataFrame,
       existingSat: DataFrame,
       hkSource: String,
       fields: Seq[String],
       satHk: String,
-      ctx: LoadContext
+      ctx: LoadContext,
+      salt: Int = 1
   ): DataFrame = {
     // distinct() on the probe side is semantically redundant for an
     // anti-join, but measured FASTER at sf1 (1.4s vs 2.1s): the aggregation
     // exchange it introduces is exactly the partitioning the join needs, and
     // AQE plans the join off the aggregated exchange's statistics.
     val stagedKeys = hashView.select(col(hkSource).as(satHk)).distinct()
+    require(salt >= 1, s"satDeleteRows salt must be >= 1, got $salt")
+    // auto engagement mirrors satNewRows: explicit salt wins, the size gate
+    // keeps small loads on the default plan at zero extra jobs, and an empty
+    // histogram falls through to the unsalted shape.
+    val conf = hashView.sparkSession.conf
+    val effSalt =
+      if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") {
+        val autoSalt = graft.core.Confs.salt(conf) // validate even when gated
+        if (Tables.estBytes(existingSat) >= graft.core.Confs.minBytes(conf)) autoSalt
+        else salt
+      } else salt
+    val hotKeys: Array[Any] =
+      if (effSalt == 1) Array.empty
+      else sampledHotKeys(Seq(existingSat), satHk, conf)
+    val absent =
+      if (hotKeys.isEmpty) existingSat.join(stagedKeys, Seq(satHk), "left_anti")
+      else {
+        def isHot(c: Column) = hotKeyPredicate(hotKeys.toIndexedSeq, c)
+        // salt-of-row over the version identity — pure function of the row,
+        // so membership semantics are unchanged (every cell of a staged hot
+        // key exists on the probe side).
+        val rowSalt = when(isHot(col(satHk)),
+          pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
+          .otherwise(lit(0)).cast("int")
+        val stagedN = stagedKeys.withColumn("__salt",
+          explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0)))))
+        existingSat.withColumn("__salt", rowSalt)
+          .join(stagedN, Seq(satHk, "__salt"), "left_anti")
+          .drop("__salt")
+      }
     // Anti-join BELOW the latest-row aggregation: the join key is the groupBy
     // key, so a key either survives with all its version rows or is dropped
     // whole — semantics identical, but the (expensive, full-payload) max_by
     // aggregation then runs only over the keys actually absent from the
     // batch instead of the whole satellite.
-    val gone = latestRows(existingSat.join(stagedKeys, Seq(satHk), "left_anti"), satHk)
+    val gone = latestRows(absent, satHk)
       .filter(!col("del_flag"))
     gone.select(
       (Seq(

@@ -217,9 +217,15 @@ object Multimodal {
     * [[stubDecode]]. Runs entirely inside an executor task. */
   def decodeVideo(payload: Array[Byte],
       decoders: Seq[FrameDecoder] = frameDecoders): Option[VideoDecoded] =
-    decoders.collectFirst {
-      case d if d.claims(payload) => d.decode(payload)
-    }.flatten
+    // EVERY claiming decoder gets a shot, in registration order — a decoder
+    // that claims the container but fails to decode (truncated stream, an
+    // unsupported profile of a shared fourcc) must not shadow a later
+    // registered decoder with overlapping claims. collectFirst would stop
+    // at the first claimant, breaking the prepend-a-better-impl contract.
+    decoders.iterator
+      .filter(_.claims(payload))
+      .map(d => d.decode(payload))
+      .collectFirst { case Some(v) => v }
 
   /** Minimal AVI/MJPEG writer (the video analogue of [[wavPcm16]]):
     * RIFF(AVI ) { LIST(hdrl){ avih, LIST(strl){ strh 'vids'/'MJPG', strf

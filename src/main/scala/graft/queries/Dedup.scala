@@ -678,6 +678,15 @@ object Dedup {
     * return the same persisted (node, label, __chg) handle contract with
     * label = component-min node id. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // String node ids would fail differently per path — NPE deep in the
+    // union-find vs a silent lexicographic-min label from the loop's
+    // least()/min() — so require numeric ids BEFORE the gate dispatch and
+    // both paths fail identically at the boundary, offending column named.
+    edges.schema.filter(f => f.name == "src" || f.name == "dst").foreach { f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents requires numeric node ids; column '${f.name}' is " +
+          s"${f.dataType.simpleString} — hash string ids to long (e.g. xxhash64) first")
+    }
     val gate = graft.core.Confs.long(
       edges.sparkSession.conf, "spark.graft.cc.driverMaxEdges", DriverCcMaxEdges)
     if (edges.count() <= gate) driverCc(edges) else loopCc(edges)
@@ -689,14 +698,6 @@ object Dedup {
   private def driverCc(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // A cast("long") over a string doc_id would yield nulls and NPE deep
-    // inside the union-find — require numeric node ids so misuse fails at
-    // the boundary with the offending column named.
-    edges.schema.filter(f => f.name == "src" || f.name == "dst").foreach { f =>
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"connectedComponents requires numeric node ids; column '${f.name}' is " +
-          s"${f.dataType.simpleString} — hash string ids to long (e.g. xxhash64) first")
-    }
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -187,6 +187,29 @@ object SkewBench {
           satHk = "__nk",
           ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L),
           salt = 16)
+      },
+      // the dv_sat_full shape: the anti-join shuffles the whole satellite on
+      // the key, so the hot key's entire history lands in ONE join task, and
+      // the latest-row aggregation fuses onto that stage. The hot key is
+      // REMOVED from staging so it also survives into the aggregation — the
+      // full worst case for the delete-detection path.
+      runSkew("sat_delete_antiJoin") {
+        graft.dv.DvOps.satDeleteRows(
+          satStaged(sat).filter(col("__nk") =!= lit(hotKey)), satExisting(sat),
+          hkSource = "__nk", fields = Seq("l_partkey", "l_suppkey", "l_quantity"),
+          satHk = "__nk",
+          ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L))
+      },
+      // same load with the salted anti-join (DvOps.satDeleteRows salt): hot
+      // key's rows spread over 16 (key, cell) join tasks; the aggregation
+      // above re-collapses via partial-before-exchange
+      runSkew("sat_delete_salted") {
+        graft.dv.DvOps.satDeleteRows(
+          satStaged(sat).filter(col("__nk") =!= lit(hotKey)), satExisting(sat),
+          hkSource = "__nk", fields = Seq("l_partkey", "l_suppkey", "l_quantity"),
+          satHk = "__nk",
+          ctx = graft.dv.LoadContext(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "skew", 1L),
+          salt = 16)
       }
     )
     println(s"""{"bench":"skew_vault","hot_frac":0.1,${vaultRows.mkString(",")},"sf":"$sfDir"}""")

@@ -274,6 +274,40 @@ class DvOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("k2", true, "h2", "p2"))) // payload carried forward
   }
 
+  test("salted satDeleteRows matches unsalted on a hot-key batch") {
+    // Hot key with a deep history, ABSENT from staging — its rows must
+    // survive the salted (key, cell) anti-join in every cell and still
+    // collapse to one delete row; a staged hot key ("hk-staged") must be
+    // dropped whole even though its rows fan out; null keys never match an
+    // anti-join either way.
+    val nullK: String = null
+    val existing = sat((
+      (for (v <- 0 until 150) yield
+        ("hotgone", f"2026-01-${1 + v % 27}%02d 00:00:00", false, s"hd$v", (v % 5).toLong, s"p$v")) ++
+      (for (v <- 0 until 80) yield
+        ("hk-staged", f"2026-01-${1 + v % 27}%02d 00:00:00", false, s"sd$v", (v % 5).toLong, s"sp$v")) ++
+      (for (v <- 0 until 40) yield
+        (nullK, f"2026-01-${1 + v % 27}%02d 00:00:00", v == 0, s"nd$v", (v % 5).toLong, s"np$v")) ++
+      (for (k <- 0 until 20) yield
+        (s"k$k", "2026-01-01 00:00:00", k % 4 == 0, s"kd$k", 1L, s"kp$k"))
+    ): _*).repartition(16)
+    val staged = (Seq(("hk-staged", "x")) ++ (0 until 20 by 2).map(k => (s"k$k", "x")))
+      .toDF("src_hk", "ignored").repartition(4)
+    def run(salt: Int) = DvOps.satDeleteRows(
+      staged, existing, "src_hk", Seq("payload"), "hk", ctx, salt = salt)
+      .select("hk", "del_flag", "hash_diff", "payload")
+      .as[(Option[String], Boolean, String, String)].collect().sortBy(_.toString).toSeq
+    val unsalted = run(1)
+    assert(unsalted.exists(_._1.contains("hotgone")), "hot absent key must emit a delete")
+    assert(!unsalted.exists(_._1.contains("hk-staged")), "staged key must not emit")
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    val salted =
+      try run(8)
+      finally spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+    assert(salted == unsalted,
+      s"salted(8) delete diverged: ${salted.diff(unsalted)} vs ${unsalted.diff(salted)}")
+  }
+
   test("asOfRows returns the latest row at or before the cutoff") {
     val s = sat(
       ("k1", "2026-01-01 00:00:00", false, "h1", 1L, "v1"),
