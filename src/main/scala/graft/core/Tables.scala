@@ -81,6 +81,22 @@ object Tables {
     * skew-guard histogram ([[clusterByGuarded]] `auto`). */
   def estBytes(df: DataFrame): BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** [[estBytes]], or None when the estimate carries NO information: plans
+    * whose leaves lack real statistics (a streaming micro-batch's
+    * LogicalRDD, an un-analyzed in-memory relation) report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue, and join/project
+    * arithmetic over that sentinel yields equally meaningless near-max
+    * values. Gating decisions must treat those as UNKNOWN, not huge: the
+    * r15 gated A/B caught `skewGuard=auto` re-sampling the satellite on
+    * EVERY micro-batch (+0.5 s/batch on `dv_stream_sat`) because the
+    * staged side's LogicalRDD "size" maxed the gate — exactly the fixed
+    * per-plan cost the size gate exists to avoid. Threshold Long.MaxValue/4
+    * (2.3 EB): no real input reaches it, every sentinel descendant does. */
+  def estBytesKnown(df: DataFrame): Option[BigInt] = {
+    val b = estBytes(df)
+    if (b >= BigInt(Long.MaxValue) / 4) None else Some(b)
+  }
+
   def clusterParts(df: DataFrame): Int = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val est = estBytes(df)
@@ -139,16 +155,23 @@ object Tables {
         // — skip it and keep the uniform-key plan. This is what makes auto
         // safe as a DEFAULT: small/bench-scale inputs pay nothing, and the
         // 100 TB loads the guard exists for amortize the sample to noise.
-        if (estBytes(df) < Confs.minBytes(conf)) clusterBy(df, keys: _*)
+        // estBytesKnown: a plan without real leaf stats (sentinel size)
+        // must keep the default shape, not pay the histogram — see its doc.
+        if (!estBytesKnown(df).exists(_ >= Confs.minBytes(conf))) clusterBy(df, keys: _*)
         else {
-          val stats = df.select(keys.map(df.col): _*)
-            .sample(withReplacement = false, frac, seed = 42L)
-            .groupBy(keys.map(df.col): _*).count()
-            .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
-                 org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
-            .head()
-          val hot = !stats.isNullAt(0) && stats.getLong(1) >= 200 &&
-            stats.getLong(0).toDouble / stats.getLong(1) > hotShare
+          // Memoized per (files, bytes, keys, confs): loops that re-plan
+          // over unchanged inputs (flow executor) pay the sample once.
+          val hot: java.lang.Boolean = SkewMemo.cached(
+            Seq(df), s"cbg:${keys.mkString(",")}:$frac:$hotShare") {
+            val stats = df.select(keys.map(df.col): _*)
+              .sample(withReplacement = false, frac, seed = 42L)
+              .groupBy(keys.map(df.col): _*).count()
+              .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
+                   org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
+              .head()
+            java.lang.Boolean.valueOf(!stats.isNullAt(0) && stats.getLong(1) >= 200 &&
+              stats.getLong(0).toDouble / stats.getLong(1) > hotShare)
+          }
           if (hot) df else clusterBy(df, keys: _*)
         }
     }

@@ -192,12 +192,22 @@ object DvOps {
     * sampled share clears `spark.graft.skewGuard.hotShare` (≤ 64, hottest
     * first). Below ~200 sampled rows the histogram is too noisy to overrule
     * the default plan — returns empty and callers keep the unsalted shape.
-    * Runs EAGERLY (two actions) at plan-construction time. */
+    * Runs EAGERLY (two actions) at plan-construction time; memoized per
+    * (input files, bytes, key, confs) via [[graft.core.SkewMemo]] so loops
+    * that re-plan over unchanged inputs pay the sample once. */
   private[graft] def sampledHotKeys(
       sides: Seq[DataFrame], keyCol: String,
       conf: org.apache.spark.sql.RuntimeConfig): Array[Any] = {
     val frac = graft.core.Confs.sampleFraction(conf)
     val hotShare = graft.core.Confs.hotShare(conf)
+    graft.core.SkewMemo.cached(sides, s"shk:$keyCol:$frac:$hotShare") {
+      sampledHotKeysUncached(sides, keyCol, frac, hotShare)
+    }
+  }
+
+  private def sampledHotKeysUncached(
+      sides: Seq[DataFrame], keyCol: String,
+      frac: Double, hotShare: Double): Array[Any] = {
     val sampled = sides
       .map(_.select(col(keyCol)).sample(withReplacement = false, frac, seed = 42L))
       .reduce(_ union _)
@@ -275,8 +285,15 @@ object DvOps {
     val effSalt =
       if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") {
         val autoSalt = graft.core.Confs.salt(conf) // validate even when gated
-        if (Tables.estBytes(probeIn).max(Tables.estBytes(stagedIn)) >= graft.core.Confs.minBytes(conf))
-          autoSalt
+        // KNOWN bytes only: a streaming micro-batch's staged side is a
+        // LogicalRDD whose default "size" is the Long.MaxValue sentinel —
+        // counting it engaged the histogram on every micro-batch (r15 A/B,
+        // +0.5 s/batch on dv_stream_sat). A side with unknown stats cannot
+        // justify the sample; the probe (history) side — whose pileup the
+        // split exists for — is a file scan with real stats wherever the
+        // guard matters.
+        val known = Seq(probeIn, stagedIn).flatMap(Tables.estBytesKnown)
+        if (known.nonEmpty && known.max >= graft.core.Confs.minBytes(conf)) autoSalt
         else salt
       } else salt
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
@@ -405,7 +422,8 @@ object DvOps {
     val effSalt =
       if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") {
         val autoSalt = graft.core.Confs.salt(conf) // validate even when gated
-        if (Tables.estBytes(existingSat) >= graft.core.Confs.minBytes(conf)) autoSalt
+        // estBytesKnown: unknown stats (sentinel) must not engage — see satNewRows
+        if (Tables.estBytesKnown(existingSat).exists(_ >= graft.core.Confs.minBytes(conf))) autoSalt
         else salt
       } else salt
     val hotKeys: Array[Any] =

@@ -33,6 +33,23 @@ object Profile {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Micro-batch cost decomposition (PROF_STREAM=1): per-batch durationMs
+    // straight from the engine's progress events — addBatch (the foreachBatch
+    // body: plan + execute + sink write) vs the harness overheads
+    // (latestOffset/getBatch file-source listing, queryPlanning,
+    // walCommit/commitOffsets checkpoint writes). This is the split the
+    // stage listener can't see: stages only cover addBatch's jobs.
+    if (sys.env.contains("PROF_STREAM")) {
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs.asScala.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+          println(s"[prof] stream batch=${p.batchId} rows=${p.numInputRows} $d")
+        }
+      })
+    }
     // Per-stage breakdown (PROF_STAGES=1): where a query's wall time lands —
     // scan vs exchange-read vs reduce — straight from the task-end stream.
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()

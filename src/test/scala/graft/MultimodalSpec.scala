@@ -150,6 +150,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!MjpegAviDecoder.claims(mp4) && MjpegAviDecoder.claims(avi))
   }
 
+  test("FrameDecoder dispatch: a claiming-but-failing decoder does not shadow later claimants") {
+    import graft.multimodal.{FrameDecoder, MjpegAviDecoder}
+    // Overlapping claims: a decoder that claims the AVI container but
+    // cannot decode the stream (None) must yield to the next claimant in
+    // registration order — the contract that makes "prepend a broader but
+    // partial impl" safe. A non-claiming decoder must never be ASKED.
+    var brokenAsked = 0
+    var strangerAsked = 0
+    object BrokenAviDecoder extends FrameDecoder {
+      override def claims(p: Array[Byte]): Boolean = MjpegAviDecoder.claims(p)
+      override def decode(p: Array[Byte]): Option[Multimodal.VideoDecoded] = {
+        brokenAsked += 1; None // claimed but undecodable
+      }
+    }
+    object NeverClaims extends FrameDecoder {
+      override def claims(p: Array[Byte]): Boolean = false
+      override def decode(p: Array[Byte]): Option[Multimodal.VideoDecoded] = {
+        strangerAsked += 1; Some(Multimodal.VideoDecoded(1, 1, 0L, 1L, 1, 0L,
+          IndexedSeq(Multimodal.VideoFrame(1, 1, 0f))))
+      }
+    }
+    val avi = Multimodal.aviMjpeg(Seq(Multimodal.jpegGray(90, 8, 8)), 8, 8)
+    val out = Multimodal.decodeVideo(avi, Seq(NeverClaims, BrokenAviDecoder, MjpegAviDecoder))
+    assert(out.exists(d => d.width == 8 && d.nFrames == 1), "real decoder must win through the failing claimant")
+    assert(brokenAsked == 1, "claiming decoder is asked exactly once")
+    assert(strangerAsked == 0, "non-claiming decoder is never asked")
+    // and when EVERY claimant fails, the result is the stub-fallback None
+    assert(Multimodal.decodeVideo(avi, Seq(BrokenAviDecoder)).isEmpty)
+  }
+
   test("extractFeatures routes video through the real MJPEG/AVI decoder") {
     // 8 frames -> every one of the 8 temporal bins is populated
     val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)
