@@ -81,21 +81,45 @@ object Tables {
     * skew-guard histogram ([[clusterByGuarded]] `auto`). */
   def estBytes(df: DataFrame): BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
 
-  /** [[estBytes]], or None when the estimate carries NO information: plans
-    * whose leaves lack real statistics (a streaming micro-batch's
-    * LogicalRDD, an un-analyzed in-memory relation) report
-    * `spark.sql.defaultSizeInBytes` = Long.MaxValue, and join/project
-    * arithmetic over that sentinel yields equally meaningless near-max
-    * values. Gating decisions must treat those as UNKNOWN, not huge: the
-    * r15 gated A/B caught `skewGuard=auto` re-sampling the satellite on
-    * EVERY micro-batch (+0.5 s/batch on `dv_stream_sat`) because the
-    * staged side's LogicalRDD "size" maxed the gate — exactly the fixed
-    * per-plan cost the size gate exists to avoid. Threshold Long.MaxValue/4
-    * (2.3 EB): no real input reaches it, every sentinel descendant does. */
+  /** Summed LEAF bytes of the plan, or None when any leaf's statistics are
+    * the `spark.sql.defaultSizeInBytes` sentinel (a streaming micro-batch's
+    * LogicalRDD, an un-analyzed in-memory relation) — i.e. the plan's true
+    * input volume, where [[estBytes]] is its arithmetic ESTIMATE. Two
+    * failure modes of gating on the estimate, both caught by the r15 gated
+    * A/B (`bench/r15{a..d}_*`):
+    *
+    *  - sentinel leaves: a LogicalRDD "is" Long.MaxValue bytes, so every
+    *    streaming micro-batch maxed the gate and `skewGuard=auto`
+    *    re-sampled the satellite per batch (+0.5 s/batch on
+    *    `dv_stream_sat`). Projection ratios scale the sentinel by an
+    *    arbitrary factor, so no threshold on the ESTIMATE separates
+    *    sentinel descendants from real sizes — leaf inspection does.
+    *  - join inflation: join stats multiply, so a composition of two
+    *    small scans can "exceed" any gate (`dv_flow_hub`'s per-entity
+    *    current-view, +0.6 s/flow) while its actual input is a few MB.
+    *
+    * Skew pileup is bounded by the bytes that physically exist, which is
+    * exactly the summed leaf sizes. Unknown (None) must never engage a
+    * histogram: a side whose size cannot be known cannot justify a
+    * sampling job, and wherever the guard matters (file-backed satellite
+    * history) leaf stats are real. */
   def estBytesKnown(df: DataFrame): Option[BigInt] = {
-    val b = estBytes(df)
-    if (b >= BigInt(Long.MaxValue) / 4) None else Some(b)
+    val default = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val sizes = df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes)
+    if (sizes.exists(_ >= default)) None else Some(sizes.sum)
   }
+
+  /** One stderr line per skew-guard gate decision when
+    * `spark.graft.skewGuard.debug=true` — the production observability for
+    * "did auto sample here, and off what size": every engagement is a
+    * sampling job, so a deployment (or a bench A/B) can grep its logs and
+    * attribute the cost precisely. */
+  private[graft] def gateTrace(
+      conf: org.apache.spark.sql.RuntimeConfig, site: String,
+      engaged: Boolean, bytes: Option[BigInt]): Unit =
+    if (conf.getOption("spark.graft.skewGuard.debug").contains("true"))
+      System.err.println(
+        s"[skewGuard] $site engaged=$engaged knownBytes=${bytes.getOrElse("unknown")}")
 
   def clusterParts(df: DataFrame): Int = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
@@ -157,7 +181,10 @@ object Tables {
         // 100 TB loads the guard exists for amortize the sample to noise.
         // estBytesKnown: a plan without real leaf stats (sentinel size)
         // must keep the default shape, not pay the histogram — see its doc.
-        if (!estBytesKnown(df).exists(_ >= Confs.minBytes(conf))) clusterBy(df, keys: _*)
+        val known = estBytesKnown(df)
+        val engaged = known.exists(_ >= Confs.minBytes(conf))
+        gateTrace(conf, s"clusterByGuarded(${keys.mkString(",")})", engaged, known)
+        if (!engaged) clusterBy(df, keys: _*)
         else {
           // Memoized per (files, bytes, keys, confs): loops that re-plan
           // over unchanged inputs (flow executor) pay the sample once.

@@ -293,8 +293,9 @@ object DvOps {
         // split exists for — is a file scan with real stats wherever the
         // guard matters.
         val known = Seq(probeIn, stagedIn).flatMap(Tables.estBytesKnown)
-        if (known.nonEmpty && known.max >= graft.core.Confs.minBytes(conf)) autoSalt
-        else salt
+        val engaged = known.nonEmpty && known.max >= graft.core.Confs.minBytes(conf)
+        Tables.gateTrace(conf, s"satNewRows($satHk)", engaged, known.maxOption)
+        if (engaged) autoSalt else salt
       } else salt
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
     val activeStruct = struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))
@@ -423,8 +424,10 @@ object DvOps {
       if (salt == 1 && graft.core.Confs.skewGuard(conf) == "auto") {
         val autoSalt = graft.core.Confs.salt(conf) // validate even when gated
         // estBytesKnown: unknown stats (sentinel) must not engage — see satNewRows
-        if (Tables.estBytesKnown(existingSat).exists(_ >= graft.core.Confs.minBytes(conf))) autoSalt
-        else salt
+        val known = Tables.estBytesKnown(existingSat)
+        val engaged = known.exists(_ >= graft.core.Confs.minBytes(conf))
+        Tables.gateTrace(conf, s"satDeleteRows($satHk)", engaged, known)
+        if (engaged) autoSalt else salt
       } else salt
     val hotKeys: Array[Any] =
       if (effSalt == 1) Array.empty

@@ -32,6 +32,13 @@ object Profile {
       builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
     }
     val spark = builder.getOrCreate()
+    // Same conf sweep hook as Bench: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => System.err.println(s"[prof] ignoring malformed SPARK_GRAFT_EXTRA_CONF token '$kv' (want k=v)")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     // Micro-batch cost decomposition (PROF_STREAM=1): per-batch durationMs
     // straight from the engine's progress events — addBatch (the foreachBatch
