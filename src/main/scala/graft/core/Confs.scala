@@ -75,9 +75,18 @@ object Confs {
     b
   }
 
-  /** The `spark.graft.skewGuard` mode itself: off | force | auto. */
+  /** The `spark.graft.skewGuard` mode itself: off | force | auto.
+    *
+    * DEFAULT `auto` (flipped r15): the size-gated, file-memoized histogram
+    * measured NEUTRAL on the full bench at both scales once the gate read
+    * real leaf bytes (off-vs-auto interleaved floors: sf0.1 -3.4%, sf1
+    * -1.2% — `bench/r15{d,e,f}_*`, BASELINE.md "Skew-guard DEFAULT
+    * decision"), and a hostile key under the default plan is the 22.6 s
+    * max-task / 330 MB-spill class the guard cuts to 1.2× of stage median.
+    * Zero measured cost, bounded worst case — protection on by default;
+    * `off` remains the bit-identical-plans escape hatch. */
   def skewGuard(conf: RuntimeConfig): String =
-    conf.getOption(SkewGuardKey).getOrElse("off") match {
+    conf.getOption(SkewGuardKey).getOrElse("auto") match {
       case m @ ("off" | "force" | "auto") => m
       case other => throw new IllegalArgumentException(
         s"$SkewGuardKey must be off|force|auto, got '$other'")

@@ -148,10 +148,13 @@ object Tables {
     * partial pass clusterBy exists to avoid.
     *
     * Selection via `spark.graft.skewGuard`:
-    *  - `off`  (default) — always cluster: today's shape, uniform-key fast
-    *    path, bit-identical plans to a bare [[clusterBy]];
+    *  - `off` — always cluster: uniform-key fast path, bit-identical plans
+    *    to a bare [[clusterBy]];
     *  - `force` — never cluster: callers that KNOW the batch is hot;
-    *  - `auto` — one sampled key histogram (column-pruned scan of the keys
+    *  - `auto` (default since r15 — measured neutral on the full bench at
+    *    both scales once size-gated on real leaf bytes; see
+    *    [[Confs.skewGuard]]) — one sampled key histogram (column-pruned
+    *    scan of the keys
     *    at `spark.graft.skewGuard.sampleFraction`, default 0.01) decides:
     *    if the hottest key's row share exceeds
     *    `spark.graft.skewGuard.hotShare` (default 0.05) the clustering is
@@ -160,10 +163,11 @@ object Tables {
     *    never correctness. Samples below ~200 rows fall back to clustered
     *    (too noisy to overrule the uniform-key default).
     *
-    * `auto` runs its sampled histogram EAGERLY at plan-construction time —
-    * building plans over the same input in a loop re-pays the sample each
-    * time; hoist the guarded DataFrame out of the loop (or cache the
-    * input) if that matters. */
+    * `auto` runs its sampled histogram EAGERLY at plan-construction time,
+    * size-gated by `spark.graft.skewGuard.minBytes` on [[estBytesKnown]]
+    * bytes and memoized per input files via [[SkewMemo]] — a loop that
+    * re-plans over unchanged file inputs pays the sample once; non-file
+    * inputs (no stable identity) re-pay per construction. */
   def clusterByGuarded(df: DataFrame, keys: String*): DataFrame = {
     val conf = df.sparkSession.conf
     Confs.skewGuard(conf) match {

@@ -24,9 +24,17 @@ class SkewGuardSpec extends SparkSpec {
 
   private def uniformFrame = spark.range(10000).select((col("id") % 997).as("k"), col("id").as("v"))
 
-  test("default mode clusters exactly like clusterBy") {
+  test("default (auto + size gate) keeps the clusterBy plan on small inputs, zero extra jobs") {
+    // The r15 default flip: spark.graft.skewGuard defaults to `auto`, and
+    // what makes that safe is the minBytes gate — this sub-gate frame keeps
+    // the exact clusterBy shape WITHOUT paying a histogram, so default
+    // plans on bench/test-scale inputs are bit-identical to `off`.
+    assert(graft.core.Confs.skewGuard(spark.conf) == "auto", "default mode must be auto")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val g = Tables.clusterByGuarded(hotFrame, "k")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(clustered(g))
+    assert(after == before, s"default must sample nothing under the gate, ran ${after - before} jobs")
     assert(g.columns.toSeq == Seq("k", "v"))
   }
 
