@@ -129,6 +129,21 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     } finally { materialized.unpersist(); () }
   }
 
+  /** [[appendIncrementBucketed]] for callers that don't need the row count
+    * (the streaming DV sinks): ONE pass — the increment plan feeds the
+    * bucketed write directly, no cache+count+recompute. The extra action
+    * was a measurable slice of each micro-batch's addBatch at replay scale
+    * (r15 profile; BASELINE.md multi-batch floor paragraph). An empty
+    * increment appended to an EXISTING table writes no part files
+    * (per-partition writers skip empty tasks), so only the first append —
+    * where an empty write would create a part-file-less parquet dir that
+    * breaks later reads — takes the counted path. (A write-action
+    * `observe()` was tried first: V1 write commands don't surface
+    * CollectMetrics, `Observation.get` returns an empty map.) */
+  def appendIncrementBucketedUncounted(rows: DataFrame, layer: String, name: String, keyCol: String): Unit =
+    if (exists(layer, name)) appendBucketed(rows, layer, name, keyCol)
+    else { appendIncrementBucketed(rows, layer, name, keyCol); () }
+
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and
     * bucket pruning survive any number of appends.

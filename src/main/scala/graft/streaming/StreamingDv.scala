@@ -72,7 +72,7 @@ object StreamingDv {
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", hubTable, StructType(StructField(hkName, StringType) :: Nil))
-        lake.appendIncrementBucketed(
+        lake.appendIncrementBucketedUncounted(
           DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
         ()
       }
@@ -110,7 +110,7 @@ object StreamingDv {
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", linkTable, StructType(StructField(hkName, StringType) :: Nil))
-        lake.appendIncrementBucketed(
+        lake.appendIncrementBucketedUncounted(
           DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
         ()
       }
@@ -148,7 +148,7 @@ object StreamingDv {
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
         val existing = lake.readOr("dv", satTable, satSchema)
-        lake.appendIncrementBucketed(
+        lake.appendIncrementBucketedUncounted(
           DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
         ()
       }
