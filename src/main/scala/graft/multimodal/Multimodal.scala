@@ -49,25 +49,119 @@ object Multimodal {
     * memory cache ONCE, lazily, before the first codec call. */
   private lazy val imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-thread, per-format reader reuse. `ImageIO.read`'s convenience path
+    * walks the synchronized IIORegistry/ServiceRegistry on EVERY call —
+    * at 32 decode threads that lock is the bottleneck, not the codec (r15
+    * media_video profile: stage runSum 67.7 s vs cpuSum 18.5 s — tasks
+    * blocked 3.7× their CPU). One reader per (thread, format), wired once
+    * from the registry, then driven directly via setInput per image — same
+    * plugin, same bytes out, no shared lock on the hot path. */
+  private val threadReaders =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+    }
+
+  /** Magic-byte format sniff for the two formats the JDK fully decodes;
+    * anything else (or a sniff miss) falls back to `ImageIO.read`. */
+  private def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length >= 3 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
+    else if (payload.length >= 8 && payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else null
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val fmt = sniffFormat(payload)
+    if (fmt == null)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    else {
+      val cache = threadReaders.get()
+      var reader = cache.get(fmt)
+      if (reader == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        reader = it.next()
+        cache.put(fmt, reader)
+      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally {
+        // release the input so the reader holds no reference between calls;
+        // the reader object itself is reused (dispose() would kill it)
+        reader.setInput(null)
+        iis.close()
+      }
+    }
+  }
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
       imageIoMemCache
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val grid = new Array[Float](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // ITU-R BT.601 luma from sRGB bytes, normalized to [0,1].
-            val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-            grid(y * w + x) = lum / 255.0f
-            x += 1
+        // Fast path: TYPE_3BYTE_BGR (what the JPEG plugin yields for color
+        // images) exposes raw sRGB bytes via the raster's DataBufferByte —
+        // identical channel values to getRGB without its per-pixel
+        // ColorModel call. Luma math is byte-for-byte the same expression.
+        // Other types (notably TYPE_BYTE_GRAY, whose getRGB applies a real
+        // gray→sRGB colorspace conversion that raw raster bytes would skip)
+        // keep the exact getRGB path — MultimodalSpec pins equality.
+        if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte]) {
+          val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          var p = 0
+          val n = w * h
+          while (i < n) {
+            val b = data(p) & 0xff; val g = data(p + 1) & 0xff; val r = data(p + 2) & 0xff
+            grid(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            i += 1; p += 3
           }
-          y += 1
+        } else if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getNumDataElements == 1) {
+          // TYPE_BYTE_GRAY's getRGB is NOT identity — it routes every pixel
+          // through the gray→sRGB ICC colorspace transform (native LCMS,
+          // globally synchronized: the r15 media_video profile showed decode
+          // tasks blocked ~3× their CPU on exactly this). The mapping is a
+          // pure function of the 8-bit gray value, so build a 256-entry luma
+          // LUT through the image's OWN ColorModel (bit-identical to
+          // per-pixel getRGB — getRGB(x,y) IS colorModel.getRGB(dataElements),
+          // MultimodalSpec pins equality) and stream the raster through it.
+          val cm = img.getColorModel
+          val lut = new Array[Float](256)
+          val px = new Array[Byte](1)
+          var v = 0
+          while (v < 256) {
+            px(0) = v.toByte
+            val rgb = cm.getRGB(px)
+            lut(v) = (0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255.0f
+            v += 1
+          }
+          val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          val n = w * h
+          while (i < n) {
+            grid(i) = lut(data(i) & 0xff)
+            i += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // ITU-R BT.601 luma from sRGB bytes, normalized to [0,1].
+              val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+              grid(y * w + x) = lum / 255.0f
+              x += 1
+            }
+            y += 1
+          }
         }
         Some((w, h, grid))
       }

@@ -150,6 +150,56 @@ class MultimodalSpec extends SparkSpec {
     assert(!MjpegAviDecoder.claims(mp4) && MjpegAviDecoder.claims(avi))
   }
 
+  test("decodeImage raster fast path is bit-identical to the getRGB path on color JPEGs") {
+    // The r15 TYPE_3BYTE_BGR fast path reads raw raster bytes instead of
+    // per-pixel getRGB; the luma floats must match getRGB's EXACTLY (the
+    // media oracles hash these values).
+    val src = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 17)
+      src.setRGB(x, y, ((x * 15) << 16) | ((y * 28) << 8) | ((x * y * 7) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val payload = bos.toByteArray
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(ref.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR,
+      s"precondition: color JPEG decodes to 3BYTE_BGR, got type ${ref.getType}")
+    val Some((w, h, grid)) = Multimodal.decodeImage(payload)
+    assert((w, h) == (17, 9))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+      assert(grid(y * w + x) == lum / 255.0f, s"pixel ($x,$y) diverged")
+    }
+    // reader reuse across calls on the same thread must stay correct
+    assert(Multimodal.decodeImage(payload).get._3.toSeq == grid.toSeq)
+  }
+
+  test("decodeImage gray LUT path is bit-identical to per-pixel getRGB") {
+    // TYPE_BYTE_GRAY getRGB applies a real gray->sRGB ICC transform; the
+    // r15 LUT fast path must reproduce it EXACTLY for all 256 gray values
+    // (media oracles hash these floats). A width x height covering every
+    // byte value exercises the whole table.
+    // PNG preserves TYPE_BYTE_GRAY end-to-end (the corpus JPEGs re-decode
+    // as 3BYTE_BGR and take the color fast path instead); every byte value
+    // 0..255 appears so the whole LUT is exercised.
+    val src = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      src.getRaster.setSample(x, y, 0, y * 16 + x)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", bos))
+    val payload = bos.toByteArray
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(ref.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      s"precondition: gray PNG decodes to TYPE_BYTE_GRAY, got ${ref.getType}")
+    val Some((w, h, grid)) = Multimodal.decodeImage(payload)
+    assert((w, h) == (16, 16))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+      assert(grid(y * w + x) == lum / 255.0f, s"pixel ($x,$y) diverged")
+    }
+  }
+
   test("FrameDecoder dispatch: a claiming-but-failing decoder does not shadow later claimants") {
     import graft.multimodal.{FrameDecoder, MjpegAviDecoder}
     // Overlapping claims: a decoder that claims the AVI container but
