@@ -135,14 +135,29 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * was a measurable slice of each micro-batch's addBatch at replay scale
     * (r15 profile; BASELINE.md multi-batch floor paragraph). An empty
     * increment appended to an EXISTING table writes no part files
-    * (per-partition writers skip empty tasks), so only the first append —
-    * where an empty write would create a part-file-less parquet dir that
-    * breaks later reads — takes the counted path. (A write-action
-    * `observe()` was tried first: V1 write commands don't surface
-    * CollectMetrics, `Observation.get` returns an empty map.) */
-  def appendIncrementBucketedUncounted(rows: DataFrame, layer: String, name: String, keyCol: String): Unit =
-    if (exists(layer, name)) appendBucketed(rows, layer, name, keyCol)
-    else { appendIncrementBucketed(rows, layer, name, keyCol); () }
+    * (per-partition writers skip empty tasks) and is harmless; on the
+    * FIRST append an empty write leaves a part-file-less parquet dir that
+    * breaks later reads — detected by a post-write listing and deleted, so
+    * readOr keeps seeing "table absent". (A write-action `observe()` was
+    * tried first: V1 write commands don't surface CollectMetrics,
+    * `Observation.get` returns an empty map.) */
+  def appendIncrementBucketedUncounted(rows: DataFrame, layer: String, name: String, keyCol: String): Unit = {
+    val existed = exists(layer, name)
+    appendBucketed(rows, layer, name, keyCol)
+    if (!existed) {
+      val path = new Path(tablePath(layer, name))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def hasParquet(p: Path): Boolean =
+        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p)).exists { d =>
+          if (fs.getFileStatus(d).isDirectory) hasParquet(d)
+          else d.getName.endsWith(".parquet")
+        }
+      if (fs.exists(path) && !hasParquet(path)) {
+        fs.delete(path, true)
+        refresh(layer, name)
+      }
+    }
+  }
 
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
     * bucket is a deterministic function of the key, so co-located reads and

@@ -65,6 +65,27 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset(Lake.BucketsKey)
   }
 
+  test("uncounted first append: rows land readable; an EMPTY first increment leaves no table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = new graft.core.Lake(spark, tmpDir("lake_unc"), buckets = 4)
+    // empty first increment: the single-pass write must not leave a
+    // part-file-less dir behind (readOr would then explode on read)
+    val empty = Seq.empty[(String, Long)].toDF("hk", "v")
+    lake.appendIncrementBucketedUncounted(empty, "dv", "t", "hk")
+    assert(!lake.exists("dv", "t"), "empty first append must leave the table absent")
+    val schema = empty.schema
+    assert(lake.readOr("dv", "t", schema).count() == 0)
+    // non-empty first increment: single pass, rows readable
+    val rows = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("hk", "v")
+    lake.appendIncrementBucketedUncounted(rows, "dv", "t", "hk")
+    assert(lake.readOr("dv", "t", schema).as[(String, Long)].collect().sorted.toSeq
+      == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // empty SECOND append: harmless no-op on an existing table
+    lake.appendIncrementBucketedUncounted(empty, "dv", "t", "hk")
+    assert(lake.readOr("dv", "t", schema).count() == 3)
+  }
+
   test("dedup cc landing honors the scratch root end-to-end") {
     val root = tmpDir("graft_scratch_root_")
     val out = withRoot(root) {
