@@ -148,6 +148,11 @@ object SkewBench {
       .withColumn("del_flag", lit(false))
 
     val sat = skewedSat
+    // Since r15 the session DEFAULT is skewGuard=auto, which would silently
+    // salt the "unguarded" contrast rows below (the sf10 inputs clear the
+    // size gate). Pin `off` for the whole block — the guarded/salted rows
+    // opt in explicitly, so every row measures exactly the shape it names.
+    spark.conf.set("spark.graft.skewGuard", "off")
     val vaultRows = Seq(
       // the dv_sat_current shape: size-scaled key clustering, then the
       // hash-based latest-row aggregate runs partition-local — the hot
@@ -167,7 +172,9 @@ object SkewBench {
       runSkew("sat_current_guarded_auto") {
         spark.conf.set("spark.graft.skewGuard", "auto")
         try graft.dv.DvOps.currentRows(graft.core.Tables.clusterByGuarded(sat, "__nk"), "__nk")
-        finally spark.conf.unset("spark.graft.skewGuard")
+        // restore the block's explicit `off` (unset would fall back to the
+        // r15 session default, which is auto)
+        finally spark.conf.set("spark.graft.skewGuard", "off")
       },
       // the dv_sat_delta shape: co-partitioned probe/staged shuffle-hash
       // join keyed on the hot key
