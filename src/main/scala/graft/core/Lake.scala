@@ -116,10 +116,14 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     Math.floorMod(h, bucketCount.toLong)
   }
 
-  /** Materialize an increment computed AGAINST a table before appending to
-    * that same table (a parquet append would otherwise race its own input
-    * scan); returns rows appended. Shared by the batch flow executor and the
-    * streaming sinks. */
+  /** Append an increment computed AGAINST a table to that same table and
+    * return rows appended. The cache+count exists for the COUNT: without it
+    * the increment plan would execute twice (once to count, once to write)
+    * and a nondeterministic increment could count n but write m. It is NOT
+    * needed for read-own-target safety — see the listing-snapshot invariant
+    * on [[appendIncrementBucketedUncounted]], which both methods rely on.
+    * Shared by the batch flow executor; the streaming sinks use the
+    * uncounted single-pass sibling. */
   def appendIncrementBucketed(rows: DataFrame, layer: String, name: String, keyCol: String): Long = {
     val materialized = rows.cache()
     try {
@@ -133,8 +137,23 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * (the streaming DV sinks): ONE pass — the increment plan feeds the
     * bucketed write directly, no cache+count+recompute. The extra action
     * was a measurable slice of each micro-batch's addBatch at replay scale
-    * (r15 profile; BASELINE.md multi-batch floor paragraph). An empty
-    * increment appended to an EXISTING table writes no part files
+    * (r15 profile; BASELINE.md multi-batch floor paragraph).
+    *
+    * Read-own-target safety (the increment plan typically SCANS this same
+    * table — the satellite delta probes existing history) rests on the
+    * LISTING-SNAPSHOT invariant, pinned by ScratchSpec "self-reading
+    * uncounted append": the scan's file set is frozen in the
+    * InMemoryFileIndex built when [[readOr]] resolved the relation —
+    * driver-side, strictly BEFORE this write job starts — and the write
+    * publishes new part files only at job commit (tasks write under
+    * `_temporary`, never visible to a listing snapshot taken earlier). So
+    * the scan reads exactly the pre-append files: no new-file double-read,
+    * no deleted-file FILE_NOT_EXIST. The one hazard is an increment built
+    * from a STALE DataFrame (resolved before an intervening append by a
+    * concurrent writer) — out of scope: the lake's single-writer-per-table
+    * contract (flow executor / one streaming query per sink table).
+    *
+    * An empty increment appended to an EXISTING table writes no part files
     * (per-partition writers skip empty tasks) and is harmless; on the
     * FIRST append an empty write leaves a part-file-less parquet dir that
     * breaks later reads — detected by a post-write listing and deleted, so

@@ -13,19 +13,25 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * FILES and the sampling confs, so it memoizes on a file-level identity:
   *
   *   fingerprint = every leaf's parquet root paths + the optimized plan's
-  *   size-in-bytes estimate + the caller's tag (key columns, confs).
+  *   size-in-bytes estimate + the plan's semantic hash + the caller's tag
+  *   (key columns, confs).
   *
   * An append to any side changes its file listing and therefore its
   * `sizeInBytes` at the next read — a fresh fingerprint, a fresh histogram.
-  * Plans with any NON-file leaf (in-memory data, views over caches) get no
-  * fingerprint and are computed every time: correctness of the memo rests
-  * on files-are-immutable, which only holds for file sources.
+  * The semantic hash (canonicalized optimized plan) separates DIFFERENT
+  * plans over the same files: without CBO a Filter doesn't move
+  * `sizeInBytes`, so two per-entity views filtering the same table would
+  * otherwise collide on one memo entry and the second would inherit the
+  * first's histogram. Plans with any NON-file leaf (in-memory data, views
+  * over caches) get no fingerprint and are computed every time:
+  * correctness of the memo rests on files-are-immutable, which only holds
+  * for file sources.
   *
-  * Staleness is bounded and benign by construction: a hit can only return
-  * the histogram of the exact same bytes, and even a (hypothetical) wrong
-  * hot-key set is a performance decision, not a semantic one — every
-  * guarded operator produces identical rows for ANY hot-key set
-  * (DvOpsSpec/SkewGuardSpec pin salted == unsalted equality).
+  * Staleness is bounded and benign by construction: a hit returns the
+  * histogram of the same files under a semantically-equal plan, and even a
+  * (hypothetical) wrong hot-key set is a performance decision, not a
+  * semantic one — every guarded operator produces identical rows for ANY
+  * hot-key set (DvOpsSpec/SkewGuardSpec pin salted == unsalted equality).
   *
   * Bounded at [[MaxEntries]] (each value ≤ 64 key literals or a Boolean);
   * on overflow the map is cleared — a memo, not a cache with eviction
@@ -38,22 +44,31 @@ object SkewMemo {
   private[graft] def clear(): Unit = memo.clear()
   private[graft] def size: Int = memo.size()
 
+  /** File-level identity of ONE side, or None when any leaf is not a file
+    * scan (no stable identity). Exposed to callers that want to split a
+    * side list into memoizable and non-memoizable halves (the streaming
+    * satellite probe — see DvOps.sampledHotKeys). */
+  private[graft] def sideFingerprint(df: DataFrame): Option[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val paths = plan.collectLeaves().map {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+      case _ => ""
+    }
+    if (paths.exists(_.isEmpty)) None
+    // semanticHash: canonicalized-plan identity — distinguishes two
+    // differently-filtered reads of the SAME files (sizeInBytes alone
+    // does not move under a Filter without CBO).
+    else Some(paths.mkString(";") + "#" + plan.stats.sizeInBytes + "#" + plan.semanticHash())
+  }
+
   /** File-level identity of `sides`, or None when any leaf is not a file
     * scan (no stable identity ⇒ caller computes uncached). */
   private def fingerprint(sides: Seq[DataFrame], tag: String): Option[String] = {
-    val parts = sides.map { df =>
-      val plan = df.queryExecution.optimizedPlan
-      val leaves = plan.collectLeaves()
-      val paths = leaves.map {
-        case lr: LogicalRelation =>
-          lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
-            case _ => ""
-          }
-        case _ => ""
-      }
-      if (paths.exists(_.isEmpty)) "" else paths.mkString(";") + "#" + plan.stats.sizeInBytes
-    }
+    val parts = sides.map(sideFingerprint(_).getOrElse(""))
     if (parts.exists(_.isEmpty)) None
     else {
       // session identity: confs differ per session and fingerprints must

@@ -102,11 +102,22 @@ object Tables {
     * exactly the summed leaf sizes. Unknown (None) must never engage a
     * histogram: a side whose size cannot be known cannot justify a
     * sampling job, and wherever the guard matters (file-backed satellite
-    * history) leaf stats are real. */
+    * history) leaf stats are real.
+    *
+    * Sentinel detection is EQUALITY, not >=: stats-less leaves report
+    * exactly `defaultSizeInBytes` (un-scaled at the leaf — projection
+    * ratios apply above it), while a real file scan reports its actual
+    * listing bytes. A >= comparison would mis-classify every scan larger
+    * than the default as unknown in deployments that LOWER
+    * defaultSizeInBytes (a common broadcast tuning), silently disabling
+    * the guard exactly where it matters. A genuine scan whose bytes land
+    * on the sentinel value to the byte is possible in principle and
+    * degrades to a skipped histogram — a perf-only miss, never wrong
+    * rows. */
   def estBytesKnown(df: DataFrame): Option[BigInt] = {
     val default = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val sizes = df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes)
-    if (sizes.exists(_ >= default)) None else Some(sizes.sum)
+    if (sizes.exists(_ == default)) None else Some(sizes.sum)
   }
 
   /** One stderr line per skew-guard gate decision when

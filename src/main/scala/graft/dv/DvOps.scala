@@ -193,15 +193,34 @@ object DvOps {
     * first). Below ~200 sampled rows the histogram is too noisy to overrule
     * the default plan — returns empty and callers keep the unsalted shape.
     * Runs EAGERLY (two actions) at plan-construction time; memoized per
-    * (input files, bytes, key, confs) via [[graft.core.SkewMemo]] so loops
-    * that re-plan over unchanged inputs pay the sample once. */
+    * (input files, bytes, plan hash, key, confs) via
+    * [[graft.core.SkewMemo]] so loops that re-plan over unchanged inputs
+    * pay the sample once.
+    *
+    * When the side list MIXES file-backed and non-file inputs — the
+    * streaming satellite shape, where the staged micro-batch is a
+    * LogicalRDD with no stable identity — the non-file sides are DROPPED
+    * and the histogram samples (and memoizes on) the file-backed sides
+    * alone. Keeping the micro-batch in the union would make every batch's
+    * fingerprint None, so once the satellite clears the size gate each
+    * micro-batch would re-pay the two-action histogram uncached — the
+    * +0.5 s/batch cost class r15 eliminated, returning at production
+    * satellite sizes. The drop is sound because the hot-key set is a
+    * perf-only plan choice (same rows out for ANY set) and the pileup the
+    * split exists for lives in the persisted history: a batch-bounded
+    * micro-batch can add at most one batch of rows per key, which the
+    * unsalted shape's wave-bounded tasks already absorb. All-file and
+    * all-non-file side lists keep their previous behavior (memoized /
+    * computed-every-time over ALL sides). */
   private[graft] def sampledHotKeys(
       sides: Seq[DataFrame], keyCol: String,
       conf: org.apache.spark.sql.RuntimeConfig): Array[Any] = {
     val frac = graft.core.Confs.sampleFraction(conf)
     val hotShare = graft.core.Confs.hotShare(conf)
-    graft.core.SkewMemo.cached(sides, s"shk:$keyCol:$frac:$hotShare") {
-      sampledHotKeysUncached(sides, keyCol, frac, hotShare)
+    val fileSides = sides.filter(graft.core.SkewMemo.sideFingerprint(_).isDefined)
+    val effective = if (fileSides.nonEmpty) fileSides else sides
+    graft.core.SkewMemo.cached(effective, s"shk:$keyCol:$frac:$hotShare") {
+      sampledHotKeysUncached(effective, keyCol, frac, hotShare)
     }
   }
 

@@ -83,15 +83,30 @@ object Multimodal {
       }
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      try {
-        reader.setInput(iis, true, true)
-        reader.read(0)
-      } finally {
-        // release the input so the reader holds no reference between calls;
-        // the reader object itself is reused (dispose() would kill it)
-        reader.setInput(null)
-        iis.close()
-      }
+      val fast =
+        try {
+          reader.setInput(iis, true, true)
+          Some(reader.read(0))
+        } catch {
+          // The pinned reader is the FIRST registry plugin for the sniffed
+          // format; payloads it rejects (e.g. CMYK JPEG under the JDK
+          // plugin) may still decode through ImageIO.read's stream-based
+          // dispatch, which consults EVERY registered reader. Discard the
+          // possibly-wedged reader (fresh one next call) and fall back —
+          // the slow path only pays the registry walk on payloads the fast
+          // path cannot decode at all.
+          case _: Exception =>
+            cache.remove(fmt)
+            try reader.dispose() catch { case _: Exception => () }
+            None
+        } finally {
+          // release the input so the reader holds no reference between
+          // calls; the reader object itself is reused (dispose() kills it,
+          // so only the failure branch above does that)
+          try { reader.setInput(null); iis.close() } catch { case _: Exception => () }
+        }
+      fast.getOrElse(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     }
   }
 

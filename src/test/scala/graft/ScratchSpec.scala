@@ -86,6 +86,28 @@ class ScratchSpec extends SparkSpec {
     assert(lake.readOr("dv", "t", schema).count() == 3)
   }
 
+  test("self-reading uncounted append: the scan's listing snapshot predates the write (no double-read, no race)") {
+    import spark.implicits._
+    val lake = new graft.core.Lake(spark, tmpDir("lake_selfread"), buckets = 4)
+    val schema = Seq(("seed", 1L)).toDF("hk", "v").schema
+    lake.appendIncrementBucketedUncounted(Seq(("seed", 1L)).toDF("hk", "v"), "dv", "t", "hk")
+    // Each round's increment SCANS the target it appends to (the satellite
+    // delta probe shape). The listing-snapshot invariant says every scan
+    // sees exactly the pre-append file set: rows double geometrically
+    // (1 → 2 → 4 → 8). A scan racing its own output would over-count
+    // (re-listed new part files) or crash (FILE_NOT_EXIST on a swapped
+    // file); a dropped snapshot would under-count.
+    (1 to 3).foreach { round =>
+      val increment = lake.readOr("dv", "t", schema)
+        .withColumn("hk", concat_ws("_", col("hk"), lit(round.toString)))
+      lake.appendIncrementBucketedUncounted(increment, "dv", "t", "hk")
+      assert(lake.readOr("dv", "t", schema).count() == (1L << round),
+        s"after self-read append $round")
+    }
+    val all = lake.readOr("dv", "t", schema).as[(String, Long)].collect().map(_._1).sorted
+    assert(all.length == 8 && all.distinct.length == 8, all.mkString(","))
+  }
+
   test("dedup cc landing honors the scratch root end-to-end") {
     val root = tmpDir("graft_scratch_root_")
     val out = withRoot(root) {

@@ -78,6 +78,57 @@ class SkewMemoSpec extends SparkSpec {
     }
   }
 
+  test("differently-filtered plans over the SAME files do not collide (semanticHash in the fingerprint)") {
+    val dir = tmpDir("skewmemo3") + "/t"
+    writeHot(dir)
+    SkewMemo.clear()
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    try {
+      // Filter A keeps the hot key (k=0 holds 30%); filter B removes it.
+      // Without CBO a Filter doesn't move sizeInBytes, so a paths+bytes
+      // fingerprint would hand B a memo hit with A's histogram.
+      val hotView = spark.read.parquet(dir).filter(col("v") >= 0)
+      val coldView = spark.read.parquet(dir).filter(col("k") =!= 0L)
+      val a = graft.dv.DvOps.sampledHotKeys(Seq(hotView), "k", spark.conf)
+      assert(a.contains(0L), "filter A keeps the hot key")
+      val b = graft.dv.DvOps.sampledHotKeys(Seq(coldView), "k", spark.conf)
+      assert(!b.contains(0L), "filter B's histogram must be its own, not A's memo entry")
+      assert(SkewMemo.size == 2, "two distinct fingerprints")
+    } finally {
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      SkewMemo.clear()
+    }
+  }
+
+  test("sampledHotKeys with a mixed file + non-file side list memoizes on the file side alone (streaming shape)") {
+    val dir = tmpDir("skewmemo4") + "/t"
+    writeHot(dir)
+    SkewMemo.clear()
+    spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
+    try {
+      // the streaming satellite shape: file-backed history + an in-memory
+      // micro-batch. Every batch is a NEW non-file plan; the memo must
+      // still hit on the unchanged file side, or production micro-batches
+      // re-pay the two-action histogram forever (the r15 +0.5 s/batch
+      // class, deferred past the size gate).
+      def batch(n: Int) = spark.range(n)
+        .select((col("id") + 1000000L).as("k"), col("id").as("v"))
+      val first = graft.dv.DvOps.sampledHotKeys(
+        Seq(spark.read.parquet(dir), batch(50)), "k", spark.conf)
+      assert(first.contains(0L))
+      assert(SkewMemo.size == 1, "file side fingerprint must land in the memo")
+      val df2 = spark.read.parquet(dir)
+      df2.queryExecution.optimizedPlan.stats // pre-pay the listing job
+      val b1 = jobs
+      val second = graft.dv.DvOps.sampledHotKeys(Seq(df2, batch(75)), "k", spark.conf)
+      assert(jobs == b1, s"fresh micro-batch must not defeat the memo, ran ${jobs - b1} jobs")
+      assert(second.toSeq == first.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.skewGuard.sampleFraction")
+      SkewMemo.clear()
+    }
+  }
+
   test("sampledHotKeys memo: same files hit, distinct confs miss") {
     val dir = tmpDir("skewmemo2") + "/t"
     writeHot(dir)
