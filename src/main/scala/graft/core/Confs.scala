@@ -75,6 +75,22 @@ object Confs {
     b
   }
 
+  val CompactTargetBytesKey = "spark.graft.compact.targetBytes"
+
+  /** Per-output-file size target (compressed bytes) for `Lake.compact`.
+    * One-file-per-bucket is the right shape while buckets stay modest, but
+    * at production bucket sizes it degenerates to a single-task multi-GB
+    * write per bucket — compaction splits any bucket above this target
+    * into ~target-sized files instead. 1 GiB default: large enough that a
+    * scan's split planning (maxPartitionBytes 128 MB) still gets its
+    * parallelism from row groups, small enough that one compaction task's
+    * write is minutes, not hours, and a straggler re-run loses one file. */
+  def compactTargetBytes(conf: RuntimeConfig): Long = {
+    val b = long(conf, CompactTargetBytesKey, 1L << 30)
+    require(b >= (1L << 16), s"$CompactTargetBytesKey must be >= 64 KiB, got $b")
+    b
+  }
+
   /** The `spark.graft.skewGuard` mode itself: off | force | auto.
     *
     * DEFAULT `auto` (flipped r15): the size-gated, file-memoized histogram

@@ -200,9 +200,24 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
 
   /** Compact a bucketed table: every append adds a part file per bucket per
     * task, and a long-lived vault accumulates small files (the classic
-    * 100 TB lake operations problem). Rewrites each bucket into one file via
-    * a staged directory + swap, so readers never observe a half-compacted
-    * table. Returns (files before, files after). */
+    * 100 TB lake operations problem). Rewrites each bucket into
+    * ~`spark.graft.compact.targetBytes`-sized files (one file while the
+    * bucket fits under the target) via a staged directory + swap, so
+    * readers never observe a half-compacted table. Returns (files before,
+    * files after).
+    *
+    * The size cap matters at production bucket sizes: one-file-per-bucket
+    * makes compaction a single-task multi-GB write per bucket (wall time =
+    * largest bucket, straggler re-run = re-writing it whole). Oversized
+    * buckets split on a deterministic row-hash chunk column —
+    * `ceil(bucketBytes / target)` chunks per bucket, sized driver-side
+    * from the SAME listing the file count walks — and the staged write
+    * exchanges once on (bucket, chunk), so write parallelism follows data
+    * volume, not bucket count. Hash placement can co-locate two chunk
+    * cells in one task (the cells-per-partition birthday term; the write
+    * then emits one ~2×-target file) — the cap is a parallelism/restart
+    * bound, not an exact packing, and the one-exchange append invariant
+    * ([[appendBucketed]]) is untouched. */
   def compact(layer: String, name: String): (Long, Long) = {
     val path = new Path(tablePath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,9 +229,35 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     val df = read(layer, name)
     val staged = new Path(tablePath(layer, s"__compact_$name"))
     fs.delete(staged, true)
-    if (df.columns.contains("hk_bucket"))
-      df.repartition(col("hk_bucket"))
+    if (df.columns.contains("hk_bucket")) {
+      val target = Confs.compactTargetBytes(spark.conf)
+      def bytesUnder(p: Path): Long =
+        fs.listStatus(p).map(s =>
+          if (s.isDirectory) bytesUnder(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) s.getLen else 0L).sum
+      // per-bucket compressed bytes from the partition directories (cheap:
+      // the same driver-side listing parquetCount already walked)
+      val chunksOf: Map[Long, Int] = fs.listStatus(path)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("hk_bucket="))
+        .map { d =>
+          val b = d.getPath.getName.stripPrefix("hk_bucket=").toLong
+          b -> math.max(1L, (bytesUnder(d.getPath) + target - 1) / target)
+            .min(1L << 16).toInt
+        }.toMap
+      val totalChunks = chunksOf.values.map(_.toLong).sum
+        .max(1L).min(1L << 20).toInt
+      val dataCols = df.columns.filterNot(_ == "hk_bucket").toIndexedSeq
+      // chunk = row-hash mod the bucket's OWN chunk count (a tiny literal
+      // map — bucket counts are configuration-scale, not data-scale), so
+      // single-chunk buckets keep one file and only oversized ones split.
+      val chunk = pmod(
+        xxhash64(dataCols.map(col): _*),
+        element_at(typedLit(chunksOf), col("hk_bucket").cast("long")))
+      df.withColumn("__chunk", chunk)
+        .repartition(totalChunks, col("hk_bucket"), col("__chunk"))
+        .drop("__chunk")
         .write.partitionBy("hk_bucket").parquet(staged.toString)
+    }
     // inputFiles length instead of df.rdd.getNumPartitions (the latter
     // materializes the physical RDD driver-side); compaction targets ~8
     // input files per output file.

@@ -138,6 +138,40 @@ class FnsSpec extends SparkSpec {
     assert(lake.lookupBucketed("dv", "t", "hk", "key3_7").select("v").as[Long].head() == 7L)
   }
 
+  test("compact splits a bucket above compact.targetBytes into ~target-sized files") {
+    val root = tmpDir("compactsplit")
+    val lake = new Lake(spark, root, buckets = 2)
+    // ~64 high-entropy bytes/row x 20k rows ≈ 1.3 MB incompressible parquet
+    // over 2 buckets — each bucket far above a 64 KiB target.
+    val df = spark.range(20000).select(
+      md5(col("id").cast("string")).as("hk"),
+      md5((col("id") + 1000000L).cast("string")).as("payload"),
+      col("id").as("v"))
+    lake.appendBucketed(df, "dv", "big", "hk")
+    try {
+      spark.conf.set(graft.core.Confs.CompactTargetBytesKey, (64L << 10).toString)
+      val (before, after) = lake.compact("dv", "big")
+      assert(after > 2, s"oversized buckets must split: $before -> $after files")
+      // every bucket dir got multiple files, none wildly above target
+      val base = new java.io.File(s"$root/dv/big")
+      val bucketDirs = base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("hk_bucket="))
+      assert(bucketDirs.length == 2)
+      bucketDirs.foreach { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length >= 2, s"${d.getName}: ${parts.length} files")
+        // hash placement may co-locate two chunk cells (doc'd) — cap at 4x
+        parts.foreach(p => assert(p.length < 4L * (64L << 10), s"${p.getName}: ${p.length}B"))
+      }
+      // data intact + bucket pruning still works after the split rewrite
+      assert(lake.read("dv", "big").count() == 20000)
+      assert(lake.read("dv", "big").agg(sum(col("v"))).head().getLong(0)
+        == 20000L * 19999L / 2)
+      val k = java.security.MessageDigest.getInstance("MD5").digest("7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(lake.lookupBucketed("dv", "big", "hk", k).select("v").as[Long].head() == 7L)
+    } finally spark.conf.unset(graft.core.Confs.CompactTargetBytesKey)
+  }
+
   test("lookupBucketed prunes to the key's partition") {
     val root = tmpDir("lakeprune")
     val lake = new Lake(spark, root, buckets = 8)
