@@ -1,0 +1,139 @@
+package graft.multimodal
+
+/** FFmpeg-CLI-backed [[FrameDecoder]] for inter-frame containers (mp4 and
+  * friends carrying an `ftyp` box) — the production swap point the
+  * [[FrameDecoder]] seam documents, implemented for real: registered in
+  * [[Multimodal.frameDecoders]] AHEAD of the JDK decoder, it claims a
+  * payload only when BOTH the container signature matches AND the `ffmpeg`
+  * + `ffprobe` binaries are resolvable on this executor's PATH (or via
+  * `GRAFT_FFMPEG_DIR`). On hosts without FFmpeg, `claims` is false and the
+  * dispatch falls through exactly as before — MJPEG/AVI to
+  * [[MjpegAviDecoder]], mp4 to [[Multimodal.stubDecode]] — so registering
+  * this decoder changes NOTHING on a JDK-only deployment (the media
+  * oracles are pinned either way).
+  *
+  * Decode shape: the payload lands in a task-local temp file (FFmpeg needs
+  * seekable input for mp4 moov parsing — stdin piping fails on
+  * faststart-less files), `ffprobe` reads the stream geometry/timing, and
+  * one `ffmpeg` run demuxes+decodes the video stream to raw 8-bit gray
+  * frames on stdout, which stream through a fixed `width*height` buffer —
+  * per-frame mean luminance only, never the whole clip in memory. Frame
+  * count is capped at [[MaxFrames]] and the subprocess is killed past
+  * [[TimeoutSec]]: a hostile or broken payload costs a bounded task, not a
+  * wedged executor. Any failure (unparseable probe, nonzero exit, zero
+  * frames) returns None so callers keep their stub fallback — the
+  * [[FrameDecoder]] contract's claim-but-fail fallthrough, pinned by
+  * MultimodalSpec.
+  *
+  * Thread-safety: stateless (each decode owns its temp file + processes);
+  * Serializable: object, binary resolution is a lazy val re-evaluated per
+  * JVM (executors resolve their OWN PATH, not the driver's).
+  */
+object FfmpegCliDecoder extends FrameDecoder {
+  private val MaxFrames = 100000
+  private val TimeoutSec = 120L
+
+  /** Resolve a binary: `GRAFT_FFMPEG_DIR` (explicit deployment pin) first,
+    * then PATH. Lazy per JVM — executors re-resolve locally. */
+  private def resolve(bin: String): Option[String] = {
+    val explicitDir = sys.env.get("GRAFT_FFMPEG_DIR").map(d => new java.io.File(d, bin))
+    val onPath = sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+      .iterator.map(p => new java.io.File(p, bin))
+    (explicitDir.iterator ++ onPath)
+      .find(f => f.isFile && f.canExecute).map(_.getAbsolutePath)
+  }
+
+  @transient private lazy val binaries: Option[(String, String)] =
+    for { fm <- resolve("ffmpeg"); fp <- resolve("ffprobe") } yield (fm, fp)
+
+  /** True when this JVM can actually run the decode. */
+  def available: Boolean = binaries.isDefined
+
+  /** mp4-family signature: a box header whose type is `ftyp` at offset 4.
+    * Binary presence is part of the claim so that on FFmpeg-less hosts the
+    * dispatch never consults this decoder (stub fallback preserved). */
+  override def claims(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p' &&
+      available
+
+  private def run(cmd: Seq[String], readStdout: java.io.InputStream => Unit): Boolean = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    p.getOutputStream.close()
+    try {
+      readStdout(p.getInputStream)
+      if (!p.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); false
+      } else p.exitValue() == 0
+    } catch {
+      case _: Exception => p.destroyForcibly(); false
+    } finally {
+      try p.getInputStream.close() catch { case _: Exception => () }
+    }
+  }
+
+  override def decode(payload: Array[Byte]): Option[Multimodal.VideoDecoded] =
+    try {
+      if (!claims(payload)) return None
+      val (ffmpeg, ffprobe) = binaries.get
+      val tmp = java.io.File.createTempFile("graft_ffmpeg_", ".mp4")
+      try {
+        java.nio.file.Files.write(tmp.toPath, payload)
+        // geometry + timing: width,height,avg_frame_rate,nb_frames (csv)
+        val probeOut = new java.io.ByteArrayOutputStream()
+        val probed = run(Seq(ffprobe, "-v", "error", "-select_streams", "v:0",
+          "-show_entries", "stream=width,height,avg_frame_rate,nb_frames",
+          "-of", "csv=p=0", tmp.getAbsolutePath),
+          in => { in.transferTo(probeOut); () })
+        if (!probed) return None
+        val fields = probeOut.toString("US-ASCII").trim.split(",", -1)
+        if (fields.length < 3) return None
+        val w = fields(0).trim.toInt
+        val h = fields(1).trim.toInt
+        if (w <= 0 || h <= 0) return None
+        val fps = fields(2).trim.split("/") match {
+          case Array(n, d) if d.trim.toDouble != 0 => n.trim.toDouble / d.trim.toDouble
+          case Array(n) => n.trim.toDouble
+          case _ => 0.0
+        }
+        val headerFrames = if (fields.length >= 4) fields(3).trim.toLongOption.getOrElse(0L) else 0L
+        // stream raw gray frames; one frame-sized buffer, mean luma per frame
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Multimodal.VideoFrame]
+        val ok = run(Seq(ffmpeg, "-v", "error", "-i", tmp.getAbsolutePath,
+          "-map", "0:v:0", "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"), { in =>
+          val frameBytes = w * h
+          val buf = new Array[Byte](frameBytes)
+          var done = false
+          while (!done && frames.length < MaxFrames) {
+            var off = 0
+            var eof = false
+            while (off < frameBytes && !eof) {
+              val n = in.read(buf, off, frameBytes - off)
+              if (n < 0) eof = true else off += n
+            }
+            if (off == frameBytes) {
+              var sum = 0L
+              var i = 0
+              while (i < frameBytes) { sum += (buf(i) & 0xff); i += 1 }
+              frames += Multimodal.VideoFrame(w, h, (sum.toDouble / frameBytes / 255.0).toFloat)
+            } else done = true // trailing partial frame (or EOF) ends the stream
+          }
+          // Cap hit: close the pipe so ffmpeg dies on EPIPE immediately
+          // (instead of blocking on a full pipe until the timeout kill).
+          // The nonzero exit then fails the run → None → stub fallback: a
+          // pathological 100k+-frame single cell is refused, not half-read.
+          if (frames.length >= MaxFrames) in.close()
+        })
+        if (!ok || frames.isEmpty) None
+        else {
+          val microSecPerFrame = if (fps > 0) math.round(1e6 / fps) else 0L
+          Some(Multimodal.VideoDecoded(
+            w, h, microSecPerFrame, headerFrames, frames.length,
+            frames.length * microSecPerFrame / 1000, frames.toIndexedSeq))
+        }
+      } finally { tmp.delete(); () }
+    } catch { case _: Exception => None }
+}

@@ -314,10 +314,14 @@ object Multimodal {
       nFrames: Int, durationMs: Long, frames: IndexedSeq[VideoFrame])
 
   /** Registered video decoders, tried in order by [[decodeVideo]]. The
-    * JDK-only build ships MJPEG-in-AVI ([[MjpegAviDecoder]]); a production
-    * deployment PREPENDS an FFmpeg/JNI-backed [[FrameDecoder]] here for
-    * mp4/h264 — one list entry, no Spark-side plumbing changes. */
-  val frameDecoders: Seq[FrameDecoder] = Seq(MjpegAviDecoder)
+    * prepend-an-impl story, exercised for real: [[FfmpegCliDecoder]] leads
+    * and claims mp4-family (`ftyp`) containers — but ONLY on hosts where
+    * the ffmpeg/ffprobe binaries resolve, so a JDK-only deployment sees
+    * bit-identical dispatch (AVI → [[MjpegAviDecoder]], mp4 → no claimant
+    * → [[stubDecode]] fallback). The claims are container-disjoint (ftyp
+    * vs RIFF/AVI), so registration order is observability, not
+    * precedence. */
+  val frameDecoders: Seq[FrameDecoder] = Seq(FfmpegCliDecoder, MjpegAviDecoder)
 
   /** REAL video decode via the first registered [[FrameDecoder]] that
     * claims the container (magic-byte sniff, cheap). Returns None when no

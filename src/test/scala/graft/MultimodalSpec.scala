@@ -230,6 +230,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(avi, Seq(BrokenAviDecoder)).isEmpty)
   }
 
+  test("FfmpegCliDecoder: claims gates on BOTH the ftyp signature and binary presence") {
+    import graft.multimodal.FfmpegCliDecoder
+    // a minimal mp4-family signature: size + 'ftyp' box header + brand
+    val ftyp = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)
+    // signature match is necessary but not sufficient…
+    assert(FfmpegCliDecoder.claims(ftyp) == FfmpegCliDecoder.available,
+      "ftyp payload: claims must equal binary availability")
+    // …and non-ftyp bytes are never claimed, binaries or not
+    val avi = Multimodal.aviMjpeg(Seq(Multimodal.jpegGray(90, 8, 8)), 8, 8)
+    assert(!FfmpegCliDecoder.claims(avi))
+    assert(!FfmpegCliDecoder.claims(Array[Byte](1, 2, 3)))
+    // on an FFmpeg-less host the registered dispatch must fall through to
+    // the stub for mp4 payloads (decodeVideo None), exactly as pre-seam
+    if (!FfmpegCliDecoder.available)
+      assert(Multimodal.decodeVideo(ftyp).isEmpty, "no claimant -> stub fallback")
+  }
+
+  test("FfmpegCliDecoder decodes a real mp4 end-to-end (skipped when ffmpeg is absent)") {
+    import graft.multimodal.FfmpegCliDecoder
+    assume(FfmpegCliDecoder.available, "ffmpeg/ffprobe not on PATH — skipping the live decode")
+    // generate a 1 s, 5 fps, 64x48 test clip with ffmpeg itself (lavfi
+    // testsrc) — self-contained, no fixture files
+    val tmp = java.io.File.createTempFile("graft_ffmpeg_spec_", ".mp4")
+    try {
+      val gen = new ProcessBuilder(
+        "ffmpeg", "-v", "error", "-y", "-f", "lavfi",
+        "-i", "testsrc=duration=1:rate=5:size=64x48",
+        "-pix_fmt", "yuv420p", tmp.getAbsolutePath).inheritIO().start()
+      assert(gen.waitFor() == 0, "test clip generation failed")
+      val payload = java.nio.file.Files.readAllBytes(tmp.toPath)
+      assert(FfmpegCliDecoder.claims(payload))
+      val Some(v) = Multimodal.decodeVideo(payload) // through the registry
+      assert(v.width == 64 && v.height == 48, s"${v.width}x${v.height}")
+      assert(v.nFrames == 5, s"nFrames=${v.nFrames}")
+      assert(v.microSecPerFrame == 200000L, s"uspf=${v.microSecPerFrame}")
+      assert(v.durationMs == 1000L, s"durMs=${v.durationMs}")
+      assert(v.frames.forall(f => f.meanLum >= 0f && f.meanLum <= 1f))
+      // a truncated stream must claim-but-fail (None), not crash or lie
+      assert(FfmpegCliDecoder.decode(payload.take(64)).isEmpty)
+    } finally { tmp.delete(); () }
+  }
+
   test("extractFeatures routes video through the real MJPEG/AVI decoder") {
     // 8 frames -> every one of the 8 temporal bins is populated
     val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)
