@@ -897,6 +897,51 @@ object DvQueries {
   val streamEventsDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** #39b-wm: WATERMARK-BOUNDED streaming dedup, end-to-end — the unbounded
+    * -key twin of [[streamEventsDedup]]. The dedup key here is `event_id`,
+    * which grows with the stream: plain `dropDuplicates` state would grow
+    * without bound at 100 TB, so this uses `dropDuplicatesWithinWatermark`
+    * — one state row per key only until the watermark passes the event's
+    * own time + delay, after which the row is evicted (state ∝ horizon
+    * width × arrival rate, NOT stream length; StreamingSpec pins the
+    * eviction with a re-emission probe past the horizon).
+    *
+    * Replayed as THREE generation micro-batches: the full events table,
+    * then two re-delivered slices (event_id % 3 / % 7) — the at-least-once
+    * redelivery shape. Both re-deliveries arrive inside the 90-day horizon
+    * (the corpus spans ~30 days), so every duplicate is dropped ACROSS
+    * batch boundaries and the appended first-sights equal the batch
+    * DISTINCT — event_id is unique in the corpus, making the whole row
+    * set hash-comparable. */
+  def streamEventsDedupWm(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Tables.loadEvents(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val gens = Seq(
+      events,
+      events.filter(pmod(col("event_id"), lit(3)) === 0),
+      events.filter(pmod(col("event_id"), lit(7)) === 0))
+    val (_, staged, root) = stagedGenStream(s, gens)
+    val out = s"$root/out"
+    val q = staged
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  val streamEventsDedupWmSql: String =
+    "SELECT event_id, ts, user_id, event_type FROM events"
+
   val streamEventsHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       | COUNT(*) AS n_events,
@@ -1045,6 +1090,7 @@ object DvQueries {
     "events_stream_hourly" -> (streamEventsHourly _),
     "events_stream_sessions" -> (streamEventsSessions _),
     "events_stream_dedup" -> (streamEventsDedup _),
+    "events_stream_dedup_wm" -> (streamEventsDedupWm _),
     "events_stream_join" -> (streamEventsJoin _)
   )
 
@@ -1071,6 +1117,7 @@ object DvQueries {
     "events_stream_hourly" -> streamEventsHourlySql,
     "events_stream_sessions" -> streamEventsSessionsSql,
     "events_stream_dedup" -> streamEventsDedupSql,
+    "events_stream_dedup_wm" -> streamEventsDedupWmSql,
     "events_stream_join" -> streamEventsJoinSql
   )
 }

@@ -276,6 +276,74 @@ class StreamingSpec extends SparkSpec {
       (java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), "view", 1L)))
   }
 
+  test("watermark-bounded dedup: duplicates inside the horizon drop, state past it is EVICTED (bounded)") {
+    // The 100 TB posture for unbounded dedup keys: state lives only inside
+    // the watermark horizon. Observable: a key re-delivered with a fresh
+    // in-horizon timestamp AFTER its state expired is re-emitted (the state
+    // row is provably gone), while a key whose state is still live dedups.
+    val root = tmpDir("wmdedup")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeGen(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("event_id", "raw_ts")
+        .select(col("event_id"), col("raw_ts").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      assert(dst.toFile.setLastModified(mtime)) // file source replays in mtime order
+    }
+    val base = System.currentTimeMillis() - 3600000L
+    // gen0: key 1 early, key 2 two hours later. Horizon 10 min ⇒ the
+    // watermark advances to 01:50 for batch 1, whose END-of-batch eviction
+    // drops key 1's state (expiry 00:10) and keeps key 2's (expiry 02:10).
+    // Eviction runs AFTER a batch's probe, so the re-delivery must arrive
+    // one batch later — gen1 is a fresh-key spacer batch.
+    writeGen("g0", base, Seq(
+      (1L, "2026-01-01 00:00:00"),
+      (2L, "2026-01-01 02:00:00")))
+    writeGen("g1", base + 60000L, Seq(
+      (3L, "2026-01-01 02:00:00")))
+    // gen2: keys 1 and 2 re-delivered AT 02:00 (above the 01:50 watermark,
+    // not late): key 1 re-emits (state evicted), key 2 dedups (state live).
+    writeGen("g2", base + 120000L, Seq(
+      (1L, "2026-01-01 02:00:00"),
+      (2L, "2026-01-01 02:00:00")))
+    val events = spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("wm_dedup_out")
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    assert(rows == Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00")), // the eviction proof: key 1 re-emitted
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"))),
+      rows)
+    // and the state store itself reports the eviction: at least one state
+    // row was REMOVED by the watermark (plain dropDuplicates never removes)
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 1L, s"expected watermark eviction, numRowsRemoved=$removed")
+  }
+
+  test("events_stream_dedup_wm equals batch DISTINCT across re-delivered generations") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.DvQueries.streamEventsDedupWm(spark, dir)
+    val expected = graft.core.Tables.loadEvents(spark, dir).count()
+    assert(out.count() == expected, "first-sights must equal the distinct event set")
+    assert(out.select("event_id").distinct().count() == expected, "no re-delivered duplicate survives")
+  }
+
   test("windowedCounts: tumbling event-time windows (batch-equivalent semantics)") {
     val events = Seq(
       ("2026-01-01 00:00:10", "click"),
