@@ -170,7 +170,7 @@ object Bench {
     // truncated fragment for per-query numbers. Path is round-stamped (bump
     // per round) and env-overridable; non-fatal when cwd isn't the repo.
     val perQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r15_driver_perquery.json")
+      "bench/r16_driver_perquery.json")
     try {
       val p = java.nio.file.Paths.get(perQuery)
       if (p.getParent == null || java.nio.file.Files.isDirectory(p.getParent))
@@ -182,28 +182,30 @@ object Bench {
     spark.stop()
     println(line)
     // The driver archives only a ~2000-char stdout tail and json-parses its
-    // last line; the full-precision 87-query line above is ~4.5 KB and can
+    // last line; the full-precision 88-query line above is ~4.5 KB and can
     // never fit. So the TRUE last line is a headline that always fits and
-    // always parses. To make the round artifact self-contained (r14 verdict
-    // ask #8) it ALSO carries the per-query medians — at centisecond
-    // resolution ("queries_cs", integer 10 ms units), which shrinks the
-    // 87-entry map to ~1.7 KB. 10 ms is far below this host's documented
-    // 2-3x co-tenant swing, so nothing decision-grade is lost; millisecond
-    // precision lives in the full line above and the durable sidecars. The
-    // map is included ONLY while the whole line stays under 1970 chars
-    // (tail is exactly 2000; the line + newline must fit whole) — past
-    // that the tail would decapitate the line (the BENCH_r07 failure) and
-    // the artifact must degrade to the pointer form, never to garbage. The
-    // map variant drops the queries_file pointer to pay for itself; the
-    // sidecar path is deterministic from sfDir anyway (documented above).
-    val qsCs = results.map { case (k, (med, _)) =>
-      jstr(k) + ":" + Math.round(med * 100.0)
+    // always parses, carrying the per-query medians at the finest
+    // resolution the tail admits, the unit NAMED in the key:
+    //   "q_ms" (integer milliseconds) when the whole line fits, else
+    //   "q_cs" (integer 10 ms units) — r15 measured an 87-entry ms map at
+    //   2023+ chars against the 1970 budget, so cs is the steady state
+    //   until the tail budget grows; 10 ms is far below this host's
+    //   documented 2-3x co-tenant swing, so nothing decision-grade is
+    //   lost — else the "queries_file" pointer (never a decapitated line,
+    //   the BENCH_r07 failure mode). Millisecond precision is always in
+    //   the full line above and BOTH durable sidecars (including the
+    //   committed bench/r16_driver_perquery.json). total_min lives there
+    //   too — dropped here to buy map room.
+    def qMap(unit: Double) = results.map { case (k, (med, _)) =>
+      jstr(k) + ":" + Math.round(med * unit)
     }.mkString("{", ",", "}")
     val compactBase =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_min":${ms3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)}"""
-    val withMap = compactBase + s""","q_cs":$qsCs}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)}"""
+    val withMs = compactBase + s""","q_ms":${qMap(1000.0)}}"""
+    val withCs = compactBase + s""","q_cs":${qMap(100.0)}}"""
     val compact =
-      if (withMap.length <= 1970) withMap
+      if (withMs.length <= 1970) withMs
+      else if (withCs.length <= 1970) withCs
       else compactBase + s""","queries_file":${jstr(out)}}"""
     println(compact)
     System.out.flush()
