@@ -82,6 +82,33 @@ class SkewGuardSpec extends SparkSpec {
     }
   }
 
+  test("estBytesKnown: sentinel is EQUALITY — a lowered defaultSizeInBytes does not blind the gate") {
+    // r15 ADVICE finding: with the old `>= default` comparison, deployments
+    // that LOWER spark.sql.defaultSizeInBytes (a common broadcast tuning)
+    // made every scan larger than the new default read as "unknown",
+    // silently disabling skewGuard=auto where it matters most.
+    val dir = tmpDir("ebk") + "/t"
+    spark.range(50000).select(col("id").as("k"), col("id").as("v"))
+      .write.parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val real = Tables.estBytesKnown(scan)
+    assert(real.exists(_ > 0), s"file scan must have known bytes, got $real")
+    val oldDefault = spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)
+    try {
+      // lower the sentinel BELOW the scan's real bytes — the scan must
+      // still be known (its stats are real, not the sentinel)
+      spark.conf.set("spark.sql.defaultSizeInBytes", "1024")
+      val lowered = Tables.estBytesKnown(spark.read.parquet(dir))
+      assert(lowered == real, s"lowered default must not blind the gate: $lowered vs $real")
+      // while a stats-less leaf (LogicalRDD) reports EXACTLY the sentinel
+      // and must stay unknown — even at the lowered value
+      val rddBacked = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, 1L))),
+        scan.schema)
+      assert(Tables.estBytesKnown(rddBacked).isEmpty, "LogicalRDD must stay unknown")
+    } finally spark.conf.set("spark.sql.defaultSizeInBytes", oldDefault)
+  }
+
   test("auto mode with an under-sized sample falls back to clustered") {
     spark.conf.set("spark.graft.skewGuard", "auto")
     // 10k rows × 1e-4 ≈ 1 sampled row — below the 200-row floor
