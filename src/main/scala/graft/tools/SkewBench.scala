@@ -235,7 +235,11 @@ object SkewBench {
     // degenerate 100%-hot case. None of these shapes consult skewGuard
     // (no clusterBy anywhere in them): the bound is structural or it
     // isn't. skewGuard stays pinned `off` from the block above.
-    val shm = s"$sfDir/__skew_vault_r16"
+    // Scratch OUTSIDE the data dir (sfDir may be read-only or protected
+    // test data); java.io.tmpdir keeps it on the same fast local disk class
+    // the tmpfs-copied inputs use.
+    val shm = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_skew_vault_r16_${java.lang.Long.toHexString(System.nanoTime())}"
     def hubStaged: DataFrame = sat.select(
       col("__nk").as("cust_hk"),
       concat_ws("_", lit("bk"), col("__nk")).as("bk_src"))
