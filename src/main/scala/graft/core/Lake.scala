@@ -117,20 +117,36 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   }
 
   /** Append an increment computed AGAINST a table to that same table and
-    * return rows appended. The cache+count exists for the COUNT: without it
-    * the increment plan would execute twice (once to count, once to write)
-    * and a nondeterministic increment could count n but write m. It is NOT
-    * needed for read-own-target safety — see the listing-snapshot invariant
-    * on [[appendIncrementBucketedUncounted]], which both methods rely on.
-    * Shared by the batch flow executor; the streaming sinks use the
-    * uncounted single-pass sibling. */
+    * return rows appended. ONE execution of the increment plan (the same
+    * single-pass write as [[appendIncrementBucketedUncounted]]); the count
+    * comes from the parquet FOOTERS of the files the write produced
+    * (listing diff around the write — part file names are unique, and the
+    * lake's single-writer-per-table contract means nothing else appends
+    * concurrently). Footer reads are driver-side metadata (no job, no
+    * scan): this replaced a cache()+count()+write shape whose cache
+    * materialized the ENTIRE increment in executor storage just to count
+    * it — a bench-visible extra action per flow load and, at production
+    * batch sizes, a memory/disk copy of the whole batch. The footer count
+    * is also strictly more truthful: it counts what was WRITTEN. */
   def appendIncrementBucketed(rows: DataFrame, layer: String, name: String, keyCol: String): Long = {
-    val materialized = rows.cache()
-    try {
-      val n = materialized.count()
-      if (n > 0) appendBucketed(materialized, layer, name, keyCol)
-      n
-    } finally { materialized.unpersist(); () }
+    val path = new Path(tablePath(layer, name))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: Path): Set[Path] =
+      if (!fs.exists(p)) Set.empty
+      else
+        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p)).iterator.flatMap { d =>
+          if (fs.getFileStatus(d).isDirectory) files(d)
+          else if (d.getName.endsWith(".parquet")) Iterator.single(d)
+          else Iterator.empty
+        }.toSet
+    val before = files(path)
+    appendIncrementBucketedUncounted(rows, layer, name, keyCol)
+    (files(path) -- before).iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** [[appendIncrementBucketed]] for callers that don't need the row count
