@@ -86,6 +86,26 @@ class ScratchSpec extends SparkSpec {
     assert(lake.readOr("dv", "t", schema).count() == 3)
   }
 
+  test("counted append returns the footer row count of exactly the files it wrote") {
+    import spark.implicits._
+    val lake = new graft.core.Lake(spark, tmpDir("lake_cnt"), buckets = 4)
+    val s = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("hk", "v").schema
+    // first append: creates the table, rows spread over several buckets
+    assert(lake.appendIncrementBucketed(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("hk", "v"), "dv", "t", "hk") == 3L)
+    // second append: count must cover ONLY the new files, not the table
+    assert(lake.appendIncrementBucketed(
+      Seq(("d", 4L), ("e", 5L)).toDF("hk", "v"), "dv", "t", "hk") == 2L)
+    // empty increment on an existing table: zero, no phantom files
+    assert(lake.appendIncrementBucketed(
+      Seq.empty[(String, Long)].toDF("hk", "v"), "dv", "t", "hk") == 0L)
+    // empty FIRST increment: zero and the table stays absent
+    assert(lake.appendIncrementBucketed(
+      Seq.empty[(String, Long)].toDF("hk", "v"), "dv", "t2", "hk") == 0L)
+    assert(!lake.exists("dv", "t2"))
+    assert(lake.readOr("dv", "t", s).count() == 5)
+  }
+
   test("self-reading uncounted append: the scan's listing snapshot predates the write (no double-read, no race)") {
     import spark.implicits._
     val lake = new graft.core.Lake(spark, tmpDir("lake_selfread"), buckets = 4)
