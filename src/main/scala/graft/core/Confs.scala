@@ -75,6 +75,21 @@ object Confs {
     b
   }
 
+  val ProbePruneMinBytesKey = "spark.graft.probePrune.minBytes"
+
+  /** Size floor (real leaf bytes) above which incremental-load probes
+    * bucket-prune the existing vault table to the staged batch's hk
+    * buckets (`Lake.readOrProbe`). Below it a full scan is cheaper than
+    * the extra driver action that computes the staged bucket set; above
+    * it the probe cost follows the BATCH's bucket span instead of vault
+    * size — the difference between O(batch) and O(vault) per micro-batch
+    * at 100 TB. 0 = always prune (tests). */
+  def probePruneMinBytes(conf: RuntimeConfig): Long = {
+    val b = long(conf, ProbePruneMinBytesKey, 256L << 20)
+    require(b >= 0L, s"$ProbePruneMinBytesKey must be >= 0, got $b")
+    b
+  }
+
   val CompactTargetBytesKey = "spark.graft.compact.targetBytes"
 
   /** Per-output-file size target (compressed bytes) for `Lake.compact`.

@@ -76,6 +76,49 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** [[readOr]] for INCREMENTAL-LOAD probes: the existing-table side of a
+    * hub/link anti-join or a satellite DELTA probe only matters where its
+    * key also appears in the staged batch, and a key's bucket is a pure
+    * function of the key — so the probe scan can be pruned to the staged
+    * batch's `hk_bucket` partitions with identical load results. That is
+    * the payoff the bucketed layout exists for: per-micro-batch probe cost
+    * follows the BATCH's bucket span, not the vault's size — at 100 TB the
+    * difference between an incremental load and a full-vault scan per
+    * batch.
+    *
+    * Size-gated like the skew guard (`spark.graft.probePrune.minBytes` on
+    * real leaf bytes): under the gate the full scan is cheaper than the
+    * extra driver action that computes the staged bucket set, so
+    * bench/test-scale plans are bit-identical to [[readOr]]; above it the
+    * bucket set is one tiny distinct-collect over the staged keys
+    * (bounded by bucketCount values). A batch spanning every bucket falls
+    * back to the unpruned scan. NOT for delete detection
+    * (DvOps.satDeleteRows): there the ABSENT keys are the signal, and
+    * pruning would mass-delete the unscanned buckets. */
+  def readOrProbe(
+      layer: String, name: String, schema: StructType,
+      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): DataFrame = {
+    val full = readOr(layer, name, schema)
+    if (!exists(layer, name)) return full
+    val known = Tables.estBytesKnown(full)
+    val engaged = known.exists(_ >= Confs.probePruneMinBytes(spark.conf))
+    Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", engaged, known)
+    if (!engaged) full
+    else {
+      val buckets = staged.select(bucketOf(stagedKey).as("__b")).distinct()
+        .collect().map(_.getLong(0))
+      if (buckets.length >= bucketCount) full
+      else
+        spark.read.schema(schema).parquet(tablePath(layer, name))
+          // predicate on the DISCOVERED partition column, applied before
+          // the imposed-schema select drops it — evaluated driver-side by
+          // the file index, so only the staged buckets' files are read
+          // (ProbePruneSpec pins inputFiles shrink + result equality)
+          .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Spark shares a JVM-wide file-listing cache across path reads and
     * catalog tables; any write must invalidate it or later readers can chase
     * deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST). */

@@ -270,7 +270,8 @@ final class FlowExecutor(
       val hkName = s"${target.stripPrefix("hub_")}_hk"
       val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
       val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
-      val existing = lake.readOr("dv", target, existingSchema)
+      // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
+      val existing = lake.readOrProbe("dv", target, existingSchema, hv, col(s"${group}_hk"))
       val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
       val n = appendCounted(rows, target, hkName)
       // several bk groups may feed one hub (self-referencing entities) —
@@ -295,7 +296,9 @@ final class FlowExecutor(
         if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
         else f.sourceField -> f.targetField
       }
-      val existing = lake.readOr("dv", target, StructType(StructField(hkName, StringType) :: Nil))
+      // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
+      val existing = lake.readOrProbe("dv", target,
+        StructType(StructField(hkName, StringType) :: Nil), hv, col(s"${group}_hk"))
       val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
       val n = appendCounted(rows, target, hkName)
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
@@ -323,7 +326,10 @@ final class FlowExecutor(
         // this schema on the scan, so a declared-vs-written mismatch would
         // fail the read instead of being silently reconciled.
         graft.dv.VaultSchemas.satFromFields(satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
-      val existing = lake.readOr("dv", satName, satSchema)
+      // DELTA probe: bucket-pruned above the gate. The sat_full delete
+      // detection below stays UNPRUNED by design — absent keys are its
+      // signal (Lake.readOrProbe doc).
+      val existing = lake.readOrProbe("dv", satName, satSchema, hv, col(satT.sourceField))
       val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
       var n = appendCounted(newRows, satName, satHk)
       if (satT.transferType == "sat_full") {

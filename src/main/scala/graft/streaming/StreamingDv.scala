@@ -71,7 +71,11 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        val existing = lake.readOr("dv", hubTable, StructType(StructField(hkName, StringType) :: Nil))
+        // bucket-pruned above the probe-prune gate: the anti-join only
+        // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
+        val existing = lake.readOrProbe("dv", hubTable,
+          StructType(StructField(hkName, StringType) :: Nil),
+          hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
         lake.appendIncrementBucketedUncounted(
           DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
         ()
@@ -109,7 +113,10 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        val existing = lake.readOr("dv", linkTable, StructType(StructField(hkName, StringType) :: Nil))
+        // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
+        val existing = lake.readOrProbe("dv", linkTable,
+          StructType(StructField(hkName, StringType) :: Nil),
+          hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
         lake.appendIncrementBucketedUncounted(
           DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
         ()
@@ -147,7 +154,11 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        val existing = lake.readOr("dv", satTable, satSchema)
+        // DELTA probe only (latest-per-key where the key is staged), so
+        // the bucket-pruned read is semantics-identical (Lake.readOrProbe
+        // doc); delete detection must never use this.
+        val existing = lake.readOrProbe("dv", satTable, satSchema,
+          hv, org.apache.spark.sql.functions.col(hkSource))
         lake.appendIncrementBucketedUncounted(
           DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
         ()
