@@ -73,6 +73,51 @@ class StreamingSpec extends SparkSpec {
     assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming hub + sat sinks stay idempotent with the probe-prune gate FORCED OPEN") {
+    // The wired readOrProbe path (bucket-pruned existing-table probe) under
+    // real micro-batches: results must match the unpruned semantics —
+    // anti-join dedup across batches, sat delta versioning — with the gate
+    // at 0 so pruning engages even on this KB-sized vault.
+    val root = tmpDir("streamprune")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val lake = new Lake(spark, root, buckets = 4)
+    val satTransitions = transitions ++ Seq(
+      Transition("s", "name", "hsat_user", "name", "user_details", 1, raw = false, None, "f"))
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("id", "name").coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val staged = spark.readStream.schema("id LONG, name STRING").parquet(srcDir)
+      StreamingDv.hubSink(lake, staged, satTransitions, "hub_user", "user",
+        Seq("id" -> "id_bk"), "t", s"$root/ckpt_hub", graft.dv.HashGen.Md5)
+        .awaitTermination()
+      val staged2 = spark.readStream.schema("id LONG, name STRING").parquet(srcDir)
+      StreamingDv.satSink(lake, staged2, satTransitions, "hsat_user",
+        hkSource = "user_hk", hashdiffField = "user_details_hashdiff",
+        fields = Seq("name" -> "name"), satHk = "user_hk", "t", s"$root/ckpt_sat",
+        graft.dv.HashGen.Md5)
+        .awaitTermination()
+    }
+    try {
+      spark.conf.set(graft.core.Confs.ProbePruneMinBytesKey, "0")
+      addBatch("b1", Seq((1L, "ann"), (2L, "bob")))
+      runOnce()
+      // re-delivery + a change + a new key, pruned probes deciding all three
+      addBatch("b2", Seq((1L, "ann"), (2L, "bobby"), (3L, "cat")))
+      runOnce()
+      val hub = lake.read("dv", "hub_user")
+      assert(hub.select("id_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      val sat = lake.read("dv", "hsat_user").select("name").as[String].collect().sorted.toSeq
+      // ann once (unchanged re-delivery deduped), bob + bobby (versioned), cat once
+      assert(sat == Seq("ann", "bob", "bobby", "cat"), sat)
+    } finally spark.conf.unset(graft.core.Confs.ProbePruneMinBytesKey)
+  }
+
   test("statePartitions sizes the micro-batch plans without changing results") {
     val root = tmpDir("sizedstream")
     val srcDir = s"$root/src"
