@@ -97,26 +97,46 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * pruning would mass-delete the unscanned buckets. */
   def readOrProbe(
       layer: String, name: String, schema: StructType,
-      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): DataFrame = {
-    val full = readOr(layer, name, schema)
-    if (!exists(layer, name)) return full
-    val known = Tables.estBytesKnown(full)
+      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): DataFrame =
+    readOrSpan(layer, name, schema, probeSpan(layer, name, schema, staged, stagedKey))
+
+  /** The staged batch's bucket span for `layer.name`, or None when pruning
+    * by it wouldn't pay: table absent, table under the probe-prune size
+    * gate, or a batch spanning every bucket. Split out of [[readOrProbe]]
+    * so ONE span computation (a tiny distinct-collect over the staged keys,
+    * ≤ bucketCount values) serves BOTH the probe scan ([[readOrSpan]]) and
+    * the counted append's listing diff ([[appendIncrementBucketed]]) — the
+    * flow executor pays the job once per load, not per consumer. */
+  def probeSpan(
+      layer: String, name: String, schema: StructType,
+      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): Option[Array[Long]] = {
+    if (!exists(layer, name)) return None
+    val known = Tables.estBytesKnown(readOr(layer, name, schema))
     val engaged = known.exists(_ >= Confs.probePruneMinBytes(spark.conf))
     Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", engaged, known)
-    if (!engaged) full
+    if (!engaged) None
     else {
       val buckets = staged.select(bucketOf(stagedKey).as("__b")).distinct()
         .collect().map(_.getLong(0))
-      if (buckets.length >= bucketCount) full
-      else
-        spark.read.schema(schema).parquet(tablePath(layer, name))
-          // predicate on the DISCOVERED partition column, applied before
-          // the imposed-schema select drops it — evaluated driver-side by
-          // the file index, so only the staged buckets' files are read
-          // (ProbePruneSpec pins inputFiles shrink + result equality)
-          .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      if (buckets.length >= bucketCount) None else Some(buckets)
     }
+  }
+
+  /** [[readOr]] pruned to a bucket span (from [[probeSpan]]); `None` = the
+    * unpruned scan. Result-identical for incremental-load probes because a
+    * key's bucket is a pure function of the key — see [[readOrProbe]]. */
+  def readOrSpan(
+      layer: String, name: String, schema: StructType,
+      span: Option[Array[Long]]): DataFrame = span match {
+    case Some(buckets) if exists(layer, name) =>
+      spark.read.schema(schema).parquet(tablePath(layer, name))
+        // predicate on the DISCOVERED partition column, applied before
+        // the imposed-schema select drops it — evaluated driver-side by
+        // the file index, so only the staged buckets' files are read
+        // (ProbePruneSpec pins inputFiles shrink + result equality)
+        .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    case _ => readOr(layer, name, schema)
   }
 
   /** Spark shares a JVM-wide file-listing cache across path reads and
@@ -170,21 +190,43 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * materialized the ENTIRE increment in executor storage just to count
     * it — a bench-visible extra action per flow load and, at production
     * batch sizes, a memory/disk copy of the whole batch. The footer count
-    * is also strictly more truthful: it counts what was WRITTEN. */
-  def appendIncrementBucketed(rows: DataFrame, layer: String, name: String, keyCol: String): Long = {
+    * is also strictly more truthful: it counts what was WRITTEN.
+    *
+    * `listingSpan` bounds the listing diff to those `hk_bucket=` subtrees
+    * (the [[probeSpan]] value the flow executor already computed for the
+    * probe scan): without it each counted append walks EVERY file in the
+    * table twice — O(vault-files) driver metadata per batch, the same cost
+    * class the bucket-pruned probe eliminated for scans. With it the walk
+    * is bounded by the BATCH's bucket span. CONTRACT: the span must cover
+    * every bucket of `rows`' `keyCol` values — true for hub/link/sat-delta
+    * increments (their keys ⊆ the staged batch's keys the span came from);
+    * NOT for delete detection, whose tombstone keys come from the vault
+    * side — pass None there (FlowExecutor.appendCounted). A file written
+    * outside the span would be missed by the diff and silently undercounted,
+    * so the span is the caller's proof obligation, pinned by ScratchSpec. */
+  def appendIncrementBucketed(
+      rows: DataFrame, layer: String, name: String, keyCol: String,
+      listingSpan: Option[Array[Long]] = None): Long = {
     val path = new Path(tablePath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def files(p: Path): Set[Path] =
-      if (!fs.exists(p)) Set.empty
+    // One listStatus per directory, reusing its FileStatus entries for the
+    // isDirectory checks — the per-entry getFileStatus re-fetch was one
+    // extra filesystem RPC per file, a real metadata cost on remote stores.
+    def files(p: Path): Iterator[Path] =
+      if (!fs.exists(p)) Iterator.empty
       else
-        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p)).iterator.flatMap { d =>
-          if (fs.getFileStatus(d).isDirectory) files(d)
-          else if (d.getName.endsWith(".parquet")) Iterator.single(d)
+        fs.listStatus(p).iterator.flatMap { s =>
+          if (s.isDirectory) files(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s.getPath)
           else Iterator.empty
-        }.toSet
-    val before = files(path)
+        }
+    val roots: Seq[Path] = listingSpan match {
+      case Some(buckets) => buckets.toIndexedSeq.map(b => new Path(path, s"hk_bucket=$b"))
+      case None          => Seq(path)
+    }
+    val before = roots.iterator.flatMap(files).toSet
     appendIncrementBucketedUncounted(rows, layer, name, keyCol)
-    (files(path) -- before).iterator.map { f =>
+    (roots.iterator.flatMap(files).toSet -- before).iterator.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(f, spark.sparkContext.hadoopConfiguration)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -226,9 +268,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       val path = new Path(tablePath(layer, name))
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def hasParquet(p: Path): Boolean =
-        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p)).exists { d =>
-          if (fs.getFileStatus(d).isDirectory) hasParquet(d)
-          else d.getName.endsWith(".parquet")
+        fs.listStatus(p).exists { s =>
+          if (s.isDirectory) hasParquet(s.getPath)
+          else s.getPath.getName.endsWith(".parquet")
         }
       if (fs.exists(path) && !hasParquet(path)) {
         fs.delete(path, true)
@@ -262,8 +304,20 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * 100 TB lake operations problem). Rewrites each bucket into
     * ~`spark.graft.compact.targetBytes`-sized files (one file while the
     * bucket fits under the target) via a staged directory + swap, so
-    * readers never observe a half-compacted table. Returns (files before,
-    * files after).
+    * readers never observe a HALF-compacted (mixed old/new) table. Returns
+    * (files before, files after).
+    *
+    * CONCURRENCY CONTRACT: compaction extends the lake's single-writer
+    * contract to readers — between `rename(path, backup)` and
+    * `rename(staged, path)` the table path is ABSENT, so a reader resolving
+    * the table in that window fails loudly with path-not-found (it can
+    * never see stale or mixed data). Schedule compaction in a window with
+    * no concurrent readers of the table (the flow executor's claim file is
+    * the natural mutex for flow-managed tables). Supporting readers DURING
+    * compaction would need an atomic generation-pointer layout
+    * (`{table}/_current` naming a generation directory) — deliberately not
+    * paid here; the two-rename swap keeps the layout a plain parquet
+    * directory that any engine can read.
     *
     * The size cap matters at production bucket sizes: one-file-per-bucket
     * makes compaction a single-task multi-GB write per bucket (wall time =
@@ -281,9 +335,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     val path = new Path(tablePath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetCount(p: Path): Long =
-      org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p))
-        .map(d => if (fs.getFileStatus(d).isDirectory) parquetCount(d)
-                  else if (d.getName.endsWith(".parquet")) 1L else 0L).sum
+      fs.listStatus(p)
+        .map(s => if (s.isDirectory) parquetCount(s.getPath)
+                  else if (s.getPath.getName.endsWith(".parquet")) 1L else 0L).sum
     val before = parquetCount(path)
     val df = read(layer, name)
     val staged = new Path(tablePath(layer, s"__compact_$name"))
@@ -309,9 +363,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       // chunk = row-hash mod the bucket's OWN chunk count (a tiny literal
       // map — bucket counts are configuration-scale, not data-scale), so
       // single-chunk buckets keep one file and only oversized ones split.
+      // coalesce: a bucket value absent from the driver listing (directory
+      // race, unexpected partition value) would make element_at NULL and
+      // silently collapse that bucket to a single repartition cell —
+      // deterministically give an unmapped bucket one chunk instead.
       val chunk = pmod(
         xxhash64(dataCols.map(col): _*),
-        element_at(typedLit(chunksOf), col("hk_bucket").cast("long")))
+        coalesce(
+          element_at(typedLit(chunksOf), col("hk_bucket").cast("long")),
+          lit(1)))
       df.withColumn("__chunk", chunk)
         .repartition(totalChunks, col("hk_bucket"), col("__chunk"))
         .drop("__chunk")

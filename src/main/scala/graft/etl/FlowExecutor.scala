@@ -270,10 +270,13 @@ final class FlowExecutor(
       val hkName = s"${target.stripPrefix("hub_")}_hk"
       val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
       val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
-      // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-      val existing = lake.readOrProbe("dv", target, existingSchema, hv, col(s"${group}_hk"))
+      // ONE span computation serves the bucket-pruned probe scan AND the
+      // counted append's listing diff (Lake.probeSpan doc): new hub keys
+      // ⊆ staged keys, so the span covers every bucket the append writes.
+      val span = lake.probeSpan("dv", target, existingSchema, hv, col(s"${group}_hk"))
+      val existing = lake.readOrSpan("dv", target, existingSchema, span)
       val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
-      val n = appendCounted(rows, target, hkName)
+      val n = appendCounted(rows, target, hkName, span)
       // several bk groups may feed one hub (self-referencing entities) —
       // accumulate, don't overwrite
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
@@ -296,11 +299,12 @@ final class FlowExecutor(
         if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
         else f.sourceField -> f.targetField
       }
-      // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-      val existing = lake.readOrProbe("dv", target,
-        StructType(StructField(hkName, StringType) :: Nil), hv, col(s"${group}_hk"))
+      // shared span: probe scan + counted-append listing (Lake.probeSpan doc)
+      val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
+      val span = lake.probeSpan("dv", target, linkSchema, hv, col(s"${group}_hk"))
+      val existing = lake.readOrSpan("dv", target, linkSchema, span)
       val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
-      val n = appendCounted(rows, target, hkName)
+      val n = appendCounted(rows, target, hkName, span)
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
     }
     loaded
@@ -326,15 +330,20 @@ final class FlowExecutor(
         // this schema on the scan, so a declared-vs-written mismatch would
         // fail the read instead of being silently reconciled.
         graft.dv.VaultSchemas.satFromFields(satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
-      // DELTA probe: bucket-pruned above the gate. The sat_full delete
-      // detection below stays UNPRUNED by design — absent keys are its
-      // signal (Lake.readOrProbe doc).
-      val existing = lake.readOrProbe("dv", satName, satSchema, hv, col(satT.sourceField))
+      // DELTA probe: bucket-pruned above the gate, span shared with the
+      // counted append's listing diff. The sat_full delete detection below
+      // stays UNPRUNED by design — absent keys are its signal
+      // (Lake.readOrProbe doc).
+      val span = lake.probeSpan("dv", satName, satSchema, hv, col(satT.sourceField))
+      val existing = lake.readOrSpan("dv", satName, satSchema, span)
       val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
-      var n = appendCounted(newRows, satName, satHk)
+      var n = appendCounted(newRows, satName, satHk, span)
       if (satT.transferType == "sat_full") {
         // Delete detection must see the vault INCLUDING this run's inserts
         // (reference runs the two INSERTs sequentially on the same table).
+        // NO listing span here: tombstone keys come from the VAULT side
+        // (keys absent from the batch), so their buckets can lie outside
+        // the staged span — Lake.appendIncrementBucketed contract.
         val afterNew = lake.readOr("dv", satName, satSchema)
         val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
         n += appendCounted(delRows, satName, satHk)
@@ -344,8 +353,10 @@ final class FlowExecutor(
     loaded
   }
 
-  private def appendCounted(rows: DataFrame, target: String, keyCol: String): Long =
-    lake.appendIncrementBucketed(rows, "dv", target, keyCol)
+  private def appendCounted(
+      rows: DataFrame, target: String, keyCol: String,
+      listingSpan: Option[Array[Long]] = None): Long =
+    lake.appendIncrementBucketed(rows, "dv", target, keyCol, listingSpan)
 }
 
 object FlowExecutor {

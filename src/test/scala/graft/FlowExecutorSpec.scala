@@ -79,6 +79,43 @@ class FlowExecutorSpec extends SparkSpec {
     assert(flow.nextRunId() == 4L)
   }
 
+  test("executeFlow under a forced-open probe gate: span-shared pruned loads equal the gated run") {
+    // Forces spark.graft.probePrune.minBytes=0 so every probe scan AND every
+    // counted append runs the bucket-span path (Lake.probeSpan shared between
+    // readOrSpan and appendIncrementBucketed), including the sat_full delete
+    // detection that must stay span-less. Loaded counts and final vault state
+    // must match the default-gate run above exactly.
+    val root = tmpDir("lake_span_flow")
+    val lake = new Lake(spark, root, buckets = 4)
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    val f1 = s"$root/batch1.csv"
+    val f2 = s"$root/batch2.csv"
+    writeCsv(f1, Seq("1,ann,A", "2,bob,B", "3,cat,C"))
+    writeCsv(f2, Seq("1,ann,A", "2,bob,PROMOTED", "4,dan,D"))
+    try {
+      spark.conf.set(graft.core.Confs.ProbePruneMinBytesKey, "0")
+      val r1 = flow.executeFlow("customer", "unit", Some(f1),
+        Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+      assert(r1.status == "success")
+      assert(r1.loaded == Map("hub_customer" -> 3L, "hsat_customer" -> 3L))
+      // re-delivery: anti-joins over PRUNED probes must still no-op
+      val r2 = flow.executeFlow("customer", "unit", Some(f1),
+        Some(Timestamp.valueOf("2026-01-02 00:00:00")), forceLoad = true)
+      assert(r2.loaded == Map("hub_customer" -> 0L, "hsat_customer" -> 0L))
+      // change + new + delete: counted appends bounded by each batch's span,
+      // delete tombstone (vault-side key 3) counted via the span-less path
+      val r3 = flow.executeFlow("customer", "unit", Some(f2),
+        Some(Timestamp.valueOf("2026-01-03 00:00:00")))
+      assert(r3.loaded("hub_customer") == 1L)
+      assert(r3.loaded("hsat_customer") == 3L)
+      val sat = lake.read("dv", "hsat_customer")
+      assert(sat.count() == 6)
+      assert(sat.filter(col("del_flag")).select("c_name").as[String].collect().toSeq == Seq("cat"))
+      assert(lake.read("dv", "hub_customer")
+        .select("c_custkey_bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally spark.conf.unset(graft.core.Confs.ProbePruneMinBytesKey)
+  }
+
   test("executeFlow loads links (legs + degenerate key), nhl, and link satellites") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)

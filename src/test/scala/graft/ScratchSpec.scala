@@ -106,6 +106,35 @@ class ScratchSpec extends SparkSpec {
     assert(lake.readOr("dv", "t", s).count() == 5)
   }
 
+  test("counted append with a listing span: identical counts, and the listing really is bounded to the span") {
+    import spark.implicits._
+    val lake = new graft.core.Lake(spark, tmpDir("lake_span"), buckets = 4)
+    def spanOf(df: org.apache.spark.sql.DataFrame) = Some(
+      df.select(lake.bucketOf(col("hk")).as("b")).distinct().collect().map(_.getLong(0)))
+    val schema = Seq(("a", 1L)).toDF("hk", "v").schema
+    // FIRST append with a span (table absent): creates the table, count exact
+    val first = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("hk", "v")
+    assert(lake.appendIncrementBucketed(first, "dv", "t", "hk", spanOf(first)) == 3L)
+    // second append: only the new files counted, pre-existing span files excluded
+    val second = Seq(("d", 4L), ("e", 5L)).toDF("hk", "v")
+    assert(lake.appendIncrementBucketed(second, "dv", "t", "hk", spanOf(second)) == 2L)
+    // EMPTY increment with an empty span: zero, nothing listed
+    val empty = Seq.empty[(String, Long)].toDF("hk", "v")
+    assert(lake.appendIncrementBucketed(empty, "dv", "t", "hk", Some(Array.empty[Long])) == 0L)
+    // empty FIRST increment: zero and the table stays absent
+    assert(lake.appendIncrementBucketed(empty, "dv", "t2", "hk", Some(Array.empty[Long])) == 0L)
+    assert(!lake.exists("dv", "t2"))
+    // bounded-listing proof: a span that does NOT cover the increment's
+    // bucket leaves the diff blind to the write (row lands, count misses
+    // it) — i.e. the walk really only touches the span's subtrees. This is
+    // exactly the contract violation the Lake doc forbids callers.
+    val zzBucket = lake.bucketOfValue("zz")
+    val wrongSpan = Some(Array((zzBucket + 1) % 4))
+    assert(lake.appendIncrementBucketed(
+      Seq(("zz", 7L)).toDF("hk", "v"), "dv", "t", "hk", wrongSpan) == 0L)
+    assert(lake.readOr("dv", "t", schema).count() == 6)
+  }
+
   test("self-reading uncounted append: the scan's listing snapshot predates the write (no double-read, no race)") {
     import spark.implicits._
     val lake = new graft.core.Lake(spark, tmpDir("lake_selfread"), buckets = 4)
