@@ -34,8 +34,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * hot-key set (DvOpsSpec/SkewGuardSpec pin salted == unsalted equality).
   *
   * Bounded at [[MaxEntries]] (each value ≤ 64 key literals or a Boolean);
-  * on overflow the map is cleared — a memo, not a cache with eviction
-  * policy worth its complexity.
+  * on overflow ONE arbitrary entry is dropped to make room. A full clear
+  * would zero the hit rate exactly where the memo earns its keep — a vault
+  * with more than [[MaxEntries]] guarded (plan, conf) sites would thrash
+  * every iteration of the flow executor's per-entity loop; single-entry
+  * eviction keeps the other entries warm at the same code complexity.
   */
 object SkewMemo {
   private val MaxEntries = 128
@@ -87,7 +90,13 @@ object SkewMemo {
         if (hit != null) hit.asInstanceOf[T]
         else {
           val v = compute
-          if (memo.size() >= MaxEntries) memo.clear()
+          // evict ONE arbitrary entry at capacity (see class doc) — racy
+          // under concurrency but harmless: worst case the map briefly
+          // exceeds MaxEntries by the number of racing writers
+          if (memo.size() >= MaxEntries) {
+            val it = memo.keySet().iterator()
+            if (it.hasNext) memo.remove(it.next())
+          }
           memo.put(fp, v)
           v
         }

@@ -18,9 +18,10 @@ package graft.multimodal
   * one `ffmpeg` run demuxes+decodes the video stream to raw 8-bit gray
   * frames on stdout, which stream through a fixed `width*height` buffer —
   * per-frame mean luminance only, never the whole clip in memory. Frame
-  * count is capped at [[MaxFrames]] and the subprocess is killed past
-  * [[TimeoutSec]]: a hostile or broken payload costs a bounded task, not a
-  * wedged executor. Any failure (unparseable probe, nonzero exit, zero
+  * count is capped at [[MaxFrames]] and a watchdog thread (armed BEFORE the
+  * stdout read — a silent hung child blocks the read, so a post-read check
+  * would never run) force-kills the subprocess past `timeoutSec`: a hostile
+  * or broken payload costs a bounded task, not a wedged executor. Any failure (unparseable probe, nonzero exit, zero
   * frames) returns None so callers keep their stub fallback — the
   * [[FrameDecoder]] contract's claim-but-fail fallthrough, pinned by
   * MultimodalSpec.
@@ -31,7 +32,10 @@ package graft.multimodal
   */
 object FfmpegCliDecoder extends FrameDecoder {
   private val MaxFrames = 100000
-  private val TimeoutSec = 120L
+  /** Read per call (not a val) so tests can shrink it; production default
+    * 120 s bounds one decode attempt end-to-end. */
+  private def timeoutSec: Long =
+    sys.props.get("graft.ffmpeg.timeoutSec").flatMap(_.toLongOption).getOrElse(120L)
 
   /** Resolve a binary: `GRAFT_FFMPEG_DIR` (explicit deployment pin) first,
     * then PATH. Lazy per JVM — executors re-resolve locally. */
@@ -57,20 +61,43 @@ object FfmpegCliDecoder extends FrameDecoder {
       payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p' &&
       available
 
-  private def run(cmd: Seq[String], readStdout: java.io.InputStream => Unit): Boolean = {
+  private[graft] def run(cmd: Seq[String], readStdout: java.io.InputStream => Unit): Boolean = {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val p = pb.start()
     p.getOutputStream.close()
+    // Watchdog armed BEFORE the stdout read: readStdout blocks in in.read /
+    // transferTo until the child writes or closes stdout, so a child that
+    // hangs producing NO output (hostile or broken payload) would otherwise
+    // block the task forever — a post-read waitFor timeout never runs. The
+    // kill closes the child's side of the pipe, unblocking the read; the
+    // nonzero exit then fails the run → None → stub fallback. Interrupted
+    // on normal completion so the daemon thread doesn't linger a full
+    // timeout per decode.
+    // Kill the WHOLE tree: destroying only the direct child leaves any
+    // grandchildren holding the stdout pipe open, so the blocked read would
+    // not unblock until they exit on their own.
+    def killTree(): Unit = {
+      p.descendants().forEach(h => { h.destroyForcibly(); () })
+      p.destroyForcibly(); ()
+    }
+    val watchdog = new Thread(() =>
+      try {
+        if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) killTree()
+      } catch { case _: InterruptedException => () },
+      "graft-ffmpeg-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     try {
       readStdout(p.getInputStream)
-      if (!p.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); false
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        killTree(); false
       } else p.exitValue() == 0
     } catch {
-      case _: Exception => p.destroyForcibly(); false
+      case _: Exception => killTree(); false
     } finally {
+      watchdog.interrupt()
       try p.getInputStream.close() catch { case _: Exception => () }
     }
   }

@@ -17,9 +17,11 @@ import graft.functions.{TextFns, VectorFns}
   * Scale posture, per operator:
   *  - exact:       one hash shuffle on the 32-hex fingerprint — uniformly
   *                 distributed, no skew, map-side combine.
-  *  - ngram:       candidate generation blocks on raw shingles (Σf² pairs);
-  *                 fine for corpus-scale blocking demos, superseded by
-  *                 minhash at 100 TB.
+  *  - ngram:       candidate generation blocks on each doc's RAREST few
+  *                 shingles with a document-frequency cap (`BlockingDfCap`):
+  *                 a stop-shingle contributes no pairs, so candidates are
+  *                 linear in Σdf over surviving shingles, not Σf² — the same
+  *                 frequency-capped posture minhash banding gives for free.
   *  - minhash+LSH: signatures are per-row array folds (no explode); only the
   *                 4 band keys per doc are shuffled, so the join fan-out is
   *                 bounded by band-bucket collision counts, not shingle

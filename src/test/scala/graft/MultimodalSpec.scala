@@ -272,6 +272,23 @@ class MultimodalSpec extends SparkSpec {
     } finally { tmp.delete(); () }
   }
 
+  test("ffmpeg runner: a child that hangs producing NO output is killed by the watchdog") {
+    import graft.multimodal.FfmpegCliDecoder
+    // `sleep 60` writes nothing and keeps stdout open, so the read blocks
+    // until the child exits or is killed — pre-watchdog this wedged the
+    // task for the child's full lifetime (the post-read waitFor timeout
+    // never ran). The watchdog must force-kill at ~timeoutSec.
+    System.setProperty("graft.ffmpeg.timeoutSec", "2")
+    try {
+      val t0 = System.nanoTime()
+      val ok = FfmpegCliDecoder.run(Seq("/bin/sh", "-c", "sleep 60"),
+        in => { in.transferTo(java.io.OutputStream.nullOutputStream()); () })
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(!ok, "a killed child must fail the run")
+      assert(secs < 30, s"watchdog must unblock the silent-child read, took $secs s")
+    } finally { System.clearProperty("graft.ffmpeg.timeoutSec"); () }
+  }
+
   test("extractFeatures routes video through the real MJPEG/AVI decoder") {
     // 8 frames -> every one of the 8 temporal bins is populated
     val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)

@@ -129,6 +129,32 @@ class SkewMemoSpec extends SparkSpec {
     }
   }
 
+  test("at capacity the memo evicts ONE entry, never the whole map") {
+    // A vault with >128 guarded (plan, conf) sites used to clear the memo on
+    // every overflow — zero hit rate exactly at the scale the memo exists
+    // for. The tag is part of the fingerprint, so one parquet input + many
+    // tags makes distinct entries cheaply.
+    val dir = tmpDir("skewmemo5") + "/t"
+    writeHot(dir)
+    SkewMemo.clear()
+    try {
+      val df = spark.read.parquet(dir)
+      (0 until 128).foreach(i => SkewMemo.cached(Seq(df), s"evict$i")(java.lang.Boolean.TRUE))
+      assert(SkewMemo.size == 128)
+      // two overflowing inserts: size must STAY at capacity (the old
+      // clear-on-overflow behavior would leave 1, then 2)
+      SkewMemo.cached(Seq(df), "evict128")(java.lang.Boolean.TRUE)
+      assert(SkewMemo.size == 128, "one in, one out — not a full clear")
+      SkewMemo.cached(Seq(df), "evict129")(java.lang.Boolean.TRUE)
+      assert(SkewMemo.size == 128)
+      // the just-inserted entry is definitely resident: probing it again
+      // must be a hit (no recompute)
+      var computed = 0
+      SkewMemo.cached(Seq(df), "evict129") { computed += 1; java.lang.Boolean.TRUE }
+      assert(computed == 0, "freshly-inserted entry must hit after an eviction")
+    } finally SkewMemo.clear()
+  }
+
   test("sampledHotKeys memo: same files hit, distinct confs miss") {
     val dir = tmpDir("skewmemo2") + "/t"
     writeHot(dir)
