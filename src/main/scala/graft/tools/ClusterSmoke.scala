@@ -1,0 +1,158 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Confs, Lake}
+import graft.dv.{DvOps, HashGen}
+import graft.etl.FlowExecutor
+import graft.meta.{MetaStore, TableColumn, Transition}
+import graft.streaming.StreamingDv
+
+/** Multi-executor smoke of the DV family (SURVEY §5; VERDICT r16 ask #2).
+  *
+  * Everything else in the repo runs `local[n]` — ONE JVM — so the
+  * driver/executor serialization seams (foreachBatch closures capturing the
+  * Lake, typed aggregate buffers in graft_latest, Catalyst hash expressions,
+  * the driver-only SkewMemo, per-JVM lazy resolution) are never crossed by a
+  * real process boundary. This main runs the flow executor (hub + sat_full
+  * including delete detection), the streaming hub/sat sinks across two
+  * overlapping micro-batches, and the current view under
+  * `local-cluster[2,2,2048]` — two REAL executor JVMs launched through the
+  * standalone Worker — with the probe-prune gate forced open so the
+  * bucket-span probe + counted-append paths also cross the boundary.
+  *
+  * Prints `[cluster-smoke] OK` and exits 0 on success; exits 1 with a FAIL
+  * line otherwise. ClusterSmokeSpec drives it in its own JVM (a second
+  * SparkContext cannot share the test JVM) and skips where the standalone
+  * launch environment (SPARK_HOME with bin/spark-class) is unavailable.
+  */
+object ClusterSmoke {
+
+  /** build.sbt's JDK17 module opens — executors are separate JVMs launched
+    * via `$SPARK_HOME/bin/spark-class` and need them like the driver does. */
+  val Jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"[cluster-smoke] FAIL: $msg")
+    sys.exit(1)
+  }
+  private def check(cond: Boolean, msg: => String): Unit = if (!cond) fail(msg)
+
+  private def writeCsv(path: String, rows: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      ("c_custkey,c_name,c_segment" +: rows).mkString("\n"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      // executor JVMs need this JVM's classes (graft + spark jars) and the
+      // module opens; neither is inherited across the process boundary
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", Jdk17AddOpens.mkString(" "))
+      .getOrCreate()
+    val root = java.nio.file.Files.createTempDirectory("graft_cluster_smoke_").toString
+    try {
+      import spark.implicits._
+
+      // Two real executors must register (plus the driver's entry).
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      def executors = spark.sparkContext.statusTracker.getExecutorInfos.length
+      while (executors < 3 && System.nanoTime() < deadline) Thread.sleep(500)
+      check(executors >= 3, s"expected 2 executors + driver, saw $executors")
+
+      // Gate forced open: the bucket-span probe scans and span-bounded
+      // counted appends run on the cluster even at this KB scale.
+      spark.conf.set(Confs.ProbePruneMinBytesKey, "0")
+
+      // ── 1. Flow executor: hub + sat_full with delete detection ──
+      val meta = MetaStore(
+        tables = Seq(
+          TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+          TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+          TableColumn("customer", "stg", "c_segment", "VARCHAR", 3, "c")),
+        transitions = Seq(
+          Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+          Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+          Transition("customer", "c_segment", "hsat_customer", "c_segment", "customer_details", 2, raw = false, None, "f"),
+          Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_full")))
+      val lake = new Lake(spark, s"$root/lake", buckets = 4)
+      val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+      val f1 = s"$root/batch1.csv"
+      val f2 = s"$root/batch2.csv"
+      writeCsv(f1, Seq("1,ann,A", "2,bob,B", "3,cat,C"))
+      writeCsv(f2, Seq("1,ann,A", "2,bob,PROMOTED", "4,dan,D"))
+      val r1 = flow.executeFlow("customer", "smoke", Some(f1),
+        Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+      check(r1.status == "success", s"flow run1 status=${r1.status} errors=${r1.errors}")
+      check(r1.loaded == Map("hub_customer" -> 3L, "hsat_customer" -> 3L),
+        s"flow run1 loaded=${r1.loaded}")
+      val r2 = flow.executeFlow("customer", "smoke", Some(f2),
+        Some(Timestamp.valueOf("2026-01-02 00:00:00")))
+      check(r2.status == "success", s"flow run2 status=${r2.status} errors=${r2.errors}")
+      check(r2.loaded("hub_customer") == 1L, s"flow run2 hub loaded=${r2.loaded}")
+      check(r2.loaded("hsat_customer") == 3L, s"flow run2 sat loaded=${r2.loaded}")
+
+      // ── 2. Current view over the flow-loaded satellite ──
+      val sat = lake.read("dv", "hsat_customer").drop("hk_bucket")
+      check(sat.count() == 6, s"sat rows=${sat.count()}")
+      val cur = DvOps.currentRows(sat, "customer_hk")
+      check(cur.count() == 4, s"current view keys=${cur.count()}")
+      val tombstones = cur.filter(col("del_flag")).select("c_name").as[String].collect().toSeq
+      check(tombstones == Seq("cat"), s"current tombstones=$tombstones")
+      check(cur.filter(col("c_name") === "bob" && !col("del_flag")).select("c_segment")
+        .as[String].head() == "PROMOTED", "current view must carry the latest version")
+
+      // ── 3. Streaming hub + sat sinks, two overlapping micro-batches ──
+      val srcDir = s"$root/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val streamTransitions = Seq(
+        Transition("s", "id", "hub_user", "id_bk", "user", 1, raw = false, None, "bk"),
+        Transition("s", "name", "hsat_user", "name", "user_details", 1, raw = false, None, "f"))
+      def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = s"$root/stage_$name"
+        rows.toDF("id", "name").coalesce(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        StreamingDv.hubSink(lake,
+          spark.readStream.schema("id LONG, name STRING").parquet(srcDir),
+          streamTransitions, "hub_user", "user", Seq("id" -> "id_bk"),
+          "smoke", s"$root/ckpt_hub", HashGen.Md5).awaitTermination()
+        StreamingDv.satSink(lake,
+          spark.readStream.schema("id LONG, name STRING").parquet(srcDir),
+          streamTransitions, "hsat_user", hkSource = "user_hk",
+          hashdiffField = "user_details_hashdiff", fields = Seq("name" -> "name"),
+          satHk = "user_hk", "smoke", s"$root/ckpt_sat", HashGen.Md5).awaitTermination()
+      }
+      addBatch("b1", Seq((1L, "ann"), (2L, "bob")))
+      runOnce()
+      addBatch("b2", Seq((1L, "ann"), (2L, "bobby"), (3L, "cat")))
+      runOnce()
+      val hubKeys = lake.read("dv", "hub_user").select("id_bk").as[Long].collect().sorted.toSeq
+      check(hubKeys == Seq(1L, 2L, 3L), s"streaming hub keys=$hubKeys")
+      val satNames = lake.read("dv", "hsat_user").select("name").as[String].collect().sorted.toSeq
+      check(satNames == Seq("ann", "bob", "bobby", "cat"), s"streaming sat versions=$satNames")
+
+      println("[cluster-smoke] OK")
+    } finally spark.stop()
+  }
+}
