@@ -77,9 +77,13 @@ object ClusterSmoke {
       while (executors < 3 && System.nanoTime() < deadline) Thread.sleep(500)
       check(executors >= 3, s"expected 2 executors + driver, saw $executors")
 
-      // Gate forced open: the bucket-span probe scans and span-bounded
-      // counted appends run on the cluster even at this KB scale.
+      // Gates forced open: the bucket-span probe scans, span-bounded
+      // counted appends, AND the skew-guard's sampled histograms (sample
+      // jobs on executors, SkewMemo on the driver) run on the cluster even
+      // at this KB scale — every size-gated seam crosses the boundary.
       spark.conf.set(Confs.ProbePruneMinBytesKey, "0")
+      spark.conf.set(Confs.MinBytesKey, "0")
+      spark.conf.set("spark.graft.skewGuard.sampleFraction", "1.0")
 
       // ── 1. Flow executor: hub + sat_full with delete detection ──
       val meta = MetaStore(
