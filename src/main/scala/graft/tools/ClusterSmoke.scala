@@ -156,6 +156,20 @@ object ClusterSmoke {
       val satNames = lake.read("dv", "hsat_user").select("name").as[String].collect().sorted.toSeq
       check(satNames == Seq("ann", "bob", "bobby", "cat"), s"streaming sat versions=$satNames")
 
+      // ── 4. LLM-pipeline serialization seams (where testdata is present) ──
+      // dedup_clusters: scratch-backed label propagation; knn_ivf: vector
+      // Catalyst expressions + centroid broadcast; topk_spend_per_cust: the
+      // custom typed heap aggregate (its buffer crosses the wire here);
+      // events_quantiles: sketch/percentile aggregation paths.
+      val sfDir = sys.env.getOrElse("GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(sfDir).isDirectory) {
+        Seq("topk_spend_per_cust", "events_quantiles", "dedup_clusters", "knn_ivf").foreach { q =>
+          val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+          check(n > 0, s"$q returned 0 rows under local-cluster")
+          println(s"[cluster-smoke] $q rows=$n")
+        }
+      } else println(s"[cluster-smoke] $sfDir absent — LLM-family rows skipped")
+
       println("[cluster-smoke] OK")
     } finally spark.stop()
   }
