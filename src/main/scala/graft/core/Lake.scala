@@ -98,45 +98,39 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   def readOrProbe(
       layer: String, name: String, schema: StructType,
       staged: DataFrame, stagedKey: org.apache.spark.sql.Column): DataFrame =
-    readOrSpan(layer, name, schema, probeSpan(layer, name, schema, staged, stagedKey))
+    readOrProbeWithSpan(layer, name, schema, staged, stagedKey)._1
 
-  /** The staged batch's bucket span for `layer.name`, or None when pruning
-    * by it wouldn't pay: table absent, table under the probe-prune size
-    * gate, or a batch spanning every bucket. Split out of [[readOrProbe]]
-    * so ONE span computation (a tiny distinct-collect over the staged keys,
-    * ≤ bucketCount values) serves BOTH the probe scan ([[readOrSpan]]) and
-    * the counted append's listing diff ([[appendIncrementBucketed]]) — the
-    * flow executor pays the job once per load, not per consumer. */
-  def probeSpan(
+  /** [[readOrProbe]] also returning the staged batch's bucket span when the
+    * prune engaged (None otherwise: table absent, under the size gate, or a
+    * batch spanning every bucket). The span is ONE tiny distinct-collect
+    * over the staged keys (≤ bucketCount values), and returning it lets the
+    * flow executor pay that job once per load and reuse it for the counted
+    * append's listing diff ([[appendIncrementBucketed]]) — the probe scan
+    * and the listing are bounded by the SAME set by construction. */
+  def readOrProbeWithSpan(
       layer: String, name: String, schema: StructType,
-      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): Option[Array[Long]] = {
-    if (!exists(layer, name)) return None
-    val known = Tables.estBytesKnown(readOr(layer, name, schema))
+      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): (DataFrame, Option[Array[Long]]) = {
+    val full = readOr(layer, name, schema)
+    if (!exists(layer, name)) return (full, None)
+    val known = Tables.estBytesKnown(full)
     val engaged = known.exists(_ >= Confs.probePruneMinBytes(spark.conf))
     Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", engaged, known)
-    if (!engaged) None
+    if (!engaged) (full, None)
     else {
       val buckets = staged.select(bucketOf(stagedKey).as("__b")).distinct()
         .collect().map(_.getLong(0))
-      if (buckets.length >= bucketCount) None else Some(buckets)
+      if (buckets.length >= bucketCount) (full, None)
+      else {
+        val pruned = spark.read.schema(schema).parquet(tablePath(layer, name))
+          // predicate on the DISCOVERED partition column, applied before
+          // the imposed-schema select drops it — evaluated driver-side by
+          // the file index, so only the staged buckets' files are read
+          // (ProbePruneSpec pins inputFiles shrink + result equality)
+          .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        (pruned, Some(buckets))
+      }
     }
-  }
-
-  /** [[readOr]] pruned to a bucket span (from [[probeSpan]]); `None` = the
-    * unpruned scan. Result-identical for incremental-load probes because a
-    * key's bucket is a pure function of the key — see [[readOrProbe]]. */
-  def readOrSpan(
-      layer: String, name: String, schema: StructType,
-      span: Option[Array[Long]]): DataFrame = span match {
-    case Some(buckets) if exists(layer, name) =>
-      spark.read.schema(schema).parquet(tablePath(layer, name))
-        // predicate on the DISCOVERED partition column, applied before
-        // the imposed-schema select drops it — evaluated driver-side by
-        // the file index, so only the staged buckets' files are read
-        // (ProbePruneSpec pins inputFiles shrink + result equality)
-        .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    case _ => readOr(layer, name, schema)
   }
 
   /** Spark shares a JVM-wide file-listing cache across path reads and
@@ -193,7 +187,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * is also strictly more truthful: it counts what was WRITTEN.
     *
     * `listingSpan` bounds the listing diff to those `hk_bucket=` subtrees
-    * (the [[probeSpan]] value the flow executor already computed for the
+    * (the [[readOrProbeWithSpan]] value the flow executor already computed for the
     * probe scan): without it each counted append walks EVERY file in the
     * table twice — O(vault-files) driver metadata per batch, the same cost
     * class the bucket-pruned probe eliminated for scans. With it the walk

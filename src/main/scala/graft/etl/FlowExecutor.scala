@@ -271,10 +271,11 @@ final class FlowExecutor(
       val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
       val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
       // ONE span computation serves the bucket-pruned probe scan AND the
-      // counted append's listing diff (Lake.probeSpan doc): new hub keys
-      // ⊆ staged keys, so the span covers every bucket the append writes.
-      val span = lake.probeSpan("dv", target, existingSchema, hv, col(s"${group}_hk"))
-      val existing = lake.readOrSpan("dv", target, existingSchema, span)
+      // counted append's listing diff (Lake.readOrProbeWithSpan doc): new
+      // hub keys ⊆ staged keys, so the span covers every bucket the append
+      // writes.
+      val (existing, span) =
+        lake.readOrProbeWithSpan("dv", target, existingSchema, hv, col(s"${group}_hk"))
       val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
       val n = appendCounted(rows, target, hkName, span)
       // several bk groups may feed one hub (self-referencing entities) —
@@ -299,10 +300,10 @@ final class FlowExecutor(
         if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
         else f.sourceField -> f.targetField
       }
-      // shared span: probe scan + counted-append listing (Lake.probeSpan doc)
-      val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
-      val span = lake.probeSpan("dv", target, linkSchema, hv, col(s"${group}_hk"))
-      val existing = lake.readOrSpan("dv", target, linkSchema, span)
+      // shared span: probe scan + counted-append listing
+      // (Lake.readOrProbeWithSpan doc)
+      val (existing, span) = lake.readOrProbeWithSpan("dv", target,
+        StructType(StructField(hkName, StringType) :: Nil), hv, col(s"${group}_hk"))
       val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
       val n = appendCounted(rows, target, hkName, span)
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
@@ -334,8 +335,8 @@ final class FlowExecutor(
       // counted append's listing diff. The sat_full delete detection below
       // stays UNPRUNED by design — absent keys are its signal
       // (Lake.readOrProbe doc).
-      val span = lake.probeSpan("dv", satName, satSchema, hv, col(satT.sourceField))
-      val existing = lake.readOrSpan("dv", satName, satSchema, span)
+      val (existing, span) =
+        lake.readOrProbeWithSpan("dv", satName, satSchema, hv, col(satT.sourceField))
       val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
       var n = appendCounted(newRows, satName, satHk, span)
       if (satT.transferType == "sat_full") {

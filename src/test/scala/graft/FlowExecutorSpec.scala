@@ -81,8 +81,8 @@ class FlowExecutorSpec extends SparkSpec {
 
   test("executeFlow under a forced-open probe gate: span-shared pruned loads equal the gated run") {
     // Forces spark.graft.probePrune.minBytes=0 so every probe scan AND every
-    // counted append runs the bucket-span path (Lake.probeSpan shared between
-    // readOrSpan and appendIncrementBucketed), including the sat_full delete
+    // counted append runs the bucket-span path (Lake.readOrProbeWithSpan shared between
+    // the probe scan and appendIncrementBucketed), including the sat_full delete
     // detection that must stay span-less. Loaded counts and final vault state
     // must match the default-gate run above exactly.
     val root = tmpDir("lake_span_flow")
