@@ -206,14 +206,17 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     // One listStatus per directory, reusing its FileStatus entries for the
     // isDirectory checks — the per-entry getFileStatus re-fetch was one
     // extra filesystem RPC per file, a real metadata cost on remote stores.
-    def files(p: Path): Iterator[Path] =
-      if (!fs.exists(p)) Iterator.empty
-      else
-        fs.listStatus(p).iterator.flatMap { s =>
-          if (s.isDirectory) files(s.getPath)
-          else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s.getPath)
-          else Iterator.empty
-        }
+    // The exists() guard runs ONLY at each root (a span bucket dir may not
+    // exist yet); inner directories came from a parent listStatus, so
+    // re-checking them would pay one extra RPC per directory.
+    def filesUnder(p: Path): Iterator[Path] =
+      fs.listStatus(p).iterator.flatMap { s =>
+        if (s.isDirectory) filesUnder(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s.getPath)
+        else Iterator.empty
+      }
+    def files(root: Path): Iterator[Path] =
+      if (fs.exists(root)) filesUnder(root) else Iterator.empty
     val roots: Seq[Path] = listingSpan match {
       case Some(buckets) => buckets.toIndexedSeq.map(b => new Path(path, s"hk_bucket=$b"))
       case None          => Seq(path)

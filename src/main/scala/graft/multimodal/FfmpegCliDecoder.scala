@@ -18,10 +18,12 @@ package graft.multimodal
   * one `ffmpeg` run demuxes+decodes the video stream to raw 8-bit gray
   * frames on stdout, which stream through a fixed `width*height` buffer —
   * per-frame mean luminance only, never the whole clip in memory. Frame
-  * count is capped at [[MaxFrames]] and a watchdog thread (armed BEFORE the
-  * stdout read — a silent hung child blocks the read, so a post-read check
-  * would never run) force-kills the subprocess past `timeoutSec`: a hostile
-  * or broken payload costs a bounded task, not a wedged executor. Any failure (unparseable probe, nonzero exit, zero
+  * count is capped at [[MaxFrames]] and a NO-PROGRESS watchdog (armed
+  * BEFORE the stdout read — a silent hung child blocks the read, so a
+  * post-read check would never run; deadline resets on every byte, so long
+  * legitimate decodes keep streaming) force-kills the subprocess TREE past
+  * `timeoutSec` of output silence: a hostile or broken payload costs a
+  * bounded task, not a wedged executor. Any failure (unparseable probe, nonzero exit, zero
   * frames) returns None so callers keep their stub fallback — the
   * [[FrameDecoder]] contract's claim-but-fail fallthrough, pinned by
   * MultimodalSpec.
@@ -67,14 +69,16 @@ object FfmpegCliDecoder extends FrameDecoder {
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val p = pb.start()
     p.getOutputStream.close()
-    // Watchdog armed BEFORE the stdout read: readStdout blocks in in.read /
-    // transferTo until the child writes or closes stdout, so a child that
-    // hangs producing NO output (hostile or broken payload) would otherwise
-    // block the task forever — a post-read waitFor timeout never runs. The
-    // kill closes the child's side of the pipe, unblocking the read; the
-    // nonzero exit then fails the run → None → stub fallback. Interrupted
-    // on normal completion so the daemon thread doesn't linger a full
-    // timeout per decode.
+    // NO-PROGRESS watchdog armed BEFORE the stdout read: readStdout blocks
+    // in in.read / transferTo until the child writes or closes stdout, so a
+    // child that hangs producing NO output (hostile or broken payload)
+    // would otherwise block the task forever — a post-read waitFor timeout
+    // never runs. The deadline resets on every read, so a long clip that
+    // legitimately streams for longer than timeoutSec keeps running as long
+    // as bytes keep flowing; only timeoutSec of SILENCE kills. The kill
+    // closes the child's side of the pipe, unblocking the read; the nonzero
+    // exit then fails the run → None → stub fallback. Interrupted on normal
+    // completion so the daemon thread doesn't linger.
     // Kill the WHOLE tree: destroying only the direct child leaves any
     // grandchildren holding the stdout pipe open, so the blocked read would
     // not unblock until they exit on their own.
@@ -82,15 +86,30 @@ object FfmpegCliDecoder extends FrameDecoder {
       p.descendants().forEach(h => { h.destroyForcibly(); () })
       p.destroyForcibly(); ()
     }
+    val lastProgress = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val monitored: java.io.InputStream = new java.io.FilterInputStream(p.getInputStream) {
+      override def read(): Int = {
+        val n = super.read(); lastProgress.set(System.nanoTime()); n
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(b, off, len); lastProgress.set(System.nanoTime()); n
+      }
+    }
     val watchdog = new Thread(() =>
       try {
-        if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) killTree()
+        var alive = true
+        while (alive) {
+          if (p.waitFor(1, java.util.concurrent.TimeUnit.SECONDS)) alive = false
+          else if (System.nanoTime() - lastProgress.get > timeoutSec * 1000L * 1000 * 1000) {
+            killTree(); alive = false
+          }
+        }
       } catch { case _: InterruptedException => () },
       "graft-ffmpeg-watchdog")
     watchdog.setDaemon(true)
     watchdog.start()
     try {
-      readStdout(p.getInputStream)
+      readStdout(monitored)
       if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
         killTree(); false
       } else p.exitValue() == 0

@@ -66,15 +66,19 @@ object AppendListingBench {
       val fullFiles = walk(tablePath)
       val spanMs = (1 to reps).map(_ => msOf(spanPaths.map(walk).sum)).map(_._1).min
       val spanFiles = spanPaths.map(walk).sum
-      // end-to-end counted append: a small increment confined to 2 buckets
-      // (keys pre-picked by bucketOfValue), span vs no-span, alternating
-      val keys = Iterator.from(0).map(i => s"k$i")
-        .filter(k => spanBuckets.contains(lake.bucketOfValue(k))).take(100).toSeq
-      def increment(rep: Int) = keys.map(k => (s"${k}_r$rep", 1L)).toDF("hk", "v")
+      // end-to-end counted append: a small increment confined to 2 buckets,
+      // span vs no-span, alternating. Keys are picked AFTER rep-suffixing so
+      // the FINAL key values bucket into the span — the listingSpan contract
+      // the span arm exercises (and both arms write the same 2-bucket file
+      // shape, keeping the comparison like-for-like).
+      def increment(rep: Int) = Iterator.from(0).map(i => s"k${i}_r$rep")
+        .filter(k => spanBuckets.contains(lake.bucketOfValue(k)))
+        .take(100).toSeq.map(k => (k, 1L)).toDF("hk", "v")
       val (noSpanSec, spanSec) = (1 to reps).map { r =>
-        val (a, _) = msOf(lake.appendIncrementBucketed(increment(2 * r), "dv", "sat", "hk"))
-        val (b, _) = msOf(lake.appendIncrementBucketed(increment(2 * r + 1), "dv", "sat", "hk",
+        val (a, na) = msOf(lake.appendIncrementBucketed(increment(2 * r), "dv", "sat", "hk"))
+        val (b, nb) = msOf(lake.appendIncrementBucketed(increment(2 * r + 1), "dv", "sat", "hk",
           Some(spanBuckets)))
+        require(na == 100L && nb == 100L, s"counted-append counts wrong: $na / $nb")
         (a / 1000, b / 1000)
       }.unzip match { case (as, bs) => (as.min, bs.min) }
       println(

@@ -289,6 +289,27 @@ class MultimodalSpec extends SparkSpec {
     } finally { System.clearProperty("graft.ffmpeg.timeoutSec"); () }
   }
 
+  test("ffmpeg runner: a SLOW child that keeps producing output outlives timeoutSec (no-progress semantics)") {
+    import graft.multimodal.FfmpegCliDecoder
+    // Emits a byte every second for 5 s — total wall exceeds timeoutSec=2
+    // but no silence window does. A hard wall cap would kill it mid-stream
+    // and silently degrade long legitimate decodes to the stub; the
+    // no-progress watchdog must let it finish.
+    System.setProperty("graft.ffmpeg.timeoutSec", "2")
+    try {
+      var total = 0L
+      val ok = FfmpegCliDecoder.run(
+        Seq("/bin/sh", "-c", "for i in 1 2 3 4 5; do printf x; sleep 1; done"),
+        in => {
+          val buf = new Array[Byte](16)
+          var n = in.read(buf)
+          while (n >= 0) { total += n; n = in.read(buf) }
+        })
+      assert(ok, "a progressing child must complete successfully")
+      assert(total == 5L, s"all output must arrive, got $total bytes")
+    } finally { System.clearProperty("graft.ffmpeg.timeoutSec"); () }
+  }
+
   test("extractFeatures routes video through the real MJPEG/AVI decoder") {
     // 8 frames -> every one of the 8 temporal bins is populated
     val dark = Multimodal.aviMjpeg(Seq.fill(8)(Multimodal.jpegGray(10, 8, 8)), 8, 8)
