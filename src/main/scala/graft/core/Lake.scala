@@ -336,7 +336,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         .map(s => if (s.isDirectory) parquetCount(s.getPath)
                   else if (s.getPath.getName.endsWith(".parquet")) 1L else 0L).sum
     val before = parquetCount(path)
-    val df = read(layer, name)
+    // mergeSchema: compaction REWRITES the table, so it must read the UNION
+    // of every file's schema. Plain inference picks one footer; on a
+    // schema-evolved satellite (older appends missing a newer column) an
+    // old-footer pick would silently DROP the evolved column from the
+    // rewrite — on-disk data loss, not just a narrowed read. The
+    // footer-merge job is proportional to file count, which a compaction
+    // pays anyway; readOr's imposed-metadata-schema contract covers normal
+    // reads, but compact cannot assume a caller-supplied schema.
+    val df = spark.read.option("mergeSchema", "true").parquet(tablePath(layer, name))
     val staged = new Path(tablePath(layer, s"__compact_$name"))
     fs.delete(staged, true)
     if (df.columns.contains("hk_bucket")) {
@@ -397,7 +405,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   /** Point lookup on a bucketed vault table: recomputes the key's bucket and
     * filters on the partition column FIRST, so the scan touches 1/buckets of
     * the table's files (PartitionFilters in the plan) — the read-side payoff
-    * of bucketed appends at 100 TB. */
+    * of bucketed appends at 100 TB.
+    *
+    * Schema-evolution caveat: like any plain parquet read, the schema is
+    * INFERRED from one footer, so a column added after earlier appends may
+    * be absent from the result depending on which file wins inference. For
+    * evolved satellites use [[readOr]] with the metadata schema (its
+    * imposed-schema contract null-backfills old files) and filter on
+    * [[bucketOf]] — this helper stays inference-based because a per-lookup
+    * footer-merge would cost a full listing per point read. */
   def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame =
     read(layer, name)
       .filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)

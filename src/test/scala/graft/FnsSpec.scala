@@ -138,6 +138,30 @@ class FnsSpec extends SparkSpec {
     assert(lake.lookupBucketed("dv", "t", "hk", "key3_7").select("v").as[Long].head() == 7L)
   }
 
+  test("compact preserves a schema-evolved table (union of file schemas, no silent column drop)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("compactevolve")
+    val lake = new Lake(spark, root, buckets = 4)
+    // generation A: (hk, v); generation B adds column w — the evolved
+    // satellite shape. Plain single-footer inference could pick an A file
+    // and the rewrite would DROP w's data from disk; compact must read the
+    // UNION of file schemas.
+    lake.appendBucketed((1 to 40).map(i => (s"a$i", i.toLong)).toDF("hk", "v"), "dv", "t", "hk")
+    lake.appendBucketed((1 to 40).map(i => (s"b$i", i.toLong, s"w$i")).toDF("hk", "v", "w"),
+      "dv", "t", "hk")
+    val (before, after) = lake.compact("dv", "t")
+    assert(before > after, s"$before -> $after")
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("v", LongType), StructField("w", StringType)))
+    val out = lake.readOr("dv", "t", schema)
+    assert(out.count() == 80)
+    // generation B's evolved column survived the rewrite value-for-value...
+    assert(out.filter(col("hk").startsWith("b") && col("w") === concat(lit("w"), col("v")))
+      .count() == 40)
+    // ...and generation A reads as NULL history, not garbage
+    assert(out.filter(col("hk").startsWith("a") && col("w").isNull).count() == 40)
+  }
+
   test("compact splits a bucket above compact.targetBytes into ~target-sized files") {
     val root = tmpDir("compactsplit")
     val lake = new Lake(spark, root, buckets = 2)
