@@ -414,10 +414,20 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * imposed-schema contract null-backfills old files) and filter on
     * [[bucketOf]] — this helper stays inference-based because a per-lookup
     * footer-merge would cost a full listing per point read. */
-  def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame =
-    read(layer, name)
-      .filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)
+  def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame = {
+    val df = read(layer, name)
+    // bucketOfValue hashes a STRING; a table bucketed on a non-string key
+    // column (xxhash64 of the native type) would prune to the WRONG bucket
+    // and silently return nothing — fail loudly instead. The vault's hk
+    // columns are always hex strings, so engine paths never hit this.
+    val kt = df.schema(keyCol).dataType
+    require(kt == org.apache.spark.sql.types.StringType,
+      s"lookupBucketed: $keyCol is $kt, but the bucket is recomputed from a STRING value — " +
+        "a non-string bucket derivation would prune to the wrong bucket and return an " +
+        "empty result; read with readOr + filter instead")
+    df.filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)
       .drop("hk_bucket")
+  }
 }
 
 object Lake {

@@ -138,6 +138,16 @@ class FnsSpec extends SparkSpec {
     assert(lake.lookupBucketed("dv", "t", "hk", "key3_7").select("v").as[Long].head() == 7L)
   }
 
+  test("lookupBucketed refuses a non-string key column instead of silently pruning to the wrong bucket") {
+    val root = tmpDir("lookuptype")
+    val lake = new Lake(spark, root, buckets = 4)
+    // bucketed on a LONG key: xxhash64(long) != xxhash64('5'), so a string
+    // lookup would land in the wrong bucket and return empty — must throw
+    lake.appendBucketed((1L to 20L).map(i => (i, s"p$i")).toDF("id", "p"), "dv", "n", "id")
+    val e = intercept[IllegalArgumentException](lake.lookupBucketed("dv", "n", "id", "5"))
+    assert(e.getMessage.contains("STRING"))
+  }
+
   test("compact preserves a schema-evolved table (union of file schemas, no silent column drop)") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = tmpDir("compactevolve")
