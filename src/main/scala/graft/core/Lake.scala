@@ -133,6 +133,24 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     }
   }
 
+  /** Lazy recursive iterator of the parquet leaf FileStatuses under `p` —
+    * THE tree walk every lake metadata operation shares (counted-append
+    * diff, empty-first-append probe, compact's count + per-bucket bytes).
+    * ONE listStatus per directory, reusing its FileStatus entries for the
+    * isDirectory/size checks: a per-entry getFileStatus re-fetch is one
+    * extra filesystem RPC per file, a real metadata cost on remote stores.
+    * Callers guard `p`'s existence — inner directories came from a parent
+    * listStatus, so re-checking them would pay one extra RPC per
+    * directory. Laziness lets any-parquet probes short-circuit at the
+    * first leaf. */
+  private def parquetLeaves(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).iterator.flatMap { s =>
+      if (s.isDirectory) parquetLeaves(fs, s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s)
+      else Iterator.empty
+    }
+
   /** Spark shares a JVM-wide file-listing cache across path reads and
     * catalog tables; any write must invalidate it or later readers can chase
     * deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST). */
@@ -203,20 +221,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       listingSpan: Option[Array[Long]] = None): Long = {
     val path = new Path(tablePath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // One listStatus per directory, reusing its FileStatus entries for the
-    // isDirectory checks — the per-entry getFileStatus re-fetch was one
-    // extra filesystem RPC per file, a real metadata cost on remote stores.
     // The exists() guard runs ONLY at each root (a span bucket dir may not
-    // exist yet); inner directories came from a parent listStatus, so
-    // re-checking them would pay one extra RPC per directory.
-    def filesUnder(p: Path): Iterator[Path] =
-      fs.listStatus(p).iterator.flatMap { s =>
-        if (s.isDirectory) filesUnder(s.getPath)
-        else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s.getPath)
-        else Iterator.empty
-      }
+    // exist yet); see parquetLeaves for the inner-directory RPC economics.
     def files(root: Path): Iterator[Path] =
-      if (fs.exists(root)) filesUnder(root) else Iterator.empty
+      if (fs.exists(root)) parquetLeaves(fs, root).map(_.getPath) else Iterator.empty
     val roots: Seq[Path] = listingSpan match {
       case Some(buckets) => buckets.toIndexedSeq.map(b => new Path(path, s"hk_bucket=$b"))
       case None          => Seq(path)
@@ -264,12 +272,8 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     if (!existed) {
       val path = new Path(tablePath(layer, name))
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def hasParquet(p: Path): Boolean =
-        fs.listStatus(p).exists { s =>
-          if (s.isDirectory) hasParquet(s.getPath)
-          else s.getPath.getName.endsWith(".parquet")
-        }
-      if (fs.exists(path) && !hasParquet(path)) {
+      // laziness: hasNext stops at the first parquet leaf
+      if (fs.exists(path) && !parquetLeaves(fs, path).hasNext) {
         fs.delete(path, true)
         refresh(layer, name)
       }
@@ -331,11 +335,12 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   def compact(layer: String, name: String): (Long, Long) = {
     val path = new Path(tablePath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetCount(p: Path): Long =
-      fs.listStatus(p)
-        .map(s => if (s.isDirectory) parquetCount(s.getPath)
-                  else if (s.getPath.getName.endsWith(".parquet")) 1L else 0L).sum
-    val before = parquetCount(path)
+    // ONE pre-rewrite walk serves both the before-count and the per-bucket
+    // byte sizing below (a leaf's bucket is its parent dir's partition
+    // value) — a second full walk doubled the driver metadata RPCs per
+    // compaction on remote stores.
+    val leaves = parquetLeaves(fs, path).toArray
+    val before = leaves.length.toLong
     // mergeSchema: compaction REWRITES the table, so it must read the UNION
     // of every file's schema. Plain inference picks one footer; on a
     // schema-evolved satellite (older appends missing a newer column) an
@@ -349,19 +354,21 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     fs.delete(staged, true)
     if (df.columns.contains("hk_bucket")) {
       val target = Confs.compactTargetBytes(spark.conf)
-      def bytesUnder(p: Path): Long =
-        fs.listStatus(p).map(s =>
-          if (s.isDirectory) bytesUnder(s.getPath)
-          else if (s.getPath.getName.endsWith(".parquet")) s.getLen else 0L).sum
-      // per-bucket compressed bytes from the partition directories (cheap:
-      // the same driver-side listing parquetCount already walked)
-      val chunksOf: Map[Long, Int] = fs.listStatus(path)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("hk_bucket="))
-        .map { d =>
-          val b = d.getPath.getName.stripPrefix("hk_bucket=").toLong
-          b -> math.max(1L, (bytesUnder(d.getPath) + target - 1) / target)
-            .min(1L << 16).toInt
-        }.toMap
+      // per-bucket compressed bytes from the SAME leaves the file count
+      // walked (a leaf's bucket = its parent dir's hk_bucket= value); an
+      // empty bucket dir is simply absent and falls to the coalesce(…, 1)
+      // default below.
+      val chunksOf: Map[Long, Int] = leaves.iterator
+        .flatMap { s =>
+          val dir = s.getPath.getParent.getName
+          if (dir.startsWith("hk_bucket="))
+            dir.stripPrefix("hk_bucket=").toLongOption.map(_ -> s.getLen)
+          else None
+        }
+        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+        .map { case (b, bytes) =>
+          b -> math.max(1L, (bytes + target - 1) / target).min(1L << 16).toInt
+        }
       val totalChunks = chunksOf.values.map(_.toLong).sum
         .max(1L).min(1L << 20).toInt
       val dataCols = df.columns.filterNot(_ == "hk_bucket").toIndexedSeq
@@ -399,7 +406,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     }
     fs.delete(backup, true)
     refresh(layer, name)
-    (before, parquetCount(path))
+    (before, parquetLeaves(fs, path).size.toLong)
   }
 
   /** Point lookup on a bucketed vault table: recomputes the key's bucket and
@@ -420,7 +427,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     // column (xxhash64 of the native type) would prune to the WRONG bucket
     // and silently return nothing — fail loudly instead. The vault's hk
     // columns are always hex strings, so engine paths never hit this.
-    val kt = df.schema(keyCol).dataType
+    // Resolve the column through the DataFrame (not StructType.apply) so
+    // the session's case-sensitivity rules apply, same as the filter below.
+    val kt = df.select(df(keyCol)).schema.head.dataType
     require(kt == org.apache.spark.sql.types.StringType,
       s"lookupBucketed: $keyCol is $kt, but the bucket is recomputed from a STRING value — " +
         "a non-string bucket derivation would prune to the wrong bucket and return an " +

@@ -146,6 +146,10 @@ class FnsSpec extends SparkSpec {
     lake.appendBucketed((1L to 20L).map(i => (i, s"p$i")).toDF("id", "p"), "dv", "n", "id")
     val e = intercept[IllegalArgumentException](lake.lookupBucketed("dv", "n", "id", "5"))
     assert(e.getMessage.contains("STRING"))
+    // ...but the guard resolves the column with the session's (default
+    // case-insensitive) rules, like the lookup filter itself does
+    lake.appendBucketed((1 to 8).map(i => (s"k$i", i.toLong)).toDF("hk", "v"), "dv", "s", "hk")
+    assert(lake.lookupBucketed("dv", "s", "HK", "k3").select("v").as[Long].head() == 3L)
   }
 
   test("compact preserves a schema-evolved table (union of file schemas, no silent column drop)") {
