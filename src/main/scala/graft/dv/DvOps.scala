@@ -318,8 +318,15 @@ object DvOps {
       } else salt
     val parts = math.max(Tables.clusterParts(probeIn), Tables.clusterParts(stagedIn))
     val activeStruct = struct(col("load_dts"), col("run_id"), col("hash_diff"), col("del_flag"))
+    // Hot keys first: empty when effSalt == 1 (no sampling job), or when the
+    // sampled histogram finds nothing hot — either way ONE unsalted branch
+    // below, so the explicit-salt, auto-guarded, and nothing-hot paths can
+    // never silently diverge in plan shape.
+    val hotKeys: Array[Any] =
+      if (effSalt == 1) Array.empty
+      else sampledHotKeys(Seq(probeIn, stagedIn), satHk, conf)
     val (staged, probe, joinKeys) =
-      if (effSalt == 1) {
+      if (hotKeys.isEmpty) {
         val probe1 = Tables.clusterBy(probeIn, parts, satHk)
           .groupBy(col(satHk))
           .agg(maxStruct(activeStruct).as("__active"))
@@ -337,45 +344,35 @@ object DvOps {
         // shape's bytes, level 2 ships one narrow row per key (+`salt` per
         // hot key), and the hot keys' history/staged sets are bounded at
         // 1/salt per task.
-        val hotKeys: Array[Any] = sampledHotKeys(Seq(probeIn, stagedIn), satHk, conf)
-        if (hotKeys.isEmpty) {
-          // nothing hot found: the unsalted shape IS the right plan
-          val probe1 = Tables.clusterBy(probeIn, parts, satHk)
-            .groupBy(col(satHk))
-            .agg(maxStruct(activeStruct).as("__active"))
-          val staged1 = Tables.clusterBy(stagedIn, parts, satHk).distinct()
-          (staged1, probe1, Seq(satHk))
-        } else {
-          def isHot(c: Column) = hotKeyPredicate(hotKeys.toIndexedSeq, c)
-          // salt-of-row for the probe history; the salt is a pure function
-          // of the row, so `max` over any cell partition is associative-
-          // safe and the two-level result equals the one-level max.
-          val rowSalt = when(isHot(col(satHk)),
-            pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
-            .otherwise(lit(0)).cast("int")
-          val level1 = Tables.clusterBy(probeIn.withColumn("__salt", rowSalt), parts, satHk, "__salt")
-            .groupBy(col(satHk), col("__salt"))
-            .agg(maxStruct(activeStruct).as("__active"))
-          // level 2: one row per key ± salt per hot key — a narrow exchange
-          val probeRow = level1.groupBy(col(satHk)).agg(maxStruct(col("__active")).as("__active"))
-          // replicate the probe row into every cell its staged twin can
-          // land in: ×salt for hot keys, cell 0 only for the rest
-          val probeN = Tables.clusterBy(
-            probeRow.withColumn("__salt",
-              explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0))))),
-            parts, satHk, "__salt")
-          // salt-of-hashdiff, NOT salt-of-row: duplicate staged rows share
-          // their hash_diff, so they land in the same cell and the
-          // partition-local distinct still collapses them. __salt rides
-          // along as a distinct column — a pure function of (key,
-          // hash_diff), so the groups are unchanged.
-          val stagedSalt = when(isHot(col(satHk)), pmod(xxhash64(col("hash_diff")), lit(effSalt)))
-            .otherwise(lit(0)).cast("int")
-          val stagedN = Tables.clusterBy(
-            stagedIn.withColumn("__salt", stagedSalt), parts, satHk, "__salt")
-            .distinct()
-          (stagedN, probeN, Seq(satHk, "__salt"))
-        }
+        def isHot(c: Column) = hotKeyPredicate(hotKeys.toIndexedSeq, c)
+        // salt-of-row for the probe history; the salt is a pure function
+        // of the row, so `max` over any cell partition is associative-
+        // safe and the two-level result equals the one-level max.
+        val rowSalt = when(isHot(col(satHk)),
+          pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
+          .otherwise(lit(0)).cast("int")
+        val level1 = Tables.clusterBy(probeIn.withColumn("__salt", rowSalt), parts, satHk, "__salt")
+          .groupBy(col(satHk), col("__salt"))
+          .agg(maxStruct(activeStruct).as("__active"))
+        // level 2: one row per key ± salt per hot key — a narrow exchange
+        val probeRow = level1.groupBy(col(satHk)).agg(maxStruct(col("__active")).as("__active"))
+        // replicate the probe row into every cell its staged twin can
+        // land in: ×salt for hot keys, cell 0 only for the rest
+        val probeN = Tables.clusterBy(
+          probeRow.withColumn("__salt",
+            explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0))))),
+          parts, satHk, "__salt")
+        // salt-of-hashdiff, NOT salt-of-row: duplicate staged rows share
+        // their hash_diff, so they land in the same cell and the
+        // partition-local distinct still collapses them. __salt rides
+        // along as a distinct column — a pure function of (key,
+        // hash_diff), so the groups are unchanged.
+        val stagedSalt = when(isHot(col(satHk)), pmod(xxhash64(col("hash_diff")), lit(effSalt)))
+          .otherwise(lit(0)).cast("int")
+        val stagedN = Tables.clusterBy(
+          stagedIn.withColumn("__salt", stagedSalt), parts, satHk, "__salt")
+          .distinct()
+        (stagedN, probeN, Seq(satHk, "__salt"))
       }
     // shuffle_hash: the probe side is one narrow row per key (×salt when
     // salted) and both sides are co-partitioned, so a per-task hash build
@@ -459,13 +456,13 @@ object DvOps {
         // so membership semantics are unchanged (every cell of a staged hot
         // key exists on the probe side).
         val rowSalt = when(isHot(col(satHk)),
-          pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
-          .otherwise(lit(0)).cast("int")
+        pmod(xxhash64(col("hash_diff"), col("load_dts"), col("run_id")), lit(effSalt)))
+        .otherwise(lit(0)).cast("int")
         val stagedN = stagedKeys.withColumn("__salt",
-          explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0)))))
+        explode(sequence(lit(0), when(isHot(col(satHk)), lit(effSalt - 1)).otherwise(lit(0)))))
         existingSat.withColumn("__salt", rowSalt)
-          .join(stagedN, Seq(satHk, "__salt"), "left_anti")
-          .drop("__salt")
+        .join(stagedN, Seq(satHk, "__salt"), "left_anti")
+        .drop("__salt")
       }
     // Anti-join BELOW the latest-row aggregation: the join key is the groupBy
     // key, so a key either survives with all its version rows or is dropped

@@ -59,9 +59,43 @@ final class FlowExecutor(
 
   def runinfo: DataFrame = lake.readOr("metadata", "runinfo", runinfoSchema)
 
-  /** Reference GET_RUN_ID: coalesce(max(run_id), 0) + 1. */
+  /** Reference GET_RUN_ID: coalesce(max(run_id), 0) + 1. Pure ledger read —
+    * the id a run would get, NOT an allocation (see [[allocateRunId]]). */
   def nextRunId(): Long =
     runinfo.agg(coalesce(max(col("run_id")), lit(0L)) + 1L).head().getLong(0)
+
+  /** Allocate a run id safely under the concurrency the ingestion claim
+    * explicitly supports: [[nextRunId]] is check-then-act over the ledger,
+    * so two flows over DIFFERENT files can both read max+1 before either
+    * writes its start row and stamp every vault audit column with the same
+    * run_id. The candidate id is therefore CLAIMED with the same
+    * create-no-overwrite primitive as the ingestion claim (atomic on HDFS;
+    * the JVM-wide registry arbitrates same-process races); losers walk
+    * forward. A crash between claim and ledger start-row leaves a marker
+    * with no ledger row — later allocations skip that id rather than reuse
+    * one that may have partially stamped vault rows. Markers are empty
+    * files under `metadata/.run_ids`, one per run ever allocated (same
+    * cardinality as the ledger's own rows). */
+  private[graft] def allocateRunId(): Long = {
+    val dir = new Path(lake.tablePath("metadata", ".run_ids"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    var id = nextRunId()
+    def claim(id: Long): Boolean = {
+      val p = new Path(dir, f"$id%020d")
+      if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
+        false
+      else
+        try { fs.create(p, /* overwrite = */ false).close(); true }
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(p)) false // lost a cross-process race for this id
+            else throw e            // infrastructure error — surface it
+        }
+    }
+    while (!claim(id)) id += 1
+    id
+  }
 
   /** Reference CHECK_INGESTION: any ledger row for (file, table, status). */
   def alreadyIngested(sourceTable: String, filePath: String, status: String = "success"): Boolean =
@@ -91,7 +125,13 @@ final class FlowExecutor(
     new Path(lake.tablePath("metadata", ".flow_claims"), s"${sourceTable}__$digest")
   }
 
-  /** Atomically claim (source, file); false when another flow holds it. */
+  /** Atomically claim (source, file); false when another flow holds it.
+    * Failure hygiene: ANY failure (not just IOException — object-store
+    * connectors throw RuntimeExceptions) releases the in-process registry
+    * entry, or a transient error would permanently block the file in this
+    * JVM. A failure AFTER our own create succeeded deletes the half-written
+    * marker best-effort for the same reason — otherwise a transient write
+    * error turns into "another flow holds it" forever. */
   private def tryClaim(sourceTable: String, filePath: String): Boolean = {
     val p = claimPath(sourceTable, filePath)
     if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
@@ -99,29 +139,47 @@ final class FlowExecutor(
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, /* overwrite = */ false)
-      try out.write(filePath.getBytes("UTF-8")) finally out.close()
+      val out = fs.create(p, /* overwrite = */ false) // the atomic arbiter
+      try {
+        try out.write(filePath.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(fs.delete(p, false)) // our own half-claim, not a holder's
+          throw e
+      }
       true
     } catch {
-      case e: java.io.IOException =>
+      case scala.util.control.NonFatal(e) =>
         FlowExecutor.localClaims.remove(p.toString)
-        if (fs.exists(p)) false else throw e
+        if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
     }
   }
 
   private def releaseClaim(sourceTable: String, filePath: String): Unit = {
     val p = claimPath(sourceTable, filePath)
+    // registry entry FIRST: if the marker delete throws, the next in-process
+    // attempt still resolves correctly through the fs marker (typed
+    // Concurrency skip) instead of being silently blocked by a stale entry.
+    FlowExecutor.localClaims.remove(p.toString)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, false)
-    FlowExecutor.localClaims.remove(p.toString)
     ()
   }
 
   private def logRun(sourceTable: String, runId: Long, filePath: Option[String], status: String, message: String = ""): Unit = {
     val row = Row(sourceTable, runId, new Timestamp(System.currentTimeMillis()), filePath.orNull, status, message)
-    lake.append(
-      spark.createDataFrame(java.util.Collections.singletonList(row), runinfoSchema),
-      "metadata", "runinfo")
+    // Serialized JVM-wide: concurrent flows (different files/entities — the
+    // concurrency the claim model supports) would otherwise run two append
+    // jobs against the SAME runinfo path, and FileOutputCommitter's shared
+    // `_temporary/0` staging dir lets one job's cleanup delete the other's
+    // in-flight task files. The ledger write is a single tiny row, so the
+    // lock costs nothing; cross-PROCESS ledger appends remain the
+    // deployment's one-ledger-writer-per-cluster concern.
+    FlowExecutor.ledgerLock.synchronized {
+      lake.append(
+        spark.createDataFrame(java.util.Collections.singletonList(row), runinfoSchema),
+        "metadata", "runinfo")
+    }
   }
 
   /** Execute one complete load flow; mirrors execute_flow's contract. */
@@ -136,14 +194,25 @@ final class FlowExecutor(
       return FlowResult(0L, "skipped", skipped = true, Nil, Map.empty)
     // Atomic run-claim between the ledger check and any load work: of two
     // flows racing past the check above, exactly one proceeds; the loser
-    // reports the conflict as a typed skip, not a double-ingest.
-    if (!forceLoad && filePath.exists(fp => !tryClaim(sourceTable, fp)))
-      return FlowResult(0L, "skipped", skipped = true,
-        Seq(DvError.Concurrency(
-          s"flow $sourceTable: another flow holds the ingestion claim for ${filePath.get} " +
-            "(concurrent load in progress, or a crashed run left a stale claim — " +
-            "retry with forceLoad=true or remove the metadata/.flow_claims marker)")),
-        Map.empty)
+    // reports the conflict as a typed skip, not a double-ingest. A claim
+    // that THROWS (filesystem down) is a typed failure, not a raw escape —
+    // flows log-and-continue rather than unwind.
+    if (!forceLoad && filePath.isDefined) {
+      val claimed =
+        try tryClaim(sourceTable, filePath.get)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            return FlowResult(-1L, "failure", skipped = false,
+              Seq(DvError.from(e, s"flow $sourceTable: ingestion claim")), Map.empty)
+        }
+      if (!claimed)
+        return FlowResult(0L, "skipped", skipped = true,
+          Seq(DvError.Concurrency(
+            s"flow $sourceTable: another flow holds the ingestion claim for ${filePath.get} " +
+              "(concurrent load in progress, or a crashed run left a stale claim — " +
+              "retry with forceLoad=true or remove the metadata/.flow_claims marker)")),
+          Map.empty)
+    }
 
     // runId allocation and the start-ledger row do lake I/O — they live
     // INSIDE the try so a throw there still releases the ingestion claim
@@ -155,7 +224,7 @@ final class FlowExecutor(
     // confused with a skip by callers inspecting FlowResult.runId.
     var runId = -1L
     try {
-      runId = nextRunId()
+      runId = allocateRunId()
       logRun(sourceTable, runId, filePath, "start")
       val ctx = LoadContext(
         loadDtsOverwrite.getOrElse(new Timestamp(System.currentTimeMillis())),
@@ -191,8 +260,12 @@ final class FlowExecutor(
         // Release the claim FIRST so the file can be retried (the ledger
         // check only skips on status=success) — ordered before the
         // failure-ledger write, which itself does lake I/O and must not be
-        // able to leak the claim by throwing. forceLoad never claimed.
-        if (!forceLoad) filePath.foreach(releaseClaim(sourceTable, _))
+        // able to leak the claim by throwing. Best-effort: a throwing
+        // release (filesystem down) must not escape the catch and mask the
+        // original load error — the in-process registry entry is removed
+        // before the marker delete, so a later retry resolves through the
+        // fs marker as a typed skip. forceLoad never claimed.
+        if (!forceLoad) filePath.foreach(fp => scala.util.Try(releaseClaim(sourceTable, fp)))
         // Best-effort: when the lake is down the failure row can't land
         // anyway — the caller still gets the original error in the result.
         // No ledger row at all when nextRunId() itself threw (runId still
@@ -368,4 +441,7 @@ object FlowExecutor {
     * across processes. */
   private val localClaims =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Serializes same-process runinfo appends (see logRun). */
+  private val ledgerLock = new Object
 }

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.meta.{MetaStore, TableColumn}
 
@@ -19,12 +19,11 @@ object Staging {
   def project(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
     df.select(cols.map { case (n, t) => col(n).cast(MetaStore.sqlType(t)).as(n) }.toIndexedSeq: _*)
 
-  /** Schema from metadata staging columns (mapping == 'c', ordered by position). */
+  /** Schema from metadata staging columns (mapping == 'c', ordered by
+    * position) — delegates to the single derivation the create path uses,
+    * so load and DDL can't diverge. */
   def schemaFor(cols: Seq[TableColumn]): StructType =
-    StructType(
-      cols.filter(_.mapping == "c").sortBy(_.columnPosition)
-        .map(c => StructField(c.columnName, MetaStore.sqlType(c.columnType), nullable = true))
-    )
+    graft.dv.VaultSchemas.staging(cols)
 
   /** Load a file into a typed staging DataFrame. `fileType` inferred from the
     * extension when not given (reference behavior). CSV/JSON get the explicit
@@ -42,7 +41,18 @@ object Staging {
     val ft     = fileType.getOrElse(path.split('.').last.toLowerCase)
     ft match {
       case "csv" =>
-        spark.read.option("header", "true").schema(schema).csv(path)
+        // enforceSchema=false: with the default (true) Spark SKIPS the
+        // header row and applies the explicit schema POSITIONALLY, so a
+        // file whose column order differs from metadata columnPosition
+        // order silently loads values into the wrong columns — hash keys
+        // over the wrong business keys, a silently corrupted vault. With
+        // false, Spark validates the header names against the schema and
+        // fails loudly on a mismatch (reference CSVs carry headers that
+        // match the metadata names, so well-formed deliveries are
+        // unaffected).
+        spark.read
+          .option("header", "true").option("enforceSchema", "false")
+          .schema(schema).csv(path)
       case "json" | "jsonl" | "ndjson" =>
         spark.read.schema(schema).json(path)
       case "parquet" =>

@@ -71,13 +71,20 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        // bucket-pruned above the probe-prune gate: the anti-join only
-        // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
-        val existing = lake.readOrProbe("dv", hubTable,
-          StructType(StructField(hkName, StringType) :: Nil),
-          hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
-        lake.appendIncrementBucketedUncounted(
-          DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
+        // cached like the flow executor's hv: above the probe-prune gate
+        // the span distinct-collect is a second ACTION over the batch, and
+        // without the cache each action recomputes the source scan + hash
+        // projection.
+        hv.cache()
+        try {
+          // bucket-pruned above the probe-prune gate: the anti-join only
+          // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
+          val existing = lake.readOrProbe("dv", hubTable,
+            StructType(StructField(hkName, StringType) :: Nil),
+            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
+          lake.appendIncrementBucketedUncounted(
+            DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
+        } finally hv.unpersist()
         ()
       }
       .start()
@@ -113,12 +120,15 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-        val existing = lake.readOrProbe("dv", linkTable,
-          StructType(StructField(hkName, StringType) :: Nil),
-          hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
-        lake.appendIncrementBucketedUncounted(
-          DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
+        hv.cache() // see hubSink: two actions per batch above the gate
+        try {
+          // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
+          val existing = lake.readOrProbe("dv", linkTable,
+            StructType(StructField(hkName, StringType) :: Nil),
+            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
+          lake.appendIncrementBucketedUncounted(
+            DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
+        } finally hv.unpersist()
         ()
       }
       .start()
@@ -141,11 +151,7 @@ object StreamingDv {
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
       statePartitions: Option[Int] = None
-  ): StreamingQuery = {
-    // Payload types from the staged stream (what the writes carry) — the
-    // readOr below imposes this schema on the scan (see Lake.readOr).
-    val satSchema = graft.dv.VaultSchemas.satFromFields(
-      satHk, fields.map { case (s, t) => t -> staged.schema(s).dataType })
+  ): StreamingQuery =
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -154,24 +160,37 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        // DELTA probe only (latest-per-key where the key is staged), so
-        // the bucket-pruned read is semantics-identical (Lake.readOrProbe
-        // doc); delete detection must never use this.
-        val existing = lake.readOrProbe("dv", satTable, satSchema,
-          hv, org.apache.spark.sql.functions.col(hkSource))
-        lake.appendIncrementBucketedUncounted(
-          DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
+        hv.cache() // see hubSink: two actions per batch above the gate
+        try {
+          // Payload types from the HASH VIEW (what the writes actually
+          // carry), exactly like FlowExecutor.satLoads: a transition
+          // `transformation` can retype a payload field, and a schema built
+          // from the raw staged stream would then disagree with the written
+          // parquet — the imposed-schema read of the NEXT batch's probe
+          // would fail on the type mismatch.
+          val satSchema = graft.dv.VaultSchemas.satFromFields(
+            satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
+          // DELTA probe only (latest-per-key where the key is staged), so
+          // the bucket-pruned read is semantics-identical (Lake.readOrProbe
+          // doc); delete detection must never use this.
+          val existing = lake.readOrProbe("dv", satTable, satSchema,
+            hv, org.apache.spark.sql.functions.col(hkSource))
+          lake.appendIncrementBucketedUncounted(
+            DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
+        } finally hv.unpersist()
         ()
       }
       .start()
-  }
 
-  /** One closed (or timed-out) gap session. */
+  /** One finalized gap session. */
   final case class SessionOut(
       user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)
 
-  /** Open-session state: event-time bounds in microseconds + count. */
+  /** One pending session interval: event-time bounds in microseconds + count. */
   final case class SessionAgg(startUs: Long, endUs: Long, n: Long)
+
+  /** Per-user state: every session the watermark has not yet finalized. */
+  final case class SessionBuf(sessions: Seq[SessionAgg])
 
   private def micros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
@@ -184,53 +203,67 @@ object StreamingDv {
 
   /** Gap-based streaming sessionization — custom per-key state via
     * `flatMapGroupsWithState` (the stream twin of the batch
-    * `events_sessions` query). A session closes when a newer event starts
-    * the next one, or when the event-time watermark passes its end + gap
-    * (EventTimeTimeout), so state is bounded: one open session per user.
-    * Input needs columns (user_id, ts, event_id); `ts` must carry the
-    * watermark. Late events beyond the watermark are dropped upstream, which
-    * is what makes emitting a closed session final. */
+    * `events_sessions` query). Input needs columns (user_id, ts, event_id);
+    * `ts` must carry the watermark.
+    *
+    * FINALITY IS THE WATERMARK'S, not "a newer event opened the next
+    * session": an event admissible under the watermark can still arrive
+    * late and extend a session — or bridge two of them — so a session is
+    * emitted only once the event-time watermark passes its end + gap
+    * (nothing the stream will ever accept can touch it after that; late
+    * events beyond the watermark are dropped upstream). Eager emission on
+    * gap-exceeded-within-a-batch — the previous shape — diverged from the
+    * batch twin whenever a late-but-in-watermark event landed inside an
+    * already-emitted session (Append mode cannot retract). State therefore
+    * buffers every not-yet-final session: bounded by sessions per user
+    * within the watermark horizon (horizon/gap at worst), the price of
+    * exactly-batch semantics; one open session was only enough when
+    * emission could be eager. */
   def sessionize(events: DataFrame, gapMinutes: Int, delayThreshold: String): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
     events
       .selectExpr("user_id", "ts", "event_id")
       .withWatermark("ts", delayThreshold)
       .as[(Long, Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAgg, SessionOut](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[SessionAgg]) =>
-          val batch = rows.toSeq.sortBy(r => (micros(r._2), r._3))
-          if (batch.isEmpty) {
-            // Timeout: the watermark passed end+gap — the session can never
-            // be extended again; emit and drop the state.
-            val out = state.getOption.map(s => SessionOut(user, s.n, fromMicros(s.startUs), fromMicros(s.endUs)))
-            state.remove()
-            out.iterator
-          } else {
-            // Merge the open-session state as one more interval in event-time
-            // order with this batch's events — out-of-order arrivals (late
-            // events before, inside, or after the open session) then produce
-            // exactly the sessions the batch lag-window query would: sessions
-            // merge iff the inter-interval gap is ≤ gapUs.
-            val intervals =
-              (state.getOption.map(c => SessionAgg(c.startUs, c.endUs, c.n)).toList ++
-                batch.map { case (_, ts, _) => val t = micros(ts); SessionAgg(t, t, 1) })
-                .sortBy(s => (s.startUs, s.endUs))
-            var closed = List.empty[SessionOut]
+      .flatMapGroupsWithState[SessionBuf, SessionOut](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[SessionBuf]) =>
+          // Merge pending intervals with this batch's events (each event is
+          // a [ts,ts] interval): one sorted pass, order-of-arrival free —
+          // out-of-order events before, inside, or after a pending session
+          // produce exactly the sessions the batch lag-window query would.
+          val intervals =
+            (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
+              rows.map { case (_, ts, _) => val t = micros(ts); SessionAgg(t, t, 1) })
+              .sortBy(s => (s.startUs, s.endUs))
+          if (intervals.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            var merged = List.empty[SessionAgg]
             var cur = intervals.head
             intervals.tail.foreach { iv =>
               if (iv.startUs - cur.endUs <= gapUs)
                 cur = SessionAgg(cur.startUs, math.max(cur.endUs, iv.endUs), cur.n + iv.n)
-              else {
-                closed ::= SessionOut(user, cur.n, fromMicros(cur.startUs), fromMicros(cur.endUs))
-                cur = iv
-              }
+              else { merged ::= cur; cur = iv }
             }
-            state.update(cur)
-            state.setTimeoutTimestamp(Math.floorDiv(cur.endUs, 1000L) + gapMinutes * 60L * 1000L)
-            closed.reverseIterator
+            merged ::= cur
+            // final ⟺ watermark strictly past end+gap: any admissible
+            // future event has ts ≥ watermark > end+gap and can neither
+            // extend this session nor bridge anything into it.
+            val wmMs = state.getCurrentWatermarkMs()
+            val (done, pending) =
+              merged.reverse.partition(s => Math.floorDiv(s.endUs, 1000L) + gapMs < wmMs)
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(SessionBuf(pending))
+              // earliest possible finalization; kept ⇒ end+gap ≥ wm, and
+              // setTimeoutTimestamp requires strictly-greater — hence +1
+              state.setTimeoutTimestamp(
+                pending.map(s => Math.floorDiv(s.endUs, 1000L) + gapMs).min + 1L)
+            }
+            done.iterator.map(s => SessionOut(user, s.n, fromMicros(s.startUs), fromMicros(s.endUs)))
           }
       }
   }

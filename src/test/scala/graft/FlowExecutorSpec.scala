@@ -200,6 +200,24 @@ class FlowExecutorSpec extends SparkSpec {
     assert(after == before, s"phantom-run ledger rows appended: ${after.diff(before)}")
   }
 
+  test("concurrent run-id allocation never hands out duplicates") {
+    // nextRunId is a check-then-act ledger read; allocateRunId closes the
+    // race by claiming the candidate id with the same create-no-overwrite
+    // primitive as the ingestion claim. Twelve simultaneous allocations
+    // must return twelve distinct ids.
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val lake = new Lake(spark, tmpDir("lake_runid"), buckets = 4)
+    val flow = new FlowExecutor(lake, meta, HashGen.Md5)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val fs = (1 to 12).map(_ => Future { latch.await(); flow.allocateRunId() })
+    latch.countDown()
+    val ids = fs.map(Await.result(_, 2.minutes))
+    assert(ids.distinct.length == 12, s"duplicate run ids: ${ids.sorted.mkString(",")}")
+    assert(ids.min == 1L, "allocation starts at the ledger's max+1")
+  }
+
   test("two racing flows over one file ingest exactly once") {
     val root = tmpDir("lake")
     val lake = new Lake(spark, root, buckets = 4)

@@ -28,6 +28,20 @@ class StagingSpec extends SparkSpec {
       Seq((1L, "ann", 1.5), (2L, "bob", 2.5)))
   }
 
+  test("loadFile: csv whose header order differs from metadata fails loudly, not silently transposed") {
+    // With Spark's default enforceSchema=true the header row is skipped and
+    // the explicit schema applies POSITIONALLY — name values would land in
+    // id and vice versa, corrupting every downstream hash key. The loud
+    // failure is the contract.
+    val dir = tmpDir("stg")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.csv"), "name,id,amount\nann,1,1.5")
+    val e = intercept[Exception] {
+      Staging.loadFile(spark, meta, "t", s"$dir/bad.csv").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("loadFile: json lines and parquet round-trip through the same schema") {
     val dir = tmpDir("stg")
     java.nio.file.Files.writeString(

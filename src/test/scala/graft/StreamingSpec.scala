@@ -237,6 +237,60 @@ class StreamingSpec extends SparkSpec {
         backfill.select(keyCols.map(col): _*).collect().map(_.toSeq).toSet)
   }
 
+  test("sessionize: a late-but-in-watermark event merges into a session a newer event had already 'closed'") {
+    // The old shape emitted a session the moment a newer event opened the
+    // next one — before the watermark had passed end+gap — so a late event
+    // landing inside it could never merge (Append mode cannot retract) and
+    // the stream diverged from the batch twin: three 1-event sessions
+    // instead of [10:00–10:10](2) + [10:30](1). Finality must be the
+    // watermark's.
+    val root = tmpDir("sess_late")
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def addBatch(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val stage = s"$root/stage_$name"
+      rows.toDF("user_id", "raw_ts", "event_id")
+        .select(col("user_id"), col("raw_ts").cast("timestamp").as("ts"), col("event_id"))
+        .coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    val emittedBuf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamingDv.SessionOut])
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG").parquet(srcDir)
+      val q = StreamingDv.sessionize(events, gapMinutes = 15, delayThreshold = "1 hour")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingDv.SessionOut], _: Long) =>
+          batch.collect().foreach(emittedBuf.add)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 10:00 and 10:30 — 30 min apart (> 15 min gap), but the
+    // watermark (10:30 − 1 h) hasn't passed 10:00+gap, so NOTHING is final
+    addBatch("b1", Seq((1L, "2026-01-01 10:00:00", 1L), (1L, "2026-01-01 10:30:00", 2L)))
+    runOnce()
+    assert(emittedBuf.isEmpty, s"premature emission: $emittedBuf")
+    // batch 2: the LATE event 10:10 (admissible: ≥ 09:30 watermark) must
+    // merge into [10:00]; the 13:00 event advances the watermark to 12:00,
+    // finalizing both early sessions
+    addBatch("b2", Seq((1L, "2026-01-01 10:10:00", 3L), (1L, "2026-01-01 13:00:00", 4L)))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val out = emittedBuf.asScala.toVector.sortBy(_.session_start.getTime)
+      .map(s => (s.n_events, s.session_start.toString, s.session_end.toString))
+    assert(out == Vector(
+      (2L, "2026-01-01 10:00:00.0", "2026-01-01 10:10:00.0"),
+      (1L, "2026-01-01 10:30:00.0", "2026-01-01 10:30:00.0")), out)
+  }
+
   test("sessionize: gap sessions close across micro-batches with bounded state") {
     val root = tmpDir("sess")
     val srcDir = s"$root/src"
