@@ -100,6 +100,18 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       staged: DataFrame, stagedKey: org.apache.spark.sql.Column): DataFrame =
     readOrProbeWithSpan(layer, name, schema, staged, stagedKey)._1
 
+  /** True when [[readOrProbeWithSpan]] would engage the bucket-pruned probe
+    * for this table (exists + above the size gate). Callers use it to
+    * decide whether materializing a shared input pays: above the gate the
+    * span distinct-collect is a SECOND action over the staged batch (the
+    * streaming sinks cache their per-batch hash view for it); below it the
+    * append is the only action and a cache is pure overhead (measured
+    * +0.2–0.4 s per micro-batch on the KB-scale driver bench rows). */
+  def probeWouldEngage(layer: String, name: String, schema: StructType): Boolean =
+    exists(layer, name) &&
+      Tables.estBytesKnown(readOr(layer, name, schema))
+        .exists(_ >= Confs.probePruneMinBytes(spark.conf))
+
   /** [[readOrProbe]] also returning the staged batch's bucket span when the
     * prune engaged (None otherwise: table absent, under the size gate, or a
     * batch spanning every bucket). The span is ONE tiny distinct-collect

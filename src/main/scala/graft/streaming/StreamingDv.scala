@@ -71,20 +71,21 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        // cached like the flow executor's hv: above the probe-prune gate
-        // the span distinct-collect is a second ACTION over the batch, and
-        // without the cache each action recomputes the source scan + hash
-        // projection.
-        hv.cache()
+        val hubSchema = StructType(StructField(hkName, StringType) :: Nil)
+        // cached like the flow executor's hv — but ONLY above the probe
+        // gate, where the span distinct-collect is a second ACTION over the
+        // batch; under the gate the append is the only action and a cache
+        // is pure overhead (Lake.probeWouldEngage doc).
+        val cacheHv = lake.probeWouldEngage("dv", hubTable, hubSchema)
+        if (cacheHv) { hv.cache(); () }
         try {
           // bucket-pruned above the probe-prune gate: the anti-join only
           // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
-          val existing = lake.readOrProbe("dv", hubTable,
-            StructType(StructField(hkName, StringType) :: Nil),
+          val existing = lake.readOrProbe("dv", hubTable, hubSchema,
             hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
           lake.appendIncrementBucketedUncounted(
             DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
-        } finally hv.unpersist()
+        } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }
       .start()
@@ -120,15 +121,17 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        hv.cache() // see hubSink: two actions per batch above the gate
+        val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
+        // gate-conditioned cache — see hubSink / Lake.probeWouldEngage
+        val cacheHv = lake.probeWouldEngage("dv", linkTable, linkSchema)
+        if (cacheHv) { hv.cache(); () }
         try {
           // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-          val existing = lake.readOrProbe("dv", linkTable,
-            StructType(StructField(hkName, StringType) :: Nil),
+          val existing = lake.readOrProbe("dv", linkTable, linkSchema,
             hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
           lake.appendIncrementBucketedUncounted(
             DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
-        } finally hv.unpersist()
+        } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }
       .start()
@@ -160,16 +163,18 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        hv.cache() // see hubSink: two actions per batch above the gate
+        // Payload types from the HASH VIEW (what the writes actually
+        // carry), exactly like FlowExecutor.satLoads: a transition
+        // `transformation` can retype a payload field, and a schema built
+        // from the raw staged stream would then disagree with the written
+        // parquet — the imposed-schema read of the NEXT batch's probe
+        // would fail on the type mismatch.
+        val satSchema = graft.dv.VaultSchemas.satFromFields(
+          satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
+        // gate-conditioned cache — see hubSink / Lake.probeWouldEngage
+        val cacheHv = lake.probeWouldEngage("dv", satTable, satSchema)
+        if (cacheHv) { hv.cache(); () }
         try {
-          // Payload types from the HASH VIEW (what the writes actually
-          // carry), exactly like FlowExecutor.satLoads: a transition
-          // `transformation` can retype a payload field, and a schema built
-          // from the raw staged stream would then disagree with the written
-          // parquet — the imposed-schema read of the NEXT batch's probe
-          // would fail on the type mismatch.
-          val satSchema = graft.dv.VaultSchemas.satFromFields(
-            satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
           // DELTA probe only (latest-per-key where the key is staged), so
           // the bucket-pruned read is semantics-identical (Lake.readOrProbe
           // doc); delete detection must never use this.
@@ -177,7 +182,7 @@ object StreamingDv {
             hv, org.apache.spark.sql.functions.col(hkSource))
           lake.appendIncrementBucketedUncounted(
             DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
-        } finally hv.unpersist()
+        } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }
       .start()
