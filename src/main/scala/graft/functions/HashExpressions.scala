@@ -53,15 +53,27 @@ object DvHashRuntime {
   def hash(args: Array[UTF8String], algo: Int): UTF8String = {
     val scratch = local.get()
     // Total assembled length: fields (null ≡ empty) + 2-byte separators.
-    var len = 2 * (args.length - 1)
+    // LONG accumulation + an explicit cap: an int sum can wrap negative
+    // past 2 GiB, in which case the buffer is never grown and the
+    // unchecked Platform copy below writes past it — heap corruption, not
+    // an exception. The doubling `highestOneBit(len)*2` similarly
+    // overflows to Integer.MIN_VALUE for len > 2^30. A concatenated hash
+    // input this large is pathological input, so fail loudly.
+    var lenL = 2L * (args.length - 1)
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a != null) len += a.numBytes()
+      if (a != null) lenL += a.numBytes()
       i += 1
     }
+    if (lenL > (1L << 30))
+      throw new IllegalArgumentException(
+        s"dv-hash input row is $lenL bytes concatenated — exceeds the 1 GiB cap")
+    val len = lenL.toInt
     if (scratch.buf.length < len)
-      scratch.buf = new Array[Byte](java.lang.Integer.highestOneBit(len) * 2)
+      // long-safe doubling: highestOneBit(2^30)*2 would overflow int
+      scratch.buf = new Array[Byte](
+        math.min(1L << 30, java.lang.Integer.highestOneBit(len).toLong * 2).toInt)
     val buf = scratch.buf
     var pos = 0
     i = 0

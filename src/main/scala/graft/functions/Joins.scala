@@ -21,8 +21,18 @@ object Joins {
 
   /** Inner equi-join of `probe` (skewed side) with `build` on `keys`,
     * salted with `factor` buckets. */
+  /** Working-column names the helpers claim internally; a user column with
+    * one of these names would be silently overwritten then dropped (or fail
+    * analysis as ambiguous) — refuse loudly instead. */
+  private def requireNoReserved(probe: DataFrame, build: DataFrame, names: String*): Unit = {
+    val clash = (probe.columns ++ build.columns).toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"salted join inputs must not carry reserved working columns ${clash.mkString(", ")} — rename them first")
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     require(factor > 1, s"salt factor must be > 1, got $factor")
+    requireNoReserved(probe, build, "__salt")
     val saltedProbe = probe.withColumn(
       "__salt",
       // Deterministic per-row spread that does NOT depend on the join key —
@@ -63,13 +73,20 @@ object Joins {
       saltExpr: Column, hotThreshold: Long, factor: Int): DataFrame = {
     require(factor > 1, s"salt factor must be > 1, got $factor")
     require(hotThreshold > 0, s"hot threshold must be > 0, got $hotThreshold")
+    requireNoReserved(probe, build, "__salt", "__hot", "__cnt")
     val keyCols = keys.map(col)
     val hot = probe.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotThreshold)
       .select(keyCols :+ lit(true).as("__hot"): _*)
     val saltedProbe = probe.join(broadcast(hot), keys, "left")
       .withColumn("__salt",
-        when(col("__hot").isNotNull, pmod(saltExpr, lit(factor.toLong)).cast("int"))
+        // coalesce: a NULL saltExpr (nullable timestamp, say) would make
+        // __salt NULL on a hot-key probe row and the inner equi-join below
+        // would DROP it — breaking the bit-identical-to-plain-join
+        // contract. NULL-salt rows deterministically take cell 0, which
+        // the hot build side always replicates into.
+        when(col("__hot").isNotNull,
+          coalesce(pmod(saltExpr, lit(factor.toLong)).cast("int"), lit(0)))
           .otherwise(lit(0)))
       .drop("__hot")
     val saltedBuild = build.join(broadcast(hot), keys, "left")

@@ -34,6 +34,12 @@ object KMeans {
   /** Train `k` unit-norm centroids over `(idCol: long, vecCol: array<double>)`
     * rows; returns cent_id → centroid, cent_id in [0, k). */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    // k=0 otherwise dies with a bare division-by-zero deep in seeding and
+    // k<0 with NoSuchElementException at centroids.head — name the real error
+    require(k >= 1, s"k-means needs k >= 1, got $k")
+    // iters = 0 is meaningful: return the deterministic SEED centroids
+    // (AnnSpec's inertia baseline uses exactly this)
+    require(iters >= 0, s"k-means needs iters >= 0, got $iters")
     val spark = vecs.sparkSession
     import spark.implicits._
     // Cache the bounded TRAINING SAMPLE (below), never the full corpus —

@@ -51,6 +51,8 @@ object TextRuntime {
   * entries, allocation-free. Words must be lowercase [a-z0-9_]+. */
 final class WordDict(words: Seq[String]) extends Serializable {
   require(words.nonEmpty, "empty word set")
+  require(words.forall(_.nonEmpty),
+    s"WordDict words must be non-empty (an empty word silently never matches): $words")
   require(
     words.forall(_.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')),
     s"WordDict words must be lowercase ASCII word chars: $words")

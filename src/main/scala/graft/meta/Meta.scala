@@ -67,14 +67,23 @@ object MetaStore {
     * a wrong staging cast would corrupt every downstream hash input. */
   def sqlType(columnType: String): DataType = {
     val t = Option(columnType).getOrElse("").trim.toUpperCase
-    val base = t.takeWhile(c => c.isLetter || c == ' ' || c == '_').trim.replaceAll(" +", " ")
+    // digits are PART of the base ("INT8", "FLOAT4") — stripping them made
+    // INT8 resolve as INT → IntegerType, and the staging cast then silently
+    // NULLed every bigint above 2^31-1 straight into the hash inputs; the
+    // '(' of parameterized types (VARCHAR(255), DECIMAL(10,2)) still
+    // terminates the base.
+    val base = t.takeWhile(c => c.isLetter || c.isDigit || c == ' ' || c == '_')
+      .trim.replaceAll(" +", " ")
     base match {
       case "INTEGER" | "INT" | "INT4"           => IntegerType
       case "BIGINT" | "LONG" | "INT8"           => LongType
       case "SMALLINT" | "INT2"                  => ShortType
       case "TINYINT" | "INT1"                   => ByteType
-      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8" | "REAL" => DoubleType
-      case "FLOAT" | "FLOAT4"                   => FloatType
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8" => DoubleType
+      // REAL is a 4-byte float in the DuckDB/Postgres family this metadata
+      // format comes from — a double here renders different value strings
+      // than the reference engine and moves every downstream hash
+      case "FLOAT" | "FLOAT4" | "REAL"          => FloatType
       case "BOOLEAN" | "BOOL"                   => BooleanType
       case "DATE"                               => DateType
       case "TIMESTAMP" | "DATETIME" | "TIMESTAMP WITHOUT TIME ZONE" => TimestampType

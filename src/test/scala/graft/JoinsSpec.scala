@@ -34,6 +34,30 @@ class JoinsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("hotSaltedJoin: a NULL saltExpr on a hot-key row is kept, not dropped") {
+    // pmod(NULL, factor) is NULL and an inner equi-join on __salt would
+    // silently drop the row — breaking the identical-to-plain-join
+    // contract. NULL-salt rows must take cell 0 (always replicated).
+    val probe = ((0 until 2000).map(i => (1L, Some(i.toLong))) :+ (1L, Option.empty[Long]))
+      .toDF("bucket", "v")
+    val build = Seq((1L, 7L)).toDF("bucket", "w")
+    val plain = probe.join(build, "bucket").count()
+    val salted = Joins.hotSaltedJoin(probe, build, Seq("bucket"), col("v"),
+      hotThreshold = 100, factor = 8).count()
+    assert(salted == plain, s"salted $salted vs plain $plain — NULL-salt row lost")
+  }
+
+  test("salted joins refuse inputs carrying the reserved working columns") {
+    val p = Seq((1L, 0)).toDF("bucket", "__salt")
+    val b = Seq((1L, 1L)).toDF("bucket", "w")
+    val e = intercept[IllegalArgumentException](Joins.saltedJoin(p, b, Seq("bucket"), 4))
+    assert(e.getMessage.contains("__salt"))
+    val p2 = Seq((1L, true)).toDF("bucket", "__hot")
+    val e2 = intercept[IllegalArgumentException](
+      Joins.hotSaltedJoin(p2, b, Seq("bucket"), lit(1L), 1, 4))
+    assert(e2.getMessage.contains("__hot"))
+  }
+
   test("hotSaltedJoin: the storm bucket's pair product spreads over `factor` bounded groups") {
     val factor = 8
     val joined = Joins.hotSaltedJoinKeepSalt(

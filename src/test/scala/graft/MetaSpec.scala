@@ -16,6 +16,16 @@ class MetaSpec extends SparkSpec {
     assert(MetaStore.sqlType("DECIMAL(10,2)") == DecimalType(10, 2))
     assert(MetaStore.sqlType("NUMERIC") == DecimalType(38, 18))
     assert(MetaStore.sqlType("TIMESTAMP WITHOUT TIME ZONE") == TimestampType)
+    // digit-bearing bases: INT8 used to strip to INT → IntegerType, and the
+    // staging cast then silently NULLed every bigint above 2^31-1
+    assert(MetaStore.sqlType("INT8") == LongType)
+    assert(MetaStore.sqlType("INT4") == IntegerType)
+    assert(MetaStore.sqlType("INT2") == ShortType)
+    assert(MetaStore.sqlType("INT1") == ByteType)
+    assert(MetaStore.sqlType("FLOAT8") == DoubleType)
+    assert(MetaStore.sqlType("FLOAT4") == FloatType)
+    // REAL is float4 in the DuckDB/Postgres family the metadata comes from
+    assert(MetaStore.sqlType("REAL") == FloatType)
   }
 
   test("sqlType throws on unknown types instead of degrading to string") {
