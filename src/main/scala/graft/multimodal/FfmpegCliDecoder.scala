@@ -137,12 +137,22 @@ object FfmpegCliDecoder extends FrameDecoder {
         if (!probed) return None
         val fields = probeOut.toString("US-ASCII").trim.split(",", -1)
         if (fields.length < 3) return None
-        val w = fields(0).trim.toInt
-        val h = fields(1).trim.toInt
+        // geometry must parse (it sizes the frame buffer) — but parse it
+        // with Option, not a throw the outer catch converts to None anyway
+        val w = fields(0).trim.toIntOption.getOrElse(return None)
+        val h = fields(1).trim.toIntOption.getOrElse(return None)
         if (w <= 0 || h <= 0) return None
+        // timing degrades GRACEFULLY: ffprobe prints 'N/A' (or 0/0) for
+        // containers it can demux but not fully characterize — that must
+        // cost the fps/duration fields (0, like nb_frames' toLongOption),
+        // not the whole real decode
         val fps = fields(2).trim.split("/") match {
-          case Array(n, d) if d.trim.toDouble != 0 => n.trim.toDouble / d.trim.toDouble
-          case Array(n) => n.trim.toDouble
+          case Array(n, d) =>
+            (n.trim.toDoubleOption, d.trim.toDoubleOption) match {
+              case (Some(nv), Some(dv)) if dv != 0 => nv / dv
+              case _ => 0.0
+            }
+          case Array(n) => n.trim.toDoubleOption.getOrElse(0.0)
           case _ => 0.0
         }
         val headerFrames = if (fields.length >= 4) fields(3).trim.toLongOption.getOrElse(0L) else 0L
@@ -169,11 +179,14 @@ object FfmpegCliDecoder extends FrameDecoder {
           }
           // Cap hit: close the pipe so ffmpeg dies on EPIPE immediately
           // (instead of blocking on a full pipe until the timeout kill).
-          // The nonzero exit then fails the run → None → stub fallback: a
-          // pathological 100k+-frame single cell is refused, not half-read.
           if (frames.length >= MaxFrames) in.close()
         })
-        if (!ok || frames.isEmpty) None
+        // Refusal at the cap is decided HERE, not via ffmpeg's exit code:
+        // when the frames beyond the cap already fit in the OS pipe buffer,
+        // ffmpeg exits 0 before the close lands (no EPIPE) and an exit-code
+        // check would present a silently TRUNCATED clip as a successful
+        // decode. A pathological MaxFrames+ cell is refused, not half-read.
+        if (!ok || frames.isEmpty || frames.length >= MaxFrames) None
         else {
           val microSecPerFrame = if (fps > 0) math.round(1e6 / fps) else 0L
           Some(Multimodal.VideoDecoded(

@@ -52,7 +52,12 @@ object MjpegAviDecoder extends FrameDecoder {
         ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
       var microSec = 0L; var headerFrames = 0L; var avihW = 0; var avihH = 0
       val frameChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      val isFrame = java.util.regex.Pattern.compile("\\d\\d(dc|db)")
+      // 'NNdc'/'NNdb' frame chunks — plain char checks, no per-payload
+      // Pattern.compile on the executor hot path
+      def isFrame(fc: String): Boolean =
+        fc.length == 4 &&
+          fc.charAt(0).isDigit && fc.charAt(1).isDigit &&
+          fc.charAt(2) == 'd' && (fc.charAt(3) == 'c' || fc.charAt(3) == 'b')
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
@@ -66,7 +71,7 @@ object MjpegAviDecoder extends FrameDecoder {
             headerFrames = u32(dataStart + 16)
             avihW = u32(dataStart + 32).toInt
             avihH = u32(dataStart + 36).toInt
-          } else if (isFrame.matcher(fc).matches())
+          } else if (isFrame(fc))
             frameChunks += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
           off = dataStart + math.max(sz, 0) + (sz & 1) // chunks pad to even
         }

@@ -125,8 +125,26 @@ object Multimodal {
         // Other types (notably TYPE_BYTE_GRAY, whose getRGB applies a real
         // gray→sRGB colorspace conversion that raw raster bytes would skip)
         // keep the exact getRGB path — MultimodalSpec pins equality.
+        //
+        // Both fast paths index the data array as a TIGHTLY PACKED grid —
+        // that is a LAYOUT property, not a type property: a subimage view
+        // or a plugin that pads scanlines keeps the image type but shifts
+        // every row (silently sheared luminance). tightlyPacked verifies
+        // stride/offset/translation; any other layout takes the exact
+        // getRGB path below.
+        def tightlyPacked(comps: Int): Boolean = {
+          val r = img.getRaster
+          r.getSampleModel match {
+            case sm: java.awt.image.ComponentSampleModel =>
+              sm.getScanlineStride == w * comps && sm.getPixelStride == comps &&
+                r.getDataBuffer.getOffset == 0 && r.getDataBuffer.getNumBanks == 1 &&
+                r.getSampleModelTranslateX == 0 && r.getSampleModelTranslateY == 0
+            case _ => false
+          }
+        }
         if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
-            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte]) {
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            tightlyPacked(3)) {
           val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
           var i = 0
           var p = 0
@@ -138,7 +156,7 @@ object Multimodal {
           }
         } else if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
             img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
-            img.getRaster.getNumDataElements == 1) {
+            img.getRaster.getNumDataElements == 1 && tightlyPacked(1)) {
           // TYPE_BYTE_GRAY's getRGB is NOT identity — it routes every pixel
           // through the gray→sRGB ICC colorspace transform (native LCMS,
           // globally synchronized: the r15 media_video profile showed decode
@@ -250,22 +268,57 @@ object Multimodal {
         val st =
           if (src.matches(pcm)) in
           else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
-        val bytes = st.readAllBytes()
-        val n = bytes.length / 2
+        // The binning needs the TOTAL sample count up front (bin = i·dim/n),
+        // which the PCM stream's frame length gives without materializing
+        // the stream: readAllBytes held the whole converted clip NEXT TO the
+        // payload bytes — 2× (or more, after upconversion) peak memory per
+        // row, an executor-OOM class on hour-long clips. A fixed 64 KiB
+        // window now streams the reduction; only an unspecified frame
+        // length (not produced by the WAV paths this decoder claims) falls
+        // back to full materialization.
+        val frameBytes = 2 * src.getChannels
+        val declaredFrames = st.getFrameLength
+        val (n, reader: java.io.InputStream, fallbackBytes) =
+          if (declaredFrames > 0 && declaredFrames <= Long.MaxValue / frameBytes / 2)
+            ((declaredFrames * frameBytes / 2).min(Int.MaxValue.toLong).toInt, st, null)
+          else {
+            val all = st.readAllBytes()
+            (all.length / 2, null, all)
+          }
         if (n == 0) None
         else {
           val feature = new Array[Float](dim)
           val counts = new Array[Int](dim)
           var ampSum = 0L
-          var i = 0
-          while (i < n) {
-            val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          var i = 0L
+          def sample(lo: Int, hi: Byte): Unit = {
+            val s = (hi.toInt << 8) | lo
             val a = math.abs(s)
-            val bin = (i.toLong * dim / n).toInt
+            val bin = (i * dim / n).toInt
             feature(bin) += a / 32768.0f
             counts(bin) += 1
             ampSum += a
             i += 1
+          }
+          if (reader != null) {
+            val buf = new Array[Byte](1 << 16)
+            var carry = -1 // low byte whose high byte is in the next read
+            var read = reader.read(buf)
+            while (read > 0 && i < n) {
+              var j = 0
+              if (carry >= 0) { sample(carry, buf(0)); j = 1; carry = -1 }
+              while (j + 1 < read && i < n) { sample(buf(j) & 0xff, buf(j + 1)); j += 2 }
+              if (j < read && i < n) carry = buf(j) & 0xff
+              read = reader.read(buf)
+            }
+            // a stream shorter than its declared frame length is a corrupt
+            // container — refuse (None → stub) rather than emit bins whose
+            // denominators lie
+            if (i != n) return None
+          } else {
+            val bytes = fallbackBytes
+            var p = 0
+            while (p + 1 < bytes.length) { sample(bytes(p) & 0xff, bytes(p + 1)); p += 2 }
           }
           var b = 0
           while (b < dim) {
@@ -407,10 +460,16 @@ object Multimodal {
     out
   }
 
-  /** Per-partition batched feature extraction: iterator-to-iterator (never
-    * materializes a partition), processing `batchSize` rows at a time the
-    * way a vectorized codec / model-inference step would consume them.
-    * This is the Scala analogue of a Pandas-UDF `mapInPandas` pipeline. */
+  /** Per-partition feature extraction: iterator-to-iterator (never
+    * materializes a partition), the Scala analogue of a Pandas-UDF
+    * `mapInPandas` pipeline. Rows stream ONE at a time: the decoders here
+    * are per-row, so an `it.grouped(batchSize)` stage (the earlier shape)
+    * held `batchSize` full payloads in memory per group for identical
+    * output — 64 × a 100 MB video is 6.4 GB of peak payload footprint per
+    * task bought by a batch boundary nothing consumed. A real vectorized
+    * codec / model-inference step would re-introduce batching AT ITS OWN
+    * boundary (ids + decoded features, not raw payloads); `batchSize` is
+    * retained as that future boundary's knob. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -418,9 +477,7 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // One "codec call" per batch in a real deployment.
-          batch.iterator.map { case (id, modality, payload) =>
+        it.map { case (id, modality, payload) =>
             val bytes = Option(payload).getOrElse(Array.emptyByteArray)
             // Images, WAV audio and MJPEG/AVI video get a REAL decode
             // (javax.imageio → 8×8 luminance thumbnail; javax.sound.sampled
@@ -458,7 +515,6 @@ object Multimodal {
               case _ => stubDecode(bytes)
             }
             MediaFeature(id, modality, bytes.length, feature)
-          }
         }
       }
   }
@@ -508,13 +564,20 @@ object Multimodal {
   }
 
   /** Magic-byte modality sniffing as a codegen'd column expression (no UDF):
-    * jpeg ff d8 ff, png 89 50 4e 47, riff/wav 52 49 46 46, mp4 ftyp box. */
+    * jpeg ff d8 ff, png 89 50 4e 47, RIFF + form type (WAVE → wav,
+    * 'AVI ' → avi), mp4 ftyp box. RIFF alone is NOT wav: the container is
+    * shared — this module's own MJPEG/AVI videos are RIFF files, and
+    * classifying them audio/wav routed them down the audio path where the
+    * decode fails and the modality label lies. The form type at bytes 9–12
+    * disambiguates. */
   def sniffModality(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val head4 = hex(substring(payload, 1, 4))
+    val form = hex(substring(payload, 9, 4))
     val ftyp = hex(substring(payload, 5, 4))
     when(head4.startsWith("FFD8FF"), "image/jpeg")
       .when(head4 === "89504E47", "image/png")
-      .when(head4 === "52494646", "audio/wav")
+      .when(head4 === "52494646" && form === "57415645", "audio/wav")
+      .when(head4 === "52494646" && form === "41564920", "video/avi")
       .when(ftyp === "66747970", "video/mp4")
       .otherwise("application/octet-stream")
   }
@@ -530,7 +593,8 @@ object Multimodal {
         }
         val header: Array[Byte] = (i % 3) match {
           case 0 => Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
-          case 1 => Array(0x52, 0x49, 0x46, 0x46).map(_.toByte)
+          // full RIFF preamble incl. the WAVE form type the sniffer requires
+          case 1 => "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
           case _ => Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes
         }
         val body = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 251).toByte)

@@ -31,9 +31,9 @@ import graft.multimodal.Multimodal
 object MediaOps {
 
   private val HeaderHex = Map(
-    0 -> "FFD8FFE0",         // jpeg SOI + APP0
-    1 -> "52494646",         // 'RIFF' (wav container)
-    2 -> "0000001866747970"  // mp4 size-24 'ftyp' box
+    0 -> "FFD8FFE0",                 // jpeg SOI + APP0
+    1 -> "524946460000000057415645", // 'RIFF' + size + 'WAVE' form type
+    2 -> "0000001866747970"          // mp4 size-24 'ftyp' box
   )
 
   /** Deterministic staged media: documents ∪ re-ingested slice, binary
@@ -60,6 +60,10 @@ object MediaOps {
       .select(
         col("media_id"),
         Multimodal.sniffModality(col("payload")).as("modality"),
+        // md5 over HEX, not raw bytes: DuckDB's md5 only accepts VARCHAR
+        // (no BLOB overload), so the hex image is the cross-engine bridge
+        // the oracle hash-compare needs — the 2× hash input is the price
+        // of an exact twin, paid identically by both engines
         md5(hex(col("payload"))).as("fingerprint"))
       .groupBy(col("fingerprint"), col("modality"))
       .agg(min(col("media_id")).as("canonical_media_id"), count(lit(1)).as("n_copies"))

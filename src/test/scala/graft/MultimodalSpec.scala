@@ -23,8 +23,9 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.rdd.getNumPartitions == 4) // iterator-to-iterator, no shuffle
     val rows = f1.collect().sortBy(_.media_id)
     assert(rows.length == 20)
-    // 4-byte magic header + 64 body; mp4 carries an 8-byte ftyp box
-    assert(rows.forall(r => r.n_bytes == 68 || r.n_bytes == 72))
+    // 4-byte jpeg magic + 64 body; mp4 carries an 8-byte ftyp box; wav a
+    // full 12-byte RIFF/WAVE preamble
+    assert(rows.forall(r => r.n_bytes == 68 || r.n_bytes == 72 || r.n_bytes == 76))
     assert(rows.forall(_.feature.length == 8))
     val rows2 = Multimodal.extractFeatures(media, batchSize = 3).collect().sortBy(_.media_id)
     assert(rows.zip(rows2).forall { case (a, b) => a.feature.sameElements(b.feature) })
@@ -375,5 +376,14 @@ class MultimodalSpec extends SparkSpec {
       "image" -> "image/jpeg",
       "audio" -> "audio/wav",
       "video" -> "video/mp4"))
+    // RIFF is a SHARED container: this module's own AVI videos must sniff
+    // as video (the old first-4-bytes check sent them down the audio path),
+    // and a RIFF with an unknown form type is neither
+    val avi = Multimodal.aviMjpeg(Seq(Multimodal.jpegGray(90, 8, 8)), 8, 8)
+    val bare = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "XXXX".getBytes ++ new Array[Byte](16)
+    val sniffed = Seq(("avi", avi), ("bare", bare)).toDF("k", "payload")
+      .select(col("k"), Multimodal.sniffModality(col("payload")).as("mime"))
+      .as[(String, String)].collect().toMap
+    assert(sniffed == Map("avi" -> "video/avi", "bare" -> "application/octet-stream"), sniffed)
   }
 }
