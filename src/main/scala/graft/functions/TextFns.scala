@@ -150,9 +150,17 @@ object TextFns {
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** The SQL twin spells the whitespace class OUT: Java's `\s` (what the
+    * Spark `split` above uses) includes vertical tab \x0B, RE2's (DuckDB)
+    * does not — a document containing \x0B would count tokens differently
+    * per engine under a bare `\s+`. Same rule the URL scrub pattern
+    * already follows. */
   def wsTokenCountSql(field: String): String =
-    s"len(string_split_regex(trim($field), '\\s+'))"
+    s"len(string_split_regex(trim($field), '[ \\t\\n\\x0b\\f\\r]+'))"
 
-  /** BPE-ish sub-token pattern: letter runs, digit runs, single symbols. */
-  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  /** BPE-ish sub-token pattern: letter runs, digit runs, single symbols.
+    * ONE literal evaluated by BOTH engines (Spark regexp_count, DuckDB
+    * regexp_extract_all), so the whitespace class is explicit — a bare
+    * `\s` means different things to java.util.regex and RE2 (\x0B). */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
 }

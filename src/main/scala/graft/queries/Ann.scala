@@ -236,7 +236,10 @@ object Ann {
   /** nlist sizing shared by the trained-IVF variants — see the regime
     * analysis on [[knnIvfKmeans]]. */
   private[graft] def nlistOf(n: Long): Int =
-    math.max(4, math.min((4.0 * math.sqrt(n.toDouble)).toInt, (n / 25).toInt))
+    // clamp n/25 in LONG: at ~1e11 rows (the 100 TB design point) the int
+    // conversion wrapped negative and math.max floored nlist to 4 — every
+    // probe became a ~25% corpus scan with no error raised
+    math.max(4, math.min((4.0 * math.sqrt(n.toDouble)).toInt.toLong, n / 25).min(Int.MaxValue).toInt)
 
   /** nprobe sizing for the trained-IVF default path — the probe-side twin
     * of [[nlistOf]]'s two-regime clamp. On a small or weakly-clustered

@@ -79,18 +79,8 @@ object Dedup {
   private[graft] def docNorms(s: SparkSession, dir: String): DataFrame =
     Tables.spread(docs(s, dir).select(col("doc_id"), TextFns.norm(col("text")).as("norm")))
 
-  /** Per-doc distinct 3-shingle rows (doc_id, shingle). Typed flatMap, not
-    * explode(transform(...)): higher-order-function lambdas drop the plan to
-    * interpreted eval and get re-computed by the Filter/Project/Generate
-    * around an explode (~100x slowdown measured at sf0.1). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docNorms(s, dir)
-      .as[(Long, String)]
-      .flatMap { case (id, n) => TextFns.shinglesOf(n).map(sh => (id, sh)) }
-      .toDF("doc_id", "shingle")
-  }
-
+  /** The oracle-side shingle expansion (the Spark pipelines shingle inside
+    * their own rep-based typed scans — see dedupNgramJaccard/dedupMinhash). */
   private val ShingleRowsSqlCtes: String =
     s"""d AS (SELECT doc_id, ${TextFns.normSql("text")} AS norm FROM documents),
        | w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
@@ -1108,9 +1098,14 @@ object Dedup {
         v.select(col("vec_id"), col("vd")), cents, m = 1, outId = "vec_id")
       .withColumnRenamed("bucket", "cell")
       .join(v, "vec_id")
+    // rank ordered by vec_id (the oracle's ordering), with a content-hash
+    // tiebreak so a pathological corpus carrying DUPLICATE vec_ids still
+    // ranks deterministically run-to-run (unique ids — the expected
+    // contract — never consult it)
     val ranked = assigned.withColumn("r",
       row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cell")).orderBy(col("vec_id"))) - 1)
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("vec_id"), xxhash64(col("vd")))) - 1)
     // Band join in rank space: pair (a, b) iff 1 <= b.r - a.r <= depth.
     // a replicates to its own rank block and the next one; b keys to its
     // block — every in-band pair meets in exactly one block, so no dedup.
@@ -1123,13 +1118,22 @@ object Dedup {
       .withColumn("blk", floor(col("br") / depth))
     a.join(b, Seq("cell", "blk"))
       .filter(col("br") - col("ar") >= 1 && col("br") - col("ar") <= depth)
+      // redundant under unique vec_ids (rank order IS id order) but keeps
+      // the duplicate-id pathology from admitting a self-pair
+      .filter(col("a_id") < col("b_id"))
       .filter(VectorFns.cosine(col("avd"), col("bvd")) >= 0.95)
       .groupBy(col("b_id").as("vec_id"))
       .agg(min(col("a_id")).as("keeper_id"))
   }
 
+  /** The oracle mirrors the RANK BAND, not all-pairs-per-cell: the band is
+    * the approximation under test, and an all-pairs SQL twin would only
+    * agree while every cell is ≤ depth members — at larger corpora the
+    * engines would silently diverge on exactly the cells the depth bound
+    * exists for. Pair iff 1 ≤ b.rank − a.rank ≤ depth, same as the Spark
+    * block join. */
   val dedupSemanticSql: String =
-    """WITH aug AS (
+    s"""WITH aug AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 100000 AS vec_id,
@@ -1143,9 +1147,14 @@ object Dedup {
       |    SELECT v.vec_id, v.vd, c.cent_id,
       |           row_number() OVER (PARTITION BY v.vec_id
       |                              ORDER BY list_cosine_similarity(v.vd, c.cv) DESC, c.cent_id) AS rn
-      |    FROM v CROSS JOIN c) x WHERE rn = 1)
+      |    FROM v CROSS JOIN c) x WHERE rn = 1),
+      | ranked AS (
+      |  SELECT vec_id, vd, cell,
+      |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS r
+      |  FROM assign)
       |SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
-      |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |FROM ranked a JOIN ranked b
+      |  ON a.cell = b.cell AND b.r - a.r BETWEEN 1 AND $SemanticWindowDepth
       |WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95
       |GROUP BY 1""".stripMargin
 

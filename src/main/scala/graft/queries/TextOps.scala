@@ -115,7 +115,7 @@ object TextOps {
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(${TextFns.wsTokenCountSql("text")} AS BIGINT) AS n_words,
-       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS punct,
+       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS punct,
        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS uppers,
        |    CAST(len(regexp_extract_all(lower(text), '$StopwordsRe')) AS BIGINT) AS stops
@@ -204,7 +204,12 @@ object TextOps {
     * times; at 100 TB the scan IS the cost). */
   def corpusFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = withLangid(withQuality(docs(s, dir)))
+    // spread like textQuality: this projection fuses the quality scans,
+    // FOUR language stopword scans, and an md5 fingerprint — strictly more
+    // per-row work than textQuality's measured 2.6 s single-task at sf1 —
+    // and the docs parquet packs into 1-2 splits at bench scale. No-op on
+    // many-split inputs.
+    val base = withLangid(withQuality(Tables.spread(docs(s, dir))))
       .select(
         col("doc_id"), col("quality_score"), col("detected_lang"),
         md5(TextFns.norm(col("text"))).as("fingerprint"))
