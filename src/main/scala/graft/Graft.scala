@@ -232,9 +232,20 @@ final class Graft(
 
   /** Compact a vault table and re-register any current view pinned to its
     * old files ([[Lake.compact]] alone would leave `<sat>_cv` chasing
-    * deleted parts). */
+    * deleted parts). Satellites are rewritten sorted by (hk, load_dts)
+    * within each output file: as-of queries (PIT) filter `load_dts` across
+    * the full history, and parquet min/max row-group pruning only engages
+    * when rows are load_dts-clustered within files — append order
+    * interleaves ranges and defeats it. */
   def compact(layer: String, name: String): (Long, Long) = {
-    val r = lake.compact(layer, name)
+    val sortBy =
+      if (layer == "dv" && (name.startsWith("hsat_") || name.startsWith("lsat_")))
+        dvSchemaOf(name).map(_.fieldNames.toSeq).collect {
+          case names if names.length >= 2 && names.contains("load_dts") =>
+            Seq(names.head, "load_dts")
+        }.getOrElse(Nil)
+      else Nil
+    val r = lake.compact(layer, name, sortBy)
     refreshCurrentViews(Some(Set(name)))
     r
   }

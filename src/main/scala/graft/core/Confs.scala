@@ -106,6 +106,26 @@ object Confs {
     b
   }
 
+  val ClaimsRequireAtomicKey = "spark.graft.claims.requireAtomic"
+
+  /** Capability posture for the flow executor's claim markers (run-id
+    * allocation + ingestion claims), whose cross-process atomicity comes
+    * from the store's create-fails-if-exists primitive. S3-class flat
+    * object stores don't provide it (create(overwrite=false) is a
+    * HEAD-then-PUT, not conditional), so on those stores cross-process
+    * claim arbitration is ADVISORY. Default false = warn once per
+    * filesystem and proceed (same-JVM races stay fully arbitrated by the
+    * in-process registry); true = fail fast with a typed Configuration
+    * error — for deployments that rely on CONCURRENT flows over one lake
+    * and must not silently lose the claim guarantee. */
+  def claimsRequireAtomic(conf: RuntimeConfig): Boolean =
+    conf.getOption(ClaimsRequireAtomicKey).map(_.trim.toLowerCase) match {
+      case None | Some("false") => false
+      case Some("true")         => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"$ClaimsRequireAtomicKey must be true|false, got '$other'")
+    }
+
   /** The `spark.graft.skewGuard` mode itself: off | force | auto.
     *
     * DEFAULT `auto` (flipped r15): the size-gated, file-memoized histogram

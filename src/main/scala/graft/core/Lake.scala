@@ -49,8 +49,50 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     fs.exists(p)
   }
 
+  private def fsOf(p: Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generation number of a `_gen-N` directory name, None for anything else
+    * (flat data files, `hk_bucket=` partition dirs, markers). */
+  private def genNumber(p: Path): Option[Long] =
+    if (p.getName.startsWith(Lake.GenPrefix))
+      p.getName.stripPrefix(Lake.GenPrefix).toLongOption.filter(_ > 0)
+    else None
+
+  /** (generation number, directory) of the highest COMMITTED generation
+    * under the table root, None when the table is flat (or absent).
+    * Commit = the `_graft_committed` marker file exists inside the
+    * generation dir — its CREATE is the compaction's atomic commit point
+    * on every store (HDFS create, S3 PUT, local FS: the object either
+    * exists or it doesn't; no rename involved). Cost: one listStatus of
+    * the table ROOT (entries = bucket dirs + generation dirs, both
+    * configuration-scale) plus one exists per generation dir present
+    * (≤ 2 in steady state: current + the retained previous). */
+  private def currentGen(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[(Long, Path)] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => genNumber(s.getPath).map(_ -> s.getPath))
+      .filter { case (_, p) => fs.exists(new Path(p, Lake.CommitMarker)) }
+      .reduceOption((a, b) => if (a._1 >= b._1) a else b)
+
+  /** The directory holding the table's CURRENT data: the highest committed
+    * generation (`{table}/_gen-N/`) once the table has been compacted, else
+    * the table directory itself — the flat layout every table is born with
+    * and keeps until its first compaction. All lake reads and appends
+    * resolve through this, so a compaction's generation swap is invisible
+    * to callers. Generation dirs start with `_`, which Spark's file index
+    * treats as hidden — a reader of the FLAT layout never sees a staged
+    * generation being written next to its data. External engines reading a
+    * lake table directly should read this resolved directory, not glob the
+    * table root. */
+  def dataPath(layer: String, name: String): String = {
+    val root = new Path(tablePath(layer, name))
+    currentGen(fsOf(root), root).map(_._2.toString).getOrElse(root.toString)
+  }
+
   def read(layer: String, name: String): DataFrame =
-    spark.read.parquet(tablePath(layer, name))
+    spark.read.parquet(dataPath(layer, name))
 
   /** Read, or an empty frame of `schema` when the table doesn't exist yet.
     *
@@ -71,7 +113,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       // The select drops DISCOVERED partition columns (hk_bucket): a
       // user-specified schema governs data columns, but partition
       // discovery still appends directory-derived ones.
-      spark.read.schema(schema).parquet(tablePath(layer, name))
+      spark.read.schema(schema).parquet(dataPath(layer, name))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -133,7 +175,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         .collect().map(_.getLong(0))
       if (buckets.length >= bucketCount) (full, None)
       else {
-        val pruned = spark.read.schema(schema).parquet(tablePath(layer, name))
+        val pruned = spark.read.schema(schema).parquet(dataPath(layer, name))
           // predicate on the DISCOVERED partition column, applied before
           // the imposed-schema select drops it — evaluated driver-side by
           // the file index, so only the staged buckets' files are read
@@ -231,7 +273,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   def appendIncrementBucketed(
       rows: DataFrame, layer: String, name: String, keyCol: String,
       listingSpan: Option[Array[Long]] = None): Long = {
-    val path = new Path(tablePath(layer, name))
+    // the CURRENT data dir: post-compaction appends land (and are counted)
+    // inside the committed generation, not the table root
+    val path = new Path(dataPath(layer, name))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // The exists() guard runs ONLY at each root (a span bucket dir may not
     // exist yet); see parquetLeaves for the inner-directory RPC economics.
@@ -308,7 +352,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     val bucketed = df.withColumn("hk_bucket", bucketOf(col(keyCol)))
     bucketed
       .repartition(bucketCount, col("hk_bucket"))
-      .write.mode("append").partitionBy("hk_bucket").parquet(tablePath(layer, name))
+      // resolved dir, not the table root: post-compaction appends belong to
+      // the committed generation (the root's flat files are superseded data
+      // retained only for in-flight readers)
+      .write.mode("append").partitionBy("hk_bucket").parquet(dataPath(layer, name))
     refresh(layer, name)
   }
 
@@ -316,21 +363,43 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * task, and a long-lived vault accumulates small files (the classic
     * 100 TB lake operations problem). Rewrites each bucket into
     * ~`spark.graft.compact.targetBytes`-sized files (one file while the
-    * bucket fits under the target) via a staged directory + swap, so
-    * readers never observe a HALF-compacted (mixed old/new) table. Returns
-    * (files before, files after).
+    * bucket fits under the target) as a NEW GENERATION directory
+    * (`{table}/_gen-N/`), committed by creating one small marker file —
+    * readers never observe a half-compacted (mixed old/new) table, and
+    * never a missing one. Returns (files before, files after).
     *
-    * CONCURRENCY CONTRACT: compaction extends the lake's single-writer
-    * contract to readers — between `rename(path, backup)` and
-    * `rename(staged, path)` the table path is ABSENT, so a reader resolving
-    * the table in that window fails loudly with path-not-found (it can
-    * never see stale or mixed data). Schedule compaction in a window with
-    * no concurrent readers of the table (the flow executor's claim file is
-    * the natural mutex for flow-managed tables). Supporting readers DURING
-    * compaction would need an atomic generation-pointer layout
-    * (`{table}/_current` naming a generation directory) — deliberately not
-    * paid here; the two-rename swap keeps the layout a plain parquet
-    * directory that any engine can read.
+    * COMMIT POSTURE (generation layout, r18 — replaced the two-rename
+    * swap): the staged generation is written next to the live data
+    * (underscore-prefixed, so Spark's file index hides it from flat-layout
+    * readers), and the commit is the CREATE of `_gen-N/_graft_committed` —
+    * a single small-object write, atomically visible on every store: HDFS
+    * create, S3-class PUT (no rename anywhere — S3 rename is copy+delete
+    * and was the old swap's silent failure mode), local FS. Readers
+    * resolve [[dataPath]] = highest committed generation; a reader
+    * resolving at any moment during compaction sees the OLD generation
+    * (before the marker lands) or the NEW one (after), never an absent or
+    * mixed table. A crashed compaction leaves an uncommitted `_gen-N`
+    * that resolution ignores and the next compact deletes.
+    *
+    * RETENTION: the superseded data (previous generation, or the root's
+    * flat files on first compaction) is kept until the NEXT compaction
+    * ([[expireSuperseded]] runs at compact start) — so a reader that
+    * resolved its file listing just before the commit can finish its scan;
+    * the no-concurrent-reader window of the old swap is gone on every
+    * store. Steady-state cost: ≤ 2× table storage between compactions;
+    * call [[expireSuperseded]] explicitly once in-flight readers are
+    * known drained to reclaim earlier. Catalog tables registered over the
+    * FLAT path (Graft registers staging tables this way) must be
+    * re-registered after a first compaction — engine paths never compact
+    * staging tables.
+    *
+    * `sortBy`: optional within-chunk sort columns for the rewrite. Vault
+    * satellites pass (hk, load_dts): as-of queries filter `load_dts` over
+    * the full history, and parquet row-group stats only prune when rows
+    * are clustered on the filtered column within each file — unsorted
+    * compaction output interleaves load_dts ranges across row groups and
+    * defeats min/max pruning. Sorting inside each (bucket, chunk) write
+    * task costs one spillable sort per task and changes no result.
     *
     * The size cap matters at production bucket sizes: one-file-per-bucket
     * makes compaction a single-task multi-GB write per bucket (wall time =
@@ -344,14 +413,22 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * then emits one ~2×-target file) — the cap is a parallelism/restart
     * bound, not an exact packing, and the one-exchange append invariant
     * ([[appendBucketed]]) is untouched. */
-  def compact(layer: String, name: String): (Long, Long) = {
-    val path = new Path(tablePath(layer, name))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def compact(layer: String, name: String, sortBy: Seq[String] = Nil): (Long, Long) = {
+    val root = new Path(tablePath(layer, name))
+    val fs = fsOf(root)
+    // Reclaim data superseded by the CURRENT generation (kept one cycle for
+    // in-flight readers) and any uncommitted staged generation a crashed
+    // compaction left — also what keeps the flat-layout walk below from
+    // counting a leftover `_gen` dir's leaves.
+    expireSuperseded(layer, name)
+    val cur = currentGen(fs, root)
+    val curDir = cur.map(_._2).getOrElse(root)
+    val nextN = cur.map(_._1 + 1L).getOrElse(1L)
     // ONE pre-rewrite walk serves both the before-count and the per-bucket
     // byte sizing below (a leaf's bucket is its parent dir's partition
     // value) — a second full walk doubled the driver metadata RPCs per
     // compaction on remote stores.
-    val leaves = parquetLeaves(fs, path).toArray
+    val leaves = parquetLeaves(fs, curDir).toArray
     val before = leaves.length.toLong
     // mergeSchema: compaction REWRITES the table, so it must read the UNION
     // of every file's schema. Plain inference picks one footer; on a
@@ -361,8 +438,11 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     // footer-merge job is proportional to file count, which a compaction
     // pays anyway; readOr's imposed-metadata-schema contract covers normal
     // reads, but compact cannot assume a caller-supplied schema.
-    val df = spark.read.option("mergeSchema", "true").parquet(tablePath(layer, name))
-    val staged = new Path(tablePath(layer, s"__compact_$name"))
+    val df = spark.read.option("mergeSchema", "true").parquet(curDir.toString)
+    // applied AFTER the (bucket, chunk) exchange, inside each write task
+    def sorted(d: DataFrame): DataFrame =
+      if (sortBy.isEmpty) d else d.sortWithinPartitions(sortBy.map(col): _*)
+    val staged = new Path(root, s"${Lake.GenPrefix}$nextN")
     fs.delete(staged, true)
     if (df.columns.contains("hk_bucket")) {
       val target = Confs.compactTargetBytes(spark.conf)
@@ -396,29 +476,53 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         coalesce(
           element_at(typedLit(chunksOf), col("hk_bucket").cast("long")),
           lit(1)))
-      df.withColumn("__chunk", chunk)
-        .repartition(totalChunks, col("hk_bucket"), col("__chunk"))
+      sorted(
+        df.withColumn("__chunk", chunk)
+          .repartition(totalChunks, col("hk_bucket"), col("__chunk")))
         .drop("__chunk")
         .write.partitionBy("hk_bucket").parquet(staged.toString)
     }
     // inputFiles length instead of df.rdd.getNumPartitions (the latter
     // materializes the physical RDD driver-side); compaction targets ~8
     // input files per output file.
-    else df.coalesce(math.max(1, df.inputFiles.length / 8)).write.parquet(staged.toString)
-    val backup = new Path(tablePath(layer, s"__backup_$name"))
-    fs.delete(backup, true)
-    // Hadoop FileSystem.rename signals most failures by RETURNING FALSE —
-    // check both hops and restore the original on a failed swap; the backup
-    // is only dropped after the new data is in place.
-    if (!fs.rename(path, backup))
-      throw new java.io.IOException(s"compact: could not move $path aside")
-    if (!fs.rename(staged, path)) {
-      fs.rename(backup, path) // restore; staged remains for inspection
-      throw new java.io.IOException(s"compact: could not move compacted data into $path (original restored)")
-    }
-    fs.delete(backup, true)
+    else sorted(df.coalesce(math.max(1, df.inputFiles.length / 8)))
+      .write.parquet(staged.toString)
+    // THE COMMIT: one small-file create (atomic visibility on every store —
+    // no renames). Before it, readers resolve the old generation; after it,
+    // the new one. A crash before this line leaves an uncommitted staged
+    // dir that resolution ignores.
+    fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
     refresh(layer, name)
-    (before, parquetLeaves(fs, path).size.toLong)
+    (before, parquetLeaves(fs, staged).size.toLong)
+  }
+
+  /** Delete data superseded by the table's current committed generation:
+    * committed generations BELOW the current one, uncommitted staged
+    * generations (crashed compactions), and — once any generation is
+    * committed — the legacy flat data files in the table root. Runs
+    * automatically at the start of every [[compact]] (so superseded data
+    * survives exactly one compaction cycle for in-flight readers — see the
+    * retention note there); call directly to reclaim the ≤ 2× storage
+    * earlier once concurrent readers are known drained. Returns the number
+    * of root entries deleted. No-op on a flat table with no generation
+    * leftovers. */
+  def expireSuperseded(layer: String, name: String): Long = {
+    val root = new Path(tablePath(layer, name))
+    val fs = fsOf(root)
+    if (!fs.exists(root)) return 0L
+    val cur = currentGen(fs, root)
+    val doomed = fs.listStatus(root).iterator.filter { s =>
+      genNumber(s.getPath) match {
+        // a generation dir: superseded or uncommitted unless it IS current
+        case Some(n) => !cur.exists(_._1 == n)
+        // non-generation root entry (flat part files, hk_bucket= dirs,
+        // _SUCCESS): legacy data once any generation is committed
+        case None => cur.isDefined
+      }
+    }.map(_.getPath).toArray
+    doomed.foreach(fs.delete(_, true))
+    if (doomed.nonEmpty) refresh(layer, name)
+    doomed.length.toLong
   }
 
   /** Point lookup on a bucketed vault table: recomputes the key's bucket and
@@ -458,4 +562,11 @@ object Lake {
   val DefaultBuckets = 16
   /** Sentinel default for the constructor arg: "resolve from conf". */
   val FromConf: Int = -1
+  /** Generation-directory name prefix (`{table}/_gen-N/`). Underscore:
+    * Spark's file index treats `_`/`.`-prefixed paths as hidden, so a
+    * staged generation is invisible to readers of the flat layout. */
+  val GenPrefix = "_gen-"
+  /** Marker file whose CREATE inside a generation dir is compaction's
+    * atomic commit point ([[Lake.compact]] commit posture). */
+  val CommitMarker = "_graft_committed"
 }

@@ -69,9 +69,10 @@ final class FlowExecutor(
     * so two flows over DIFFERENT files can both read max+1 before either
     * writes its start row and stamp every vault audit column with the same
     * run_id. The candidate id is therefore CLAIMED with the same
-    * create-no-overwrite primitive as the ingestion claim (atomic on HDFS;
-    * the JVM-wide registry arbitrates same-process races); losers walk
-    * forward. A crash between claim and ledger start-row leaves a marker
+    * create-no-overwrite primitive as the ingestion claim (atomic on
+    * HDFS/ABFS/file; capability-gated on flat object stores — see
+    * [[FlowExecutor.gateClaimStore]]; the JVM-wide registry arbitrates
+    * same-process races); losers walk forward. A crash between claim and ledger start-row leaves a marker
     * with no ledger row — later allocations skip that id rather than reuse
     * one that may have partially stamped vault rows. Markers are empty
     * files under `metadata/.run_ids`, one per run ever allocated (same
@@ -79,6 +80,7 @@ final class FlowExecutor(
   private[graft] def allocateRunId(): Long = {
     val dir = new Path(lake.tablePath("metadata", ".run_ids"))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FlowExecutor.gateClaimStore(fs, spark.conf, "run-id")
     fs.mkdirs(dir)
     var id = nextRunId()
     def claim(id: Long): Boolean = {
@@ -107,9 +109,10 @@ final class FlowExecutor(
     * above is check-then-act: two concurrent flows over the same file both
     * see "not ingested" and double-load. The claim closes the race — a
     * marker file under the lake's metadata layer, acquired with the Hadoop
-    * FS create-fails-if-exists primitive (atomic on HDFS; local FS gets the
-    * additional JVM-wide [[FlowExecutor.localClaims]] guard, which also
-    * makes same-process races deterministic). The reference needs none of
+    * FS create-fails-if-exists primitive (atomic on HDFS/ABFS; local FS
+    * gets the additional JVM-wide [[FlowExecutor.localClaims]] guard, which
+    * also makes same-process races deterministic; S3-class flat stores are
+    * capability-gated — [[FlowExecutor.gateClaimStore]]). The reference needs none of
     * this: it inherits DuckDB's transactionality
     * (db/database_connection.py); a lake claims explicitly.
     *
@@ -134,9 +137,12 @@ final class FlowExecutor(
     * error turns into "another flow holds it" forever. */
   private def tryClaim(sourceTable: String, filePath: String): Boolean = {
     val p = claimPath(sourceTable, filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // gate BEFORE the registry insert: a requireAtomic throw must not leave
+    // a stale in-process entry blocking this (source, file) forever
+    FlowExecutor.gateClaimStore(fs, spark.conf, "ingestion")
     if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
       return false
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       fs.mkdirs(p.getParent)
       val out = fs.create(p, /* overwrite = */ false) // the atomic arbiter
@@ -444,4 +450,46 @@ object FlowExecutor {
 
   /** Serializes same-process runinfo appends (see logRun). */
   private val ledgerLock = new Object
+
+  /** Filesystem schemes whose plain create() is NOT a conditional write —
+    * flat object stores where two processes can both "create" the same
+    * marker and both believe they won (S3-class: create(overwrite=false)
+    * is HEAD-then-PUT). HDFS, local file (plus the JVM registry), and
+    * hierarchical-namespace stores (abfs/ADLS Gen2) ARE atomic. Hadoop
+    * exposes no path capability for this (checked CommonPathCapabilities,
+    * Hadoop 3.4), so the gate is a scheme list; unknown schemes are
+    * assumed atomic and documented in README's deployment notes. */
+  private val nonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "wasb", "wasbs", "swift", "oss", "cos", "obs")
+
+  /** Schemes already warned about in this JVM (warn once, not per claim). */
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Capability gate for the claim primitives ([[Confs.claimsRequireAtomic]]
+    * doc): on a store whose create is not conditional, either fail fast
+    * (requireAtomic=true — typed Configuration error naming the conf) or
+    * warn once per scheme and proceed with ADVISORY cross-process claims
+    * (same-JVM arbitration via [[localClaims]] is unaffected). */
+  private[graft] def gateClaimStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.spark.sql.RuntimeConfig,
+      what: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (nonAtomicCreateSchemes(scheme)) {
+      if (graft.core.Confs.claimsRequireAtomic(conf))
+        throw new DvException(DvError.Configuration(
+          s"$what claim markers are on '$scheme', whose create() is not a conditional " +
+            s"write — cross-process claim arbitration would be advisory. Host the lake's " +
+            s"metadata layer on an atomic-create store (HDFS/ABFS/file), serialize flows " +
+            s"externally, or unset ${graft.core.Confs.ClaimsRequireAtomicKey} to proceed " +
+            s"with advisory claims."))
+      else if (warnedSchemes.add(scheme))
+        Console.err.println(
+          s"[graft] WARNING: $what claim markers on '$scheme' rely on create-no-overwrite, " +
+            s"which this store does not provide atomically; cross-process claim arbitration " +
+            s"is advisory here (same-JVM flows stay fully arbitrated). Set " +
+            s"${graft.core.Confs.ClaimsRequireAtomicKey}=true to fail fast instead.")
+    }
+  }
 }

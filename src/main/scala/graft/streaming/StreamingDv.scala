@@ -26,8 +26,32 @@ import graft.meta.Transition
   *  - [[windowedCounts]]: event-time windowed aggregation with a watermark
   *    bounding state (late rows beyond the watermark are dropped, state for
   *    closed windows is evicted — the 100 TB stream posture).
+  *
+  * CRASH RECOVERY (foreachBatch replay): the appends are NOT transactional
+  * writes — a crash after a batch's append lands but before Spark writes
+  * the batch's commit-log entry re-delivers the WHOLE batch on restart
+  * (same batchId, same data; the offset log pins the range). All three DV
+  * sinks are EFFECTIVELY idempotent under that replay, which is what makes
+  * them exactly-once in vault state despite at-least-once delivery:
+  * re-delivered hub/link keys anti-join away against the rows the crashed
+  * attempt already wrote, and re-delivered satellite rows compare equal to
+  * the latest hash_diff (which the crashed append just updated) and insert
+  * nothing. The recovered vault is row-identical — run_id included, since
+  * run_id = the replayed batchId and load_dts is the caller's pinned value
+  * (pass `loadDts` in production restarts for bit-stable audit columns; a
+  * wall-clock default would differ on the retry, a second version row
+  * would NOT be created either way). Pinned by StreamingSpec "crash
+  * between append and checkpoint commit". The plain parquet batch sinks
+  * (e.g. [[windowedCounts]]'s) have no such probe and are NOT
+  * replay-idempotent — they rely on the query completing.
   */
 object StreamingDv {
+
+  /** Test seam for the crash-recovery proof: invoked after a DV sink's
+    * append has landed, BEFORE foreachBatch returns — i.e. before Spark
+    * writes the batch's commit-log entry. A throw here IS the mid-batch
+    * crash window (append durable, checkpoint not). No-op in production. */
+  private[graft] var afterAppendHook: (String, Long) => Unit = (_, _) => ()
 
   /** Per-stream shuffle/state partition sizing for the micro-batch plans.
     * Streaming tasks pay a FIXED per-task setup (state/codegen init, commit
@@ -85,6 +109,7 @@ object StreamingDv {
             hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
           lake.appendIncrementBucketedUncounted(
             DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
+          afterAppendHook(hubTable, batchId)
         } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }
@@ -131,6 +156,7 @@ object StreamingDv {
             hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
           lake.appendIncrementBucketedUncounted(
             DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
+          afterAppendHook(linkTable, batchId)
         } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }
@@ -182,6 +208,7 @@ object StreamingDv {
             hv, org.apache.spark.sql.functions.col(hkSource))
           lake.appendIncrementBucketedUncounted(
             DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
+          afterAppendHook(satTable, batchId)
         } finally if (cacheHv) { hv.unpersist(); () }
         ()
       }

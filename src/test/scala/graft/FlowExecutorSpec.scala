@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Lake
 import graft.dv.HashGen
-import graft.etl.{DvError, FlowExecutor}
+import graft.etl.{DvError, DvException, FlowExecutor}
 import graft.meta.{MetaStore, TableColumn, Transition}
 
 class FlowExecutorSpec extends SparkSpec {
@@ -314,5 +314,30 @@ class FlowExecutorSpec extends SparkSpec {
 
     // no link transitions -> link load is a no-op, not an error
     assert(flow.loadRelatedLinks("customer", 2L, "unit", ts).isEmpty)
+  }
+
+  test("claim capability gate: S3-class schemes fail fast under requireAtomic, atomic schemes always pass") {
+    // a local FS masquerading as s3a — the gate keys on the scheme only
+    def fakeFs(scheme: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.RawLocalFileSystem() {
+        override def getUri: java.net.URI = java.net.URI.create(s"$scheme://bucket")
+      }
+    // default posture: advisory — warn (once), do not throw
+    FlowExecutor.gateClaimStore(fakeFs("s3a"), spark.conf, "test")
+    // atomic stores pass even under requireAtomic
+    try {
+      spark.conf.set(graft.core.Confs.ClaimsRequireAtomicKey, "true")
+      FlowExecutor.gateClaimStore(fakeFs("hdfs"), spark.conf, "test")
+      FlowExecutor.gateClaimStore(fakeFs("abfs"), spark.conf, "test")
+      FlowExecutor.gateClaimStore(fakeFs("file"), spark.conf, "test")
+      val e = intercept[DvException](
+        FlowExecutor.gateClaimStore(fakeFs("s3a"), spark.conf, "run-id"))
+      assert(e.error.isInstanceOf[DvError.Configuration])
+      assert(e.getMessage.contains(graft.core.Confs.ClaimsRequireAtomicKey))
+      assert(e.getMessage.contains("s3a"))
+      // wasb (flat blob) gated too
+      intercept[DvException](
+        FlowExecutor.gateClaimStore(fakeFs("wasb"), spark.conf, "ingestion"))
+    } finally spark.conf.unset(graft.core.Confs.ClaimsRequireAtomicKey)
   }
 }

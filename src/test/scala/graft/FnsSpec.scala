@@ -190,8 +190,10 @@ class FnsSpec extends SparkSpec {
       spark.conf.set(graft.core.Confs.CompactTargetBytesKey, (64L << 10).toString)
       val (before, after) = lake.compact("dv", "big")
       assert(after > 2, s"oversized buckets must split: $before -> $after files")
-      // every bucket dir got multiple files, none wildly above target
-      val base = new java.io.File(s"$root/dv/big")
+      // every bucket dir got multiple files, none wildly above target —
+      // inside the committed generation dir (the r18 layout), not the root
+      val base = new java.io.File(
+        lake.dataPath("dv", "big").stripPrefix("file:"))
       val bucketDirs = base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("hk_bucket="))
       assert(bucketDirs.length == 2)
       bucketDirs.foreach { d =>

@@ -157,6 +157,64 @@ class ScratchSpec extends SparkSpec {
     assert(all.length == 8 && all.distinct.length == 8, all.mkString(","))
   }
 
+  test("compact is a committed-generation swap: a concurrent reader sees old or new data, never absent or mixed") {
+    import spark.implicits._
+    val root = tmpDir("genswap")
+    val lake = new graft.core.Lake(spark, root, buckets = 4)
+    (1 to 3).foreach { g =>
+      lake.appendBucketed(
+        spark.range(g * 100L, g * 100L + 50L).selectExpr("cast(id as string) as hk", "id as v"),
+        "dv", "t", "hk")
+    }
+    val expected = lake.read("dv", "t").agg(sum(col("v"))).head().getLong(0)
+
+    // a reader whose file listing resolved BEFORE the compaction commit
+    val oldReader = lake.read("dv", "t")
+
+    val (before, after) = lake.compact("dv", "t")
+    assert(after <= before)
+
+    // post-commit: new readers resolve the committed generation
+    assert(lake.dataPath("dv", "t").contains(graft.core.Lake.GenPrefix))
+    assert(lake.read("dv", "t").count() == 150)
+    assert(lake.read("dv", "t").agg(sum(col("v"))).head().getLong(0) == expected)
+
+    // the pre-commit reader COMPLETES its scan: superseded data is retained
+    // one compaction cycle — the old two-rename swap's absent-table window
+    // is gone on every store (the commit is one marker-file create)
+    assert(oldReader.agg(sum(col("v"))).head().getLong(0) == expected)
+
+    // an UNCOMMITTED staged generation (crashed compaction) is invisible to
+    // resolution — no marker, no data change
+    spark.range(5).selectExpr("cast(id as string) as hk", "id as v")
+      .write.parquet(s"$root/dv/t/${graft.core.Lake.GenPrefix}99")
+    assert(lake.read("dv", "t").count() == 150)
+
+    // the next compact expires the crashed leftover AND the legacy flat
+    // files, then commits generation 2; generation 1 is retained one cycle
+    lake.compact("dv", "t")
+    assert(lake.dataPath("dv", "t").endsWith(s"${graft.core.Lake.GenPrefix}2"))
+    assert(lake.read("dv", "t").count() == 150)
+    val fsPath = new org.apache.hadoop.fs.Path(lake.tablePath("dv", "t"))
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rootChildren: Set[String] = fs.listStatus(fsPath).map(_.getPath.getName).toSet
+    assert(rootChildren == Set(s"${graft.core.Lake.GenPrefix}1", s"${graft.core.Lake.GenPrefix}2"),
+      rootChildren.mkString(","))
+
+    // explicit early reclaim once in-flight readers are drained
+    lake.expireSuperseded("dv", "t")
+    assert(rootChildren == Set(s"${graft.core.Lake.GenPrefix}2"), rootChildren.mkString(","))
+
+    // appends after compaction land INSIDE the committed generation, read
+    // back through the same resolution, and bucket-pruned lookups still work
+    lake.appendBucketed(
+      spark.range(1000L, 1010L).selectExpr("cast(id as string) as hk", "id as v"),
+      "dv", "t", "hk")
+    assert(lake.read("dv", "t").count() == 160)
+    assert(lake.lookupBucketed("dv", "t", "hk", "1005").select("v").as[Long].head() == 1005L)
+    assert(rootChildren == Set(s"${graft.core.Lake.GenPrefix}2"), rootChildren.mkString(","))
+  }
+
   test("dedup cc landing honors the scratch root end-to-end") {
     val root = tmpDir("graft_scratch_root_")
     val out = withRoot(root) {

@@ -118,6 +118,105 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(graft.core.Confs.ProbePruneMinBytesKey)
   }
 
+  test("crash between append and checkpoint commit: restart replays the batch, vault equals a no-crash run (run_id included)") {
+    // The crash-recovery proof (SURVEY §2 #16 posture): foreachBatch
+    // re-delivers a batch whose append landed but whose commit-log entry
+    // never did. The DV sinks' probes must make that replay EFFECTIVELY
+    // idempotent — the recovered vault must be row-identical (audit columns
+    // included) to a run that never crashed.
+    val loadDts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val satTransitions = transitions ++ Seq(
+      Transition("s", "name", "hsat_user", "name", "user_details", 1, raw = false, None, "f"))
+
+    // two mtime-ordered files → two micro-batches under maxFilesPerTrigger=1;
+    // batch 1 carries a re-delivery (1/ann), a changed payload (2/bobby) and
+    // a new key (3/cat) — all three replay decisions exercised
+    def mkSource(root: String): String = {
+      val srcDir = s"$root/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val base = System.currentTimeMillis() - 3600000L
+      def add(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        rows.toDF("id", "name").coalesce(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dst = java.nio.file.Paths.get(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        assert(dst.toFile.setLastModified(mtime))
+      }
+      add("b0", Seq((1L, "ann"), (2L, "bob")), base)
+      add("b1", Seq((1L, "ann"), (2L, "bobby"), (3L, "cat")), base + 60000L)
+      srcDir
+    }
+
+    def staged(srcDir: String) = spark.readStream
+      .schema("id LONG, name STRING").option("maxFilesPerTrigger", "1").parquet(srcDir)
+
+    def hubOnce(lake: Lake, srcDir: String, ckpt: String) =
+      StreamingDv.hubSink(lake, staged(srcDir), satTransitions, "hub_user", "user",
+        Seq("id" -> "id_bk"), "crash-test", ckpt, graft.dv.HashGen.Md5,
+        loadDts = Some(loadDts))
+    def satOnce(lake: Lake, srcDir: String, ckpt: String) =
+      StreamingDv.satSink(lake, staged(srcDir), satTransitions, "hsat_user",
+        hkSource = "user_hk", hashdiffField = "user_details_hashdiff",
+        fields = Seq("name" -> "name"), satHk = "user_hk", "crash-test", ckpt,
+        graft.dv.HashGen.Md5, loadDts = Some(loadDts))
+
+    def crashOn(table: String): Unit = {
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingDv.afterAppendHook = (t, b) =>
+        if (t == table && b == 1L && armed.getAndSet(false))
+          throw new RuntimeException(s"injected crash after $t batch $b append")
+    }
+    def commitExists(ckpt: String, batch: Long): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "commits", batch.toString))
+
+    val crashRoot = tmpDir("crashrun")
+    val crashLake = new Lake(spark, crashRoot, buckets = 4)
+    val crashSrc = mkSource(crashRoot)
+    try {
+      // ---- hub: crash on batch 1 after its append landed ----
+      crashOn("hub_user")
+      val eh = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        hubOnce(crashLake, crashSrc, s"$crashRoot/ckpt_hub").awaitTermination())
+      assert(eh.getMessage.contains("injected crash"))
+      // the window is real: append durable (all 3 keys), batch 1 uncommitted
+      assert(crashLake.read("dv", "hub_user").count() == 3)
+      assert(commitExists(s"$crashRoot/ckpt_hub", 0) && !commitExists(s"$crashRoot/ckpt_hub", 1))
+      // restart from the checkpoint: batch 1 replays, anti-join dedups
+      hubOnce(crashLake, crashSrc, s"$crashRoot/ckpt_hub").awaitTermination()
+      assert(commitExists(s"$crashRoot/ckpt_hub", 1))
+
+      // ---- satellite: same crash window ----
+      crashOn("hsat_user")
+      val es = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        satOnce(crashLake, crashSrc, s"$crashRoot/ckpt_sat").awaitTermination())
+      assert(es.getMessage.contains("injected crash"))
+      // batch-1 versions landed (bobby, cat) before the "crash"
+      assert(crashLake.read("dv", "hsat_user").count() == 4)
+      assert(!commitExists(s"$crashRoot/ckpt_sat", 1))
+      satOnce(crashLake, crashSrc, s"$crashRoot/ckpt_sat").awaitTermination()
+    } finally StreamingDv.afterAppendHook = (_, _) => ()
+
+    // ---- the no-crash control run ----
+    val cleanRoot = tmpDir("cleanrun")
+    val cleanLake = new Lake(spark, cleanRoot, buckets = 4)
+    val cleanSrc = mkSource(cleanRoot)
+    hubOnce(cleanLake, cleanSrc, s"$cleanRoot/ckpt_hub").awaitTermination()
+    satOnce(cleanLake, cleanSrc, s"$cleanRoot/ckpt_sat").awaitTermination()
+
+    // row-identical vaults, audit columns included (run_id = replayed batchId)
+    def rowsOf(lake: Lake, table: String): Seq[String] =
+      lake.read("dv", table).drop("hk_bucket").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rowsOf(crashLake, "hub_user") == rowsOf(cleanLake, "hub_user"))
+    assert(rowsOf(crashLake, "hsat_user") == rowsOf(cleanLake, "hsat_user"))
+    // and the recovered sat state is the expected 4 versions with batch ids
+    val sat = crashLake.read("dv", "hsat_user")
+      .select($"name", $"run_id".cast("long")).as[(String, Long)].collect().sorted.toSeq
+    assert(sat == Seq(("ann", 0L), ("bob", 0L), ("bobby", 1L), ("cat", 1L)), sat)
+  }
+
   test("statePartitions sizes the micro-batch plans without changing results") {
     val root = tmpDir("sizedstream")
     val srcDir = s"$root/src"
