@@ -439,9 +439,21 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     // pays anyway; readOr's imposed-metadata-schema contract covers normal
     // reads, but compact cannot assume a caller-supplied schema.
     val df = spark.read.option("mergeSchema", "true").parquet(curDir.toString)
-    // applied AFTER the (bucket, chunk) exchange, inside each write task
+    // Applied AFTER the (bucket, chunk) exchange, inside each write task.
+    // The sort MUST lead with the partition column: the V1 partitionBy
+    // write requires its output ordered by partition columns and inserts
+    // its OWN (non-stable) sort when the child's ordering doesn't already
+    // satisfy that — which would silently scramble the sortBy order the
+    // caller asked for (measured: identical decoded-rows before/after on
+    // the first cut of the r18 as-of bench). Leading with hk_bucket makes
+    // the child ordering a superset of the writer's requirement, so no
+    // extra sort is inserted and the within-file order survives.
     def sorted(d: DataFrame): DataFrame =
-      if (sortBy.isEmpty) d else d.sortWithinPartitions(sortBy.map(col): _*)
+      if (sortBy.isEmpty) d
+      else {
+        val keys = if (d.columns.contains("hk_bucket")) "hk_bucket" +: sortBy else sortBy
+        d.sortWithinPartitions(keys.map(col): _*)
+      }
     val staged = new Path(root, s"${Lake.GenPrefix}$nextN")
     fs.delete(staged, true)
     if (df.columns.contains("hk_bucket")) {

@@ -163,12 +163,48 @@ object ClusterSmoke {
       // events_quantiles: sketch/percentile aggregation paths.
       val sfDir = sys.env.getOrElse("GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
       if (new java.io.File(sfDir).isDirectory) {
-        Seq("topk_spend_per_cust", "events_quantiles", "dedup_clusters", "knn_ivf").foreach { q =>
+        // media_video/media_audio: the javax MJPEG/WAV decode stacks
+        // (per-thread readers, raster fast paths) run INSIDE executor JVMs
+        // here; events_stream_dedup_wm: a watermarked stream — state store
+        // providers, watermark propagation and eviction cross the boundary.
+        Seq("topk_spend_per_cust", "events_quantiles", "dedup_clusters", "knn_ivf",
+          "media_video", "media_audio", "events_stream_dedup_wm").foreach { q =>
           val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
           check(n > 0, s"$q returned 0 rows under local-cluster")
           println(s"[cluster-smoke] $q rows=$n")
         }
+
       } else println(s"[cluster-smoke] $sfDir absent — LLM-family rows skipped")
+
+      // ── 5. hotSaltedJoin across executors ──
+      // The interval join's skew mechanism on a synthetic bursty
+      // distribution (the sf0.001 corpus has no in-band pairs, which would
+      // make a query-level check vacuous): one bucket holds half the probe
+      // rows, threshold 50 sends exactly it down the hot path — per-key
+      // count aggregate, broadcast hot set, salted fan-out — on two real
+      // executor JVMs; the result must equal the plain join bit-for-bit.
+      val probe = spark.range(0, 400).select(
+        when(col("id") < 200, lit(7L)).otherwise(pmod(col("id"), lit(20))).as("bucket"),
+        col("id").as("pv"))
+      val build = spark.range(0, 100).select(
+        pmod(col("id"), lit(20)).as("bucket"), col("id").as("bv"))
+      val salted = graft.functions.Joins
+        .hotSaltedJoin(probe, build, Seq("bucket"), col("pv"), hotThreshold = 50L, factor = 4)
+        .collect().map(_.toString).sorted.toSeq
+      val plain = probe.join(build, "bucket").collect().map(_.toString).sorted.toSeq
+      check(salted == plain && salted.nonEmpty,
+        s"hotSaltedJoin diverged under local-cluster: ${salted.size} vs ${plain.size} rows")
+      println(s"[cluster-smoke] hotSaltedJoin salted==plain rows=${salted.size}")
+
+      // ── 6. FFmpeg executor-local binary resolution ──
+      // Each executor resolves ffmpeg/ffprobe from ITS OWN environment
+      // (GRAFT_FFMPEG_DIR/PATH) — the resolution code must cross the
+      // process boundary without throwing whether or not the binaries
+      // exist; on a binary-less host every claim is simply false.
+      val ffmpeg = spark.sparkContext.parallelize(1 to 4, 4)
+        .map(_ => graft.multimodal.FfmpegCliDecoder.available).collect()
+      check(ffmpeg.length == 4, "ffmpeg resolution probe lost tasks")
+      println(s"[cluster-smoke] ffmpeg available per task: ${ffmpeg.mkString(",")}")
 
       println("[cluster-smoke] OK")
     } finally spark.stop()

@@ -316,6 +316,57 @@ class FlowExecutorSpec extends SparkSpec {
     assert(flow.loadRelatedLinks("customer", 2L, "unit", ts).isEmpty)
   }
 
+  test("hashdiff under metadata evolution: adding a payload field re-versions EVERY key on the next delta load (pinned contract)") {
+    // THE CONTRACT (SURVEY §3): hash_diff is a hash over the satellite's
+    // full f-group, so widening the group changes every staged row's
+    // hash_diff — the next delta load inserts a new version for every key
+    // even though no source value changed (a one-time full-history
+    // duplication event, identical to the reference's behavior). The
+    // mitigation is a NEW satellite / splice group for the new field.
+    val root = tmpDir("evolvehash")
+    val lake = new Lake(spark, root, buckets = 4)
+    def metaOf(withSeg: Boolean) = MetaStore(
+      tables = Seq(
+        TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+        TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+        TableColumn("customer", "stg", "c_seg", "VARCHAR", 3, "c")),
+      transitions = Seq(
+        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
+      ) ++ (if (withSeg) Seq(
+        Transition("customer", "c_seg", "hsat_customer", "c_seg", "customer_details", 2, raw = false, None, "f")) else Nil))
+
+    import spark.implicits._
+    lake.overwrite(
+      Seq((1L, "ann", "A"), (2L, "bob", "B")).toDF("c_custkey", "c_name", "c_seg"),
+      "stg", "customer")
+    val t1 = Some(Timestamp.valueOf("2026-01-01 00:00:00"))
+    val flow1 = new FlowExecutor(lake, metaOf(withSeg = false), HashGen.Md5)
+    assert(flow1.loadRelatedSats("customer", 1L, "t", t1) == Map("hsat_customer" -> 2L))
+    // same data, same metadata: idempotent
+    assert(flow1.loadRelatedSats("customer", 2L, "t", t1) == Map("hsat_customer" -> 0L))
+
+    // evolve: c_seg joins the SAME f-group; source rows unchanged
+    val t2 = Some(Timestamp.valueOf("2026-01-02 00:00:00"))
+    val flow2 = new FlowExecutor(lake, metaOf(withSeg = true), HashGen.Md5)
+    assert(flow2.loadRelatedSats("customer", 3L, "t", t2) == Map("hsat_customer" -> 2L),
+      "widening the f-group must re-version every key exactly once")
+    // ...and converges immediately: the next load inserts nothing
+    val t3 = Some(Timestamp.valueOf("2026-01-03 00:00:00"))
+    assert(flow2.loadRelatedSats("customer", 4L, "t", t3) == Map("hsat_customer" -> 0L))
+
+    // two versions per key on disk; the old versions read back with the
+    // evolved column as NULL history (readOr imposed-schema contract)
+    val schema = graft.dv.VaultSchemas.satFromFields("customer_hk",
+      Seq("c_name" -> org.apache.spark.sql.types.StringType,
+        "c_seg" -> org.apache.spark.sql.types.StringType))
+    val sat = lake.readOr("dv", "hsat_customer", schema)
+    assert(sat.count() == 4)
+    assert(sat.filter(col("run_id") === 1L && col("c_seg").isNull).count() == 2)
+    assert(sat.filter(col("run_id") === 3L && col("c_seg").isNotNull).count() == 2)
+  }
+
   test("claim capability gate: S3-class schemes fail fast under requireAtomic, atomic schemes always pass") {
     // a local FS masquerading as s3a — the gate keys on the scheme only
     def fakeFs(scheme: String): org.apache.hadoop.fs.FileSystem =
