@@ -106,6 +106,20 @@ object Confs {
     b
   }
 
+  val ClusterMaxTaskBytesKey = "spark.graft.cluster.maxTaskBytes"
+
+  /** Per-task ESTIMATED-input ceiling for `Tables.clusterParts`' upper
+    * clamp (see the ClusterWaves doc): above it the partition count grows
+    * past the wave cap so the keyed aggregation's per-task hash map stays
+    * deployment-constant instead of scaling with data. 4 MB of estimate ≈
+    * 25-40 MB shuffled rows ≈ low-hundreds MB of map state — sized to a
+    * 16 GiB / 32-core worker; raise proportionally to per-core memory. */
+  def clusterMaxTaskBytes(conf: RuntimeConfig): Long = {
+    val b = long(conf, ClusterMaxTaskBytesKey, 4L << 20)
+    require(b >= (1L << 16), s"$ClusterMaxTaskBytesKey must be >= 64 KiB, got $b")
+    b
+  }
+
   val ClaimsRequireAtomicKey = "spark.graft.claims.requireAtomic"
 
   /** Capability posture for the flow executor's claim markers (run-id

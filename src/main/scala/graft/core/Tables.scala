@@ -57,10 +57,25 @@ object Tables {
     * floor cost (+0.3 s measured on events_sessions at sf0.1); a large
     * input wants the full ClusterWaves for the straggler bound. The
     * transition uses Catalyst's size estimate (file bytes scaled by
-    * projection width) against ClusterTaskBytes per task; both ends are
-    * wave-clamped, so the estimate only governs the transition region —
-    * at genuine cluster scale the ClusterWaves cap binds long before the
-    * per-task byte target does. */
+    * projection width) against ClusterTaskBytes per task.
+    *
+    * The wave cap YIELDS to a per-task memory ceiling (r18): the keyed
+    * aggregation on top of this exchange holds a hash map proportional to
+    * its partition's bytes, and per-core memory is a deployment CONSTANT —
+    * it does not grow with data the way the wave-sized partition does. The
+    * r18 sf30 stress falsified the old "the wave cap binds first at scale"
+    * claim on a fixed-core box: 4 waves × 32 cores put ~40 MB of shuffled
+    * satellite rows (≈ 300 MB of map state) in every task and
+    * dv_sat_current spilled 7.6 GB (`bench/r18_stress_sf30.jsonl`, first
+    * run). Above `spark.graft.cluster.maxTaskBytes` of KNOWN LEAF input
+    * per task (default 4 MB ≈ 25-40 MB shuffled ≈ low-hundreds MB of map
+    * state — sized to this host's 16 GiB / 32-core stress posture;
+    * deployments with more memory per core raise it) the partition count
+    * keeps growing past the wave cap: more waves of scheduling is noise
+    * next to external-sort spill. Known leaf bytes, never the arithmetic
+    * estimate — sentinel/inflated estimates keep the wave cap (see
+    * [[clusterParts]]). sf10 and below sit under the ceiling, so measured
+    * plans there are unchanged. */
   val ClusterWaves = 4
   // Per-task byte target for the TRANSITION region only (both ends are
   // wave-clamped). 512 KB of estimated (compressed, projection-scaled)
@@ -135,7 +150,25 @@ object Tables {
   def clusterParts(df: DataFrame): Int = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val est = estBytes(df)
-    (est / ClusterTaskBytes).min(BigInt(ClusterWaves.toLong * cores)).max(BigInt(cores)).toInt
+    // Upper clamp = the wave cap OR the per-task memory ceiling, whichever
+    // allows more partitions (ClusterWaves doc, r18): the wave bound keeps
+    // small/medium inputs at [1, 4] waves; past it the ceiling takes over
+    // so per-task aggregation state stays deployment-constant. The ceiling
+    // is computed from KNOWN LEAF bytes, never the arithmetic estimate: a
+    // streaming micro-batch's sentinel LogicalRDD stats (and join-inflated
+    // estimates) would otherwise blow the exchange to the sanity cap —
+    // the same failure mode the r15 skew-guard gate hit, and it DID recur
+    // on the first cut of this change (a streaming satellite test's
+    // exchange exploded to 14k+ tasks whose closures took minutes to
+    // deserialize). Unknown leaves keep the wave cap — exactly the pre-r18
+    // behavior. The 1 << 16 sanity cap bounds even genuine huge inputs;
+    // 64k partitions is already far past any sensible single-exchange
+    // width.
+    val ceiling = estBytesKnown(df)
+      .map(_ / Confs.clusterMaxTaskBytes(df.sparkSession.conf))
+      .getOrElse(BigInt(0))
+    val upper = BigInt(ClusterWaves.toLong * cores).max(ceiling).min(BigInt(1 << 16))
+    (est / ClusterTaskBytes).min(upper).max(BigInt(cores)).toInt
   }
 
   def clusterBy(df: DataFrame, keys: String*): DataFrame =

@@ -324,19 +324,48 @@ class PlanSpec extends SparkSpec {
     } finally { r.unpersist(); () }
   }
 
-  test("clusterBy: wave count follows the size estimate, clamped to [1, ClusterWaves] waves") {
-    import graft.core.Tables
+  test("clusterBy: waves follow the size estimate; past the per-task ceiling the wave cap yields") {
+    import graft.core.{Confs, Tables}
     val cores = spark.sparkContext.defaultParallelism
     // tiny input (sf0.001 lineitem, ~KB estimate) → one-wave floor: 4 waves
     // of near-empty tasks is pure scheduling cost at this end
     val tiny = Tables.clusterBy(Tables.load(spark, dir, "lineitem"), "l_orderkey")
     assert(tiny.rdd.getNumPartitions == cores, s"tiny input should floor at $cores")
-    // huge estimated input (range stats = 8 bytes × n, plan-only — nothing
-    // executes) → ClusterWaves cap binds, the straggler-bounding end
-    val huge = Tables.clusterBy(
-      spark.range(1L << 30).toDF("k"), "k")
-    assert(huge.rdd.getNumPartitions == Tables.ClusterWaves * cores,
-      s"huge input should cap at ${Tables.ClusterWaves} waves")
+    // medium estimated input (range stats = 8 bytes × n, plan-only —
+    // nothing executes): 32 MB est sits under the 4 MB/task memory ceiling
+    // × 16 partitions, so the ClusterWaves cap binds — the straggler end
+    val medium = Tables.clusterBy(spark.range(1L << 22).toDF("k"), "k")
+    assert(medium.rdd.getNumPartitions == Tables.ClusterWaves * cores,
+      s"medium input should cap at ${Tables.ClusterWaves} waves")
+    // huge estimated input (8 GB): the wave cap must YIELD to the per-task
+    // memory ceiling (r18 sf30 finding — a wave-sized partition's hash map
+    // grows with data while per-core memory doesn't): est / maxTaskBytes
+    // partitions, not 4 waves
+    val huge = Tables.clusterBy(spark.range(1L << 30).toDF("k"), "k")
+    val expected = ((8L << 30) / Confs.clusterMaxTaskBytes(spark.conf)).toInt
+    assert(huge.rdd.getNumPartitions == expected,
+      s"huge input should grow to the memory ceiling ($expected), got ${huge.rdd.getNumPartitions}")
+    // deployments with more memory per core raise the ceiling — the wave
+    // cap binds again
+    try {
+      spark.conf.set(Confs.ClusterMaxTaskBytesKey, (1L << 30).toString)
+      val raised = Tables.clusterBy(spark.range(1L << 30).toDF("k"), "k")
+      assert(raised.rdd.getNumPartitions == Tables.ClusterWaves * cores,
+        s"raised ceiling should restore the wave cap")
+    } finally spark.conf.unset(Confs.ClusterMaxTaskBytesKey)
+    // SENTINEL stats (a LogicalRDD — the streaming micro-batch shape) must
+    // keep the wave cap: the ceiling reads KNOWN leaf bytes only, or the
+    // 8 EB sentinel estimate would blow the exchange to the 64k sanity cap
+    // (the first cut of r18 did exactly that — a streaming satellite
+    // test's exchange hit 14k+ tasks)
+    val sentinel = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    assert(graft.core.Tables.estBytesKnown(sentinel).isEmpty, "LogicalRDD must read as sentinel")
+    val sentClustered = Tables.clusterBy(sentinel, "k")
+    assert(sentClustered.rdd.getNumPartitions <= Tables.ClusterWaves * cores,
+      s"sentinel stats must keep the wave cap, got ${sentClustered.rdd.getNumPartitions}")
   }
 
   test("dv_pit_table: ONE aggregation exchange — satellite input not pre-clustered") {
