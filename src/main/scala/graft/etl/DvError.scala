@@ -67,6 +67,10 @@ object DvError {
   def from(e: Throwable, context: String = ""): DvError = {
     val msg = if (context.isEmpty) baseMsg(e) else s"$context: ${baseMsg(e)}"
     e match {
+      // already typed (e.g. the claim-store capability gate throwing a
+      // Configuration error mid-flow) — carry it through instead of
+      // re-wrapping a DvError as a generic Etl error
+      case de: DvException => de.error
       // ParseException extends AnalysisException in Spark 4, so this one
       // case covers both parse and analysis failures.
       case ae: AnalysisException =>

@@ -389,6 +389,10 @@ class FlowExecutorSpec extends SparkSpec {
       // wasb (flat blob) gated too
       intercept[DvException](
         FlowExecutor.gateClaimStore(fakeFs("wasb"), spark.conf, "ingestion"))
+      // a flow catching the gate's throw must carry the TYPED error through,
+      // not re-wrap it as a generic Etl error
+      assert(DvError.from(new DvException(DvError.Configuration("x")))
+        == DvError.Configuration("x"))
     } finally spark.conf.unset(graft.core.Confs.ClaimsRequireAtomicKey)
   }
 }
