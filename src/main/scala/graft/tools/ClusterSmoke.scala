@@ -123,6 +123,18 @@ object ClusterSmoke {
       check(cur.filter(col("c_name") === "bob" && !col("del_flag")).select("c_segment")
         .as[String].head() == "PROMOTED", "current view must carry the latest version")
 
+      // ── 2b. Generation-commit compaction under two executor JVMs ──
+      // the staged-generation rewrite job (with the satellite (hk, load_dts)
+      // sort) runs ON the executors; resolution + marker commit are driver
+      // metadata — results must survive the swap byte-for-byte
+      val (cb, ca) = lake.compact("dv", "hsat_customer",
+        sortBy = Seq("customer_hk", "load_dts"))
+      check(ca <= cb, s"compact grew the table: $cb -> $ca")
+      check(lake.dataPath("dv", "hsat_customer").contains(graft.core.Lake.GenPrefix),
+        "compaction must land a committed generation")
+      val cur2 = DvOps.currentRows(lake.read("dv", "hsat_customer").drop("hk_bucket"), "customer_hk")
+      check(cur2.count() == 4, s"current view keys after compact=${cur2.count()}")
+
       // ── 3. Streaming hub + sat sinks, two overlapping micro-batches ──
       val srcDir = s"$root/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))

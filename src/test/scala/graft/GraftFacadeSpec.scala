@@ -68,6 +68,53 @@ class GraftFacadeSpec extends SparkSpec {
       .as[Long].head() == 2L)
   }
 
+  test("facade: compact rewrites a live satellite sorted and re-registers its current view") {
+    val root = tmpDir("graftcompact")
+    val g = new Graft(spark, s"$root/lake", meta, None, HashGen.Md5)
+    g.initVault()
+    // two flow loads → two load_dts versions for a changed key, many part files
+    def load(file: String, rows: String, dts: String): Unit = {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(file), rows)
+      val r = g.executeFlow("customer", "compact-test", Some(file), Some(Timestamp.valueOf(dts)))
+      assert(r.status == "success", r.errors.mkString(";"))
+    }
+    load(s"$root/c1.csv", "c_custkey,c_name\n1,ann\n2,bob\n3,alice", "2026-01-01 00:00:00")
+    load(s"$root/c2.csv", "c_custkey,c_name\n1,ann\n2,bobby\n3,alice", "2026-01-02 00:00:00")
+    assert(g.table("dv", "hsat_customer").count() == 4)
+    val cvBefore = g.sql("SELECT c_name FROM hsat_customer_cv ORDER BY c_name")
+      .as[String].collect().toSeq
+    assert(cvBefore == Seq("alice", "ann", "bobby"))
+
+    val (before, after) = g.compact("dv", "hsat_customer")
+    assert(after <= before, s"$before -> $after")
+    // the satellite landed in a committed generation, sorted (hk, load_dts)
+    // within each file — read one file back and pin the clustering the
+    // as-of pruning relies on
+    val dataDir = g.lake.dataPath("dv", "hsat_customer")
+    assert(dataDir.contains(graft.core.Lake.GenPrefix))
+    val oneFile = g.table("dv", "hsat_customer") // routed through the generation
+    assert(oneFile.count() == 4)
+    import org.apache.spark.sql.expressions.Window
+    val files = spark.read.parquet(dataDir)
+      .withColumn("f", input_file_name())
+      .withColumn("pos", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("f")).orderBy(col("pos"))))
+      .withColumn("sorted_rn", row_number().over(
+        Window.partitionBy(col("f")).orderBy(col("customer_hk"), col("load_dts"))))
+    assert(files.filter(col("rn") =!= col("sorted_rn")).count() == 0,
+      "rows within each compacted file must be (hk, load_dts)-sorted")
+    // the registered current view survived the rewrite (no stale file chase)
+    val cvAfter = g.sql("SELECT c_name FROM hsat_customer_cv ORDER BY c_name")
+      .as[String].collect().toSeq
+    assert(cvAfter == cvBefore)
+    // and a post-compact incremental load still works against the generation
+    load(s"$root/c3.csv", "c_custkey,c_name\n4,dan", "2026-01-03 00:00:00")
+    assert(g.table("dv", "hsat_customer").count() == 5)
+    assert(g.sql("SELECT c_name FROM hsat_customer_cv ORDER BY c_name")
+      .as[String].collect().toSeq == Seq("alice", "ann", "bobby", "dan"))
+  }
+
   test("facade: per-entity creates evolve a live vault without initVault") {
     val root = tmpDir("graft")
     val g = new Graft(spark, s"$root/lake", meta, None, HashGen.Md5)

@@ -52,6 +52,44 @@ class ProbePruneSpec extends SparkSpec {
     } finally spark.conf.unset(Confs.ProbePruneMinBytesKey)
   }
 
+  test("pruned probe + span-counted append work unchanged on a COMPACTED (generational) table") {
+    // the r18 layout: after compaction the data lives under
+    // {table}/_gen-N/hk_bucket=... — the pruned probe's partition paths and
+    // the counted append's span-bounded listing must both resolve through
+    // the committed generation, not the table root
+    val (lake, keys) = vault(buckets = 8, n = 80)
+    lake.compact("dv", "hub")
+    assert(lake.dataPath("dv", "hub").contains(graft.core.Lake.GenPrefix))
+    val b0 = lake.bucketOfValue(keys.head)
+    val sameBucket = keys.filter(k => lake.bucketOfValue(k) == b0).take(4)
+    val fresh = (1 to 999).map(i => s"new$i").find(k => lake.bucketOfValue(k) == b0).get
+    val staged = (sameBucket :+ fresh).toDF("hk")
+    try {
+      spark.conf.set(Confs.ProbePruneMinBytesKey, "0")
+      val (pruned, span) = lake.readOrProbeWithSpan("dv", "hub", hkSchema, staged, col("hk"))
+      assert(span.exists(_.toSeq == Seq(b0)), s"span=$span")
+      def filesRead(df: DataFrame): Long = df.select(input_file_name()).distinct().count()
+      assert(filesRead(pruned) == 1L, "one bucket staged -> one generation file read")
+      val anti = staged.join(pruned, Seq("hk"), "left_anti")
+      // counted append with the shared span: the listing diff must see the
+      // new file INSIDE the generation dir and count exactly the fresh row
+      val n = lake.appendIncrementBucketed(
+        anti.withColumn("v", lit(0L)).select(col("hk"), col("v")),
+        "dv", "hub", "hk", listingSpan = span)
+      assert(n == 1L, s"counted $n")
+      assert(lake.readOr("dv", "hub",
+        StructType(Seq(StructField("hk", StringType),
+          StructField("v", org.apache.spark.sql.types.LongType)))).count() == 81)
+      // and the appended row landed inside the generation, not the root:
+      // after reclaiming the retained flat legacy, the root holds ONLY the
+      // generation dir (a flat re-creation would have added hk_bucket= dirs)
+      lake.expireSuperseded("dv", "hub")
+      val rootEntries = new java.io.File(lake.tablePath("dv", "hub")).listFiles().map(_.getName)
+      assert(rootEntries.forall(_.startsWith(graft.core.Lake.GenPrefix)),
+        s"post-compaction appends must not recreate the flat layout: ${rootEntries.mkString(",")}")
+    } finally spark.conf.unset(Confs.ProbePruneMinBytesKey)
+  }
+
   test("default gate keeps small tables on the full scan; all-bucket batches fall back") {
     val (lake, keys) = vault(buckets = 4, n = 40)
     val full = lake.readOr("dv", "hub", hkSchema)
