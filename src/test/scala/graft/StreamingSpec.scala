@@ -336,6 +336,73 @@ class StreamingSpec extends SparkSpec {
         backfill.select(keyCols.map(col): _*).collect().map(_.toSeq).toSet)
   }
 
+  test("link sink crash between append and checkpoint commit: replay is idempotent (completes the sink-family proof)") {
+    // hub + sat are covered by the crash test above; the link sink's
+    // replay safety rests on the same anti-join but over composite legs +
+    // degenerate keys — pin it so the StreamingDv doc's "all three DV
+    // sinks" claim is tested, not asserted.
+    val loadDts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val linkTransitions = Seq(
+      Transition("s", "cust_id", "hub_customer", "cust_id_bk", "customer", 1, raw = false, None, "bk"),
+      Transition("s", "order_id", "hub_order", "order_id_bk", "order", 1, raw = false, None, "bk"),
+      Transition("s", "customer", "link_order_customer", "customer_hk", "oc", 1, raw = false, None, "ll"),
+      Transition("s", "order", "link_order_customer", "order_hk", "oc", 2, raw = false, None, "ll"),
+      Transition("s", "channel", "link_order_customer", "channel_dk", "oc", 3, raw = false, None, "dk"))
+    val legs = Seq("customer_hk" -> "customer_hk", "order_hk" -> "order_hk", "channel" -> "channel_dk")
+
+    def mkSource(root: String): String = {
+      val srcDir = s"$root/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val base = System.currentTimeMillis() - 3600000L
+      def add(name: String, rows: Seq[(Long, Long, String)], mtime: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        rows.toDF("cust_id", "order_id", "channel").coalesce(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dst = java.nio.file.Paths.get(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        assert(dst.toFile.setLastModified(mtime))
+      }
+      add("b0", Seq((1L, 10L, "web"), (2L, 20L, "app")), base)
+      // batch 1: one re-delivery, one new relationship
+      add("b1", Seq((2L, 20L, "app"), (3L, 30L, "web")), base + 60000L)
+      srcDir
+    }
+    def linkOnce(lake: Lake, srcDir: String, ckpt: String) =
+      StreamingDv.linkSink(lake,
+        spark.readStream.schema("cust_id LONG, order_id LONG, channel STRING")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        linkTransitions, "link_order_customer", "oc", legs,
+        hkName = "order_customer_hk", recordSource = "crash-test", checkpoint = ckpt,
+        algo = graft.dv.HashGen.Md5, loadDts = Some(loadDts))
+
+    val crashRoot = tmpDir("linkcrash")
+    val crashLake = new Lake(spark, crashRoot, buckets = 4)
+    val crashSrc = mkSource(crashRoot)
+    try {
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      StreamingDv.afterAppendHook = (t, b) =>
+        if (t == "link_order_customer" && b == 1L && armed.getAndSet(false))
+          throw new RuntimeException(s"injected crash after $t batch $b append")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        linkOnce(crashLake, crashSrc, s"$crashRoot/ckpt").awaitTermination())
+      assert(e.getMessage.contains("injected crash"))
+      assert(crashLake.read("dv", "link_order_customer").count() == 3) // batch-1 append landed
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$crashRoot/ckpt", "commits", "1")))
+      linkOnce(crashLake, crashSrc, s"$crashRoot/ckpt").awaitTermination()
+    } finally StreamingDv.afterAppendHook = (_, _) => ()
+
+    val cleanRoot = tmpDir("linkclean")
+    val cleanLake = new Lake(spark, cleanRoot, buckets = 4)
+    linkOnce(cleanLake, mkSource(cleanRoot), s"$cleanRoot/ckpt").awaitTermination()
+
+    def rowsOf(lake: Lake): Seq[String] =
+      lake.read("dv", "link_order_customer").drop("hk_bucket").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rowsOf(crashLake) == rowsOf(cleanLake))
+    assert(rowsOf(crashLake).length == 3)
+  }
+
   test("sessionize: a late-but-in-watermark event merges into a session a newer event had already 'closed'") {
     // The old shape emitted a session the moment a newer event opened the
     // next one — before the watermark had passed end+gap — so a late event
