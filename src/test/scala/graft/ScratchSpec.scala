@@ -213,6 +213,14 @@ class ScratchSpec extends SparkSpec {
     assert(lake.read("dv", "t").count() == 160)
     assert(lake.lookupBucketed("dv", "t", "hk", "1005").select("v").as[Long].head() == 1005L)
     assert(rootChildren == Set(s"${graft.core.Lake.GenPrefix}2"), rootChildren.mkString(","))
+
+    // expireSuperseded is a no-op on flat (never-compacted) tables and on
+    // absent tables — nothing to reclaim, nothing deleted
+    lake.appendBucketed(
+      spark.range(5).selectExpr("cast(id as string) as hk", "id as v"), "dv", "flat", "hk")
+    assert(lake.expireSuperseded("dv", "flat") == 0L)
+    assert(lake.read("dv", "flat").count() == 5)
+    assert(lake.expireSuperseded("dv", "missing") == 0L)
   }
 
   test("dedup cc landing honors the scratch root end-to-end") {
