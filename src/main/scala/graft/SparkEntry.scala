@@ -19,9 +19,12 @@ object SparkEntry {
       graft.queries.MediaOps.queries
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
-    * Every registered query has an oracle except `knn_ivf_kmeans`
-    * (iterative float training has no SQL twin; it gets the driver's
-    * rows-only check plus AnnSpec's recall@10 ≥ 0.9 gate vs knn_brute). */
+    * Every registered query has an oracle except two rows-only-BY-DESIGN
+    * entries whose core loop is iterative and not SQL-expressible:
+    * `knn_ivf_kmeans` (float k-means training; driver rows-only check plus
+    * AnnSpec's recall@10 ≥ 0.9 gate vs knn_brute) and `text_tokens_bpe`
+    * (greedy BPE merge encoding; BpeSpec pins hand-computed fixtures and
+    * the distributed pass against a driver-side re-encode). */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.DvQueries.oracles ++

@@ -120,6 +120,26 @@ object Confs {
     b
   }
 
+  val GenRetainMillisKey = "spark.graft.gen.retainMillis"
+
+  /** Automatic retention window for SUPERSEDED generation data
+    * ([[graft.core.Lake.compact]] retention note). `-1` (default) keeps the
+    * original posture: superseded data survives until the NEXT compaction
+    * of the same table, and early reclaim is a manual
+    * `expireSuperseded` call. `>= 0` turns on POLICY reclaim: any
+    * generation-writing or bucketed-append operation on the table deletes
+    * superseded data once it has been superseded for at least this long
+    * (age measured from the superseding generation's commit-marker mtime)
+    * — so ≤ 2× storage between compactions no longer depends on operators
+    * remembering `expireSuperseded`. Size the window to the longest scan a
+    * reader may hold over an old generation (an in-flight reader of data
+    * expired under it gets FILE_NOT_EXIST). */
+  def genRetainMillis(conf: RuntimeConfig): Long = {
+    val m = long(conf, GenRetainMillisKey, -1L)
+    require(m >= -1L, s"$GenRetainMillisKey must be -1 (off) or >= 0, got $m")
+    m
+  }
+
   val ClaimsRequireAtomicKey = "spark.graft.claims.requireAtomic"
 
   /** Capability posture for the flow executor's claim markers (run-id

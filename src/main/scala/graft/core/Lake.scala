@@ -1,9 +1,33 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+
+import graft.etl.{DvError, DvException}
+
+/** Persisted per-table physical layout: the facts a reader/writer MUST
+  * agree with the table's on-disk data about, recorded at table create and
+  * carried across generations by compact/rebucket.
+  *
+  * `bucketCount` is the one that bites at scale: a key's `hk_bucket` is
+  * `pmod(xxhash64(key), bucketCount)`, so a session whose
+  * `spark.graft.buckets` conf (or Lake constructor arg) drifted from the
+  * count the table was WRITTEN with would compute different bucket
+  * assignments — bucket-pruned probes and point lookups would scan the
+  * wrong partitions and silently miss existing keys (hub loads re-insert
+  * duplicates, sat deltas re-version every key). The record makes the
+  * table's own count authoritative: every bucket-coupled operation
+  * resolves the count from here, so conf drift is harmless (and noted once
+  * on stderr); changing a table's count is an explicit [[Lake.rebucket]].
+  *
+  * `keyCol` pins the bucketing column — an append bucketing on a different
+  * column would scatter one key over two derivations, so it fails loudly.
+  * `sortBy` records the within-file sort the last compact/rebucket applied
+  * (informational: tells readers whether row-group pruning on e.g.
+  * load_dts can engage). */
+final case class TableLayout(bucketCount: Int, keyCol: String, sortBy: Seq[String])
 
 /** Layered lake storage for the vault: `{root}/{layer}/{table}` parquet
   * directories, layers mirroring the reference's schemas
@@ -14,14 +38,24 @@ import org.apache.spark.sql.types.StructType
   * directory usable from any number of executors. Vault tables are written
   * bucketed by a hash-key prefix column (`hk_bucket`) so that at 100 TB a
   * vault table's scan, as well as hub/link anti-joins repartitioned on the
-  * same derivation, can prune and co-locate by bucket; bucket count is
-  * configurable per lake — an explicit constructor arg wins, else the
-  * `spark.graft.buckets` session conf, else 16 (production would size to
-  * cluster).
+  * same derivation, can prune and co-locate by bucket.
+  *
+  * BUCKET-COUNT RESOLUTION: the constructor arg / `spark.graft.buckets`
+  * conf / default-16 chain sets this lake's count for NEW tables only.
+  * Existing bucketed tables carry their count in a [[TableLayout]] record
+  * (`_graft_table.json`, written at create, living beside the data it
+  * describes — table root for the flat layout, generation dir after a
+  * compaction, so a generation commit atomically publishes data AND
+  * layout). All bucket-coupled operations (pruned probes, bucketed
+  * appends, point lookups, span-bounded listings) resolve the count from
+  * the record, so a session-conf drift can no longer mis-prune silently —
+  * it is noted once per table on stderr and the persisted count governs.
+  * [[rebucket]] is the explicit way to change a table's count.
   */
 final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.FromConf) {
 
-  /** Bucket count in force for this lake (see class doc for resolution).
+  /** Bucket count in force for this lake's NEW tables (see class doc for
+    * resolution; existing tables' layout records govern themselves).
     * Validated here so a malformed conf or a 0/negative count fails at
     * lake construction with the offending key named, not later inside
     * pmod/repartition with an opaque arithmetic error. */
@@ -76,6 +110,34 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       .filter { case (_, p) => fs.exists(new Path(p, Lake.CommitMarker)) }
       .reduceOption((a, b) => if (a._1 >= b._1) a else b)
 
+  /** Resolved (data dir, layout record) for a table, computed once and
+    * cached JVM-wide per table path — generation resolution is one
+    * listStatus + a marker probe per generation dir, and it sits on the
+    * hottest paths (a streaming foreachBatch issues several reads + an
+    * append per micro-batch, each of which resolves): on a remote object
+    * store that is a driver metadata RPC per call. Every Lake WRITE
+    * invalidates through [[refresh]] (all mutating ops call it), so
+    * within the lake's documented single-writer-per-table contract the
+    * cache is always coherent; a table compacted by ANOTHER process keeps
+    * serving the superseded (still-present, retention contract) generation
+    * to this JVM until any local write or an explicit
+    * `spark.catalog.refreshByPath`-accompanied [[refresh]] — same staleness
+    * class as Spark's own file-listing cache. */
+  private def resolution(layer: String, name: String): Lake.Resolution = {
+    val key = tablePath(layer, name)
+    Lake.resolutionCache.computeIfAbsent(key, _ => {
+      val rootP = new Path(key)
+      val fs = fsOf(rootP)
+      val cur = currentGen(fs, rootP)
+      val dir = cur.map(_._2).getOrElse(rootP)
+      // fallback to the root record covers a table compacted BEFORE layout
+      // records existed whose record was written to the root afterwards
+      val layout = readLayout(fs, dir)
+        .orElse(if (cur.isDefined) readLayout(fs, rootP) else None)
+      Lake.Resolution(dir.toString, layout)
+    })
+  }
+
   /** The directory holding the table's CURRENT data: the highest committed
     * generation (`{table}/_gen-N/`) once the table has been compacted, else
     * the table directory itself — the flat layout every table is born with
@@ -85,11 +147,20 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * treats as hidden — a reader of the FLAT layout never sees a staged
     * generation being written next to its data. External engines reading a
     * lake table directly should read this resolved directory, not glob the
-    * table root. */
-  def dataPath(layer: String, name: String): String = {
-    val root = new Path(tablePath(layer, name))
-    currentGen(fsOf(root), root).map(_._2.toString).getOrElse(root.toString)
-  }
+    * table root. Cached per table ([[resolution]]). */
+  def dataPath(layer: String, name: String): String = resolution(layer, name).dataDir
+
+  /** The [[TableLayout]] record governing this table, None for tables
+    * created before layout records existed (or never bucket-appended). */
+  def tableLayout(layer: String, name: String): Option[TableLayout] =
+    resolution(layer, name).layout
+
+  /** The bucket count in force FOR THIS TABLE: its layout record's count
+    * when present (authoritative — survives session-conf drift), else this
+    * lake's [[bucketCount]]. Every bucket-coupled operation resolves
+    * through here. */
+  def tableBuckets(layer: String, name: String): Int =
+    resolution(layer, name).layout.map(_.bucketCount).getOrElse(bucketCount)
 
   def read(layer: String, name: String): DataFrame =
     spark.read.parquet(dataPath(layer, name))
@@ -133,8 +204,8 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * extra driver action that computes the staged bucket set, so
     * bench/test-scale plans are bit-identical to [[readOr]]; above it the
     * bucket set is one tiny distinct-collect over the staged keys
-    * (bounded by bucketCount values). A batch spanning every bucket falls
-    * back to the unpruned scan. NOT for delete detection
+    * (bounded by the table's bucket count). A batch spanning every bucket
+    * falls back to the unpruned scan. NOT for delete detection
     * (DvOps.satDeleteRows): there the ABSENT keys are the signal, and
     * pruning would mass-delete the unscanned buckets. */
   def readOrProbe(
@@ -157,10 +228,12 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   /** [[readOrProbe]] also returning the staged batch's bucket span when the
     * prune engaged (None otherwise: table absent, under the size gate, or a
     * batch spanning every bucket). The span is ONE tiny distinct-collect
-    * over the staged keys (≤ bucketCount values), and returning it lets the
-    * flow executor pay that job once per load and reuse it for the counted
-    * append's listing diff ([[appendIncrementBucketed]]) — the probe scan
-    * and the listing are bounded by the SAME set by construction. */
+    * over the staged keys (≤ the table's bucket count), and returning it
+    * lets the flow executor pay that job once per load and reuse it for the
+    * counted append's listing diff ([[appendIncrementBucketed]]) — the
+    * probe scan and the listing are bounded by the SAME set by
+    * construction. Bucket derivation uses the TABLE's persisted count
+    * ([[tableBuckets]]), so a session-conf drift cannot mis-prune. */
   def readOrProbeWithSpan(
       layer: String, name: String, schema: StructType,
       staged: DataFrame, stagedKey: org.apache.spark.sql.Column): (DataFrame, Option[Array[Long]]) = {
@@ -171,9 +244,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", engaged, known)
     if (!engaged) (full, None)
     else {
-      val buckets = staged.select(bucketOf(stagedKey).as("__b")).distinct()
+      val n = tableBuckets(layer, name)
+      val buckets = staged.select(bucketOfN(stagedKey, n).as("__b")).distinct()
         .collect().map(_.getLong(0))
-      if (buckets.length >= bucketCount) (full, None)
+      if (buckets.length >= n) (full, None)
       else {
         val pruned = spark.read.schema(schema).parquet(dataPath(layer, name))
           // predicate on the DISCOVERED partition column, applied before
@@ -207,8 +281,11 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
 
   /** Spark shares a JVM-wide file-listing cache across path reads and
     * catalog tables; any write must invalidate it or later readers can chase
-    * deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST). */
+    * deleted part files (FAILED_READ_FILE.FILE_NOT_EXIST). The lake's own
+    * [[resolution]] cache is invalidated here too — every mutating lake
+    * operation funnels through refresh. */
   private def refresh(layer: String, name: String): Unit = {
+    Lake.resolutionCache.remove(tablePath(layer, name))
     spark.catalog.refreshByPath(tablePath(layer, name))
     // A catalog table registered over this path (Graft.initVault) caches its
     // own relation keyed by name; refreshByPath alone can miss it.
@@ -219,31 +296,58 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     ()
   }
 
+  /** Truncate-and-load. Writes to the TABLE ROOT deliberately: Spark's
+    * overwrite deletes the whole output dir first — generation dirs and
+    * layout record included — so an overwritten table is reborn flat and
+    * unrecorded, exactly like a new one (self-healing; there is no
+    * half-generation state to reconcile). Engine paths only overwrite
+    * staging/metadata tables, which are never compacted or bucketed. */
   def overwrite(df: DataFrame, layer: String, name: String): Unit = {
     df.write.mode("overwrite").parquet(tablePath(layer, name))
     refresh(layer, name)
   }
 
+  /** Plain (non-bucketed) append — the runinfo ledger's write path. Routes
+    * through [[dataPath]] like every other read/append: once a plain-append
+    * table has been compacted (the ledger is the archetypal small-file
+    * compaction target), new rows MUST land inside the committed generation
+    * — an append to the table root would be invisible to generation-routed
+    * reads and silently deleted as legacy flat data by the next
+    * expire/compact (r18 ADVICE finding: lost ledger rows double-ingest
+    * files). */
   def append(df: DataFrame, layer: String, name: String): Unit = {
-    df.write.mode("append").parquet(tablePath(layer, name))
+    df.write.mode("append").parquet(dataPath(layer, name))
     refresh(layer, name)
   }
 
-  /** Deterministic bucket of a key value — the same derivation
-    * [[appendBucketed]] writes with, usable for read-side pruning. */
-  def bucketOf(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(keyCol), lit(bucketCount))
+  private def bucketOfN(keyCol: Column, n: Int): Column =
+    pmod(xxhash64(keyCol), lit(n))
 
-  /** Driver-side bucket of a literal key — same XxHash64 codepath Spark
-    * executes, evaluated without launching a job. */
-  def bucketOfValue(value: String): Long = {
+  /** Deterministic bucket of a key value under THIS LAKE's count — the
+    * derivation [[appendBucketed]] writes NEW tables with. For an existing
+    * table prefer [[tableBucketOf]], which resolves the table's own
+    * persisted count. */
+  def bucketOf(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bucketOfN(keyCol, bucketCount)
+
+  /** [[bucketOf]] under the TABLE's persisted bucket count — the derivation
+    * that matches the table's on-disk partitions regardless of session
+    * conf. */
+  def tableBucketOf(layer: String, name: String, keyCol: Column): Column =
+    bucketOfN(keyCol, tableBuckets(layer, name))
+
+  private def bucketOfValueN(value: String, n: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(
       Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(value))),
       42L // the xxhash64() SQL function's fixed seed — must match bucketOf
     ).eval(null).asInstanceOf[Long]
-    Math.floorMod(h, bucketCount.toLong)
+    Math.floorMod(h, n.toLong)
   }
+
+  /** Driver-side bucket of a literal key under this lake's count — same
+    * XxHash64 codepath Spark executes, evaluated without launching a job. */
+  def bucketOfValue(value: String): Long = bucketOfValueN(value, bucketCount)
 
   /** Append an increment computed AGAINST a table to that same table and
     * return rows appended. ONE execution of the increment plan (the same
@@ -318,10 +422,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * An empty increment appended to an EXISTING table writes no part files
     * (per-partition writers skip empty tasks) and is harmless; on the
     * FIRST append an empty write leaves a part-file-less parquet dir that
-    * breaks later reads — detected by a post-write listing and deleted, so
-    * readOr keeps seeing "table absent". (A write-action `observe()` was
-    * tried first: V1 write commands don't surface CollectMetrics,
-    * `Observation.get` returns an empty map.) */
+    * breaks later reads — detected by a post-write listing and deleted
+    * (layout record included), so readOr keeps seeing "table absent". (A
+    * write-action `observe()` was tried first: V1 write commands don't
+    * surface CollectMetrics, `Observation.get` returns an empty map.) */
   def appendIncrementBucketedUncounted(rows: DataFrame, layer: String, name: String, keyCol: String): Unit = {
     val existed = exists(layer, name)
     appendBucketed(rows, layer, name, keyCol)
@@ -336,9 +440,31 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     }
   }
 
+  /** Once-per-table stderr note when a layout record's bucket count differs
+    * from this lake's configured count: not an error (the record governs,
+    * results stay correct), but drift usually means a misconfigured
+    * session and the operator should know. */
+  private def noteDrift(layer: String, name: String, lo: TableLayout): Unit =
+    if (lo.bucketCount != bucketCount && Lake.notedDrift.add(tablePath(layer, name)))
+      Console.err.println(
+        s"[graft] NOTE: $layer.$name was written with ${lo.bucketCount} buckets (layout " +
+          s"record) but this session's Lake is configured for $bucketCount — the table's " +
+          s"persisted count governs its probes/appends/lookups. Use Lake.rebucket to change " +
+          s"a table's bucket count.")
+
   /** Append a vault increment partitioned by hash-key-prefix bucket. The
-    * bucket is a deterministic function of the key, so co-located reads and
-    * bucket pruning survive any number of appends.
+    * bucket is a deterministic function of the key AND the table's
+    * persisted bucket count, so co-located reads and bucket pruning
+    * survive any number of appends and any session-conf drift. On the
+    * append that CREATES a table, the layout record is written (after the
+    * data, so a failed write can't leave a record-only husk); a pre-record
+    * legacy table adopts this lake's count after a best-effort on-disk
+    * sanity check (an observed `hk_bucket=` value ≥ the count proves
+    * drift and fails loudly; the converse — legacy table written at a
+    * SMALLER count than the session's — is not detectable from names
+    * alone, which is exactly why the record now exists from birth). An
+    * append bucketing on a different KEY COLUMN than the record's fails
+    * loudly — two derivations over one table would scatter keys.
     *
     * The write is repartitioned BY BUCKET first: `partitionBy` alone makes
     * every upstream task open a file per bucket it happens to hold, so the
@@ -349,15 +475,175 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * invariant compaction relies on; at production scale the bucket count,
     * not the cluster width, is the correct append parallelism. */
   def appendBucketed(df: DataFrame, layer: String, name: String, keyCol: String): Unit = {
-    val bucketed = df.withColumn("hk_bucket", bucketOf(col(keyCol)))
+    val res = resolution(layer, name)
+    res.layout.foreach { lo =>
+      if (lo.keyCol != keyCol)
+        throw new DvException(DvError.Configuration(
+          s"appendBucketed($layer.$name): the table's layout record buckets on " +
+            s"'${lo.keyCol}' but this append buckets on '$keyCol' — one table cannot " +
+            s"carry two bucket derivations (pruned probes and lookups would miss keys)"))
+      noteDrift(layer, name, lo)
+    }
+    val n = res.layout.map(_.bucketCount).getOrElse(bucketCount)
+    val dataDir = new Path(res.dataDir)
+    val fs = fsOf(dataDir)
+    if (res.layout.isEmpty)
+      // legacy (pre-record) table: refuse when the disk disproves this
+      // lake's count before we bless it into a record
+      observedBucketAtOrOver(fs, dataDir, n).foreach { b =>
+        throw new DvException(DvError.Configuration(
+          s"appendBucketed($layer.$name): on-disk partition hk_bucket=$b is outside this " +
+            s"session's bucket count $n — the table predates layout records and was written " +
+            s"at a different count. Construct the Lake with the original count (a record is " +
+            s"adopted on the next append) or rewrite via Lake.rebucket."))
+      }
+    val bucketed = df.withColumn("hk_bucket", bucketOfN(col(keyCol), n))
     bucketed
-      .repartition(bucketCount, col("hk_bucket"))
+      .repartition(n, col("hk_bucket"))
       // resolved dir, not the table root: post-compaction appends belong to
       // the committed generation (the root's flat files are superseded data
       // retained only for in-flight readers)
-      .write.mode("append").partitionBy("hk_bucket").parquet(dataPath(layer, name))
+      .write.mode("append").partitionBy("hk_bucket").parquet(res.dataDir)
+    if (res.layout.isEmpty)
+      writeLayout(fs, dataDir, TableLayout(n, keyCol, Nil))
     refresh(layer, name)
+    maybeExpireAged(layer, name)
   }
+
+  /** First on-disk `hk_bucket=` partition value ≥ `n` under `dir`, if any —
+    * disk-evidence that `n` is NOT the count this table was written with.
+    * One listStatus; only consulted on the adopt path of record-less
+    * legacy tables. */
+  private def observedBucketAtOrOver(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, n: Int): Option[Long] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("hk_bucket="))
+      .flatMap(_.stripPrefix("hk_bucket=").toLongOption)
+      .find(_ >= n)
+
+  // ---------------------------------------------------------------------
+  // Layout record IO
+  // ---------------------------------------------------------------------
+
+  private def readLayout(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[TableLayout] = {
+    val p = new Path(dir, Lake.LayoutFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      try {
+        val node = Lake.jsonMapper.readTree(bytes)
+        val sortBy = Option(node.get("sortBy"))
+          .map(a => (0 until a.size).map(a.get(_).asText).toSeq).getOrElse(Nil)
+        val lo = TableLayout(node.get("bucketCount").asInt, node.get("keyCol").asText, sortBy)
+        require(lo.bucketCount > 0 && lo.keyCol.nonEmpty)
+        Some(lo)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a corrupt record must fail LOUDLY: falling back to the session
+          // count is the exact silent-mis-prune failure the record prevents
+          throw new DvException(DvError.Configuration(
+            s"unreadable table layout record $p — refusing to guess the bucket count " +
+              s"(delete or fix the record to proceed)", Some(e)))
+      }
+    }
+  }
+
+  private def writeLayout(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, lo: TableLayout): Unit = {
+    val json =
+      s"""{"version":1,"bucketCount":${lo.bucketCount},"keyCol":${Json.str(lo.keyCol)},""" +
+        s""""sortBy":[${lo.sortBy.map(Json.str).mkString(",")}]}"""
+    // overwrite=true: only written inside single-writer windows (table
+    // create, a claimed compact/rebucket's staged dir)
+    val out = fs.create(new Path(dir, Lake.LayoutFile), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---------------------------------------------------------------------
+  // Compaction claim
+  // ---------------------------------------------------------------------
+
+  private def compactClaimPath(layer: String, name: String): Path =
+    new Path(tablePath(layer, name), Lake.CompactClaim)
+
+  /** Atomically claim the table for a generation-writing operation
+    * (compact/rebucket/expire); false when another holds it. Same
+    * primitive + hygiene as the flow executor's ingestion claims
+    * (create-no-overwrite, JVM registry for same-process determinism,
+    * capability-gated on S3-class stores). */
+  def tryCompactionClaim(layer: String, name: String): Boolean = {
+    val p = compactClaimPath(layer, name)
+    val fs = fsOf(p)
+    graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, "compaction")
+    if (Lake.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null) return false
+    try { fs.create(p, /* overwrite = */ false).close(); true }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Lake.localClaims.remove(p.toString)
+        if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
+    }
+  }
+
+  /** Release the compaction claim — also the operator escape hatch for a
+    * claim a CRASHED compaction left behind (the same recovery posture as
+    * the flow executor's stale ingestion claims). */
+  def releaseCompactionClaim(layer: String, name: String): Unit = {
+    val p = compactClaimPath(layer, name)
+    Lake.localClaims.remove(p.toString)
+    fsOf(p).delete(p, false)
+    ()
+  }
+
+  private def withCompactionClaim[A](layer: String, name: String, what: String)(body: => A): A = {
+    if (!tryCompactionClaim(layer, name))
+      throw new DvException(DvError.Concurrency(
+        s"$what($layer.$name): another compact/rebucket/expireSuperseded holds this " +
+          s"table's claim (${Lake.CompactClaim}) — concurrent generation writers would " +
+          s"delete each other's staged data. If a crashed run left the claim behind, " +
+          s"clear it with releaseCompactionClaim."))
+    try body finally releaseCompactionClaim(layer, name)
+  }
+
+  /** Fail instead of committing when the staged generation's data did not
+    * survive to the commit point (defense-in-depth under the claim: an
+    * unclaimed concurrent expireSuperseded used to be able to delete the
+    * staged dir mid-write, after which the marker create would have
+    * committed an EMPTY generation and the next expire would have deleted
+    * all real data as superseded — total table loss, r18 ADVICE finding). */
+  private def verifyStaged(
+      fs: org.apache.hadoop.fs.FileSystem, staged: Path, what: String): Unit = {
+    val ok = fs.exists(staged) &&
+      (fs.exists(new Path(staged, "_SUCCESS")) || parquetLeaves(fs, staged).hasNext)
+    if (!ok) throw new DvException(DvError.Etl(
+      s"$what: staged generation $staged vanished (or wrote nothing) before the commit " +
+        s"marker — refusing to commit an empty generation over live data. A concurrent " +
+        s"expireSuperseded/compact is the usual cause; both are claim-gated, so check for " +
+        s"an out-of-band delete."))
+  }
+
+  // ---------------------------------------------------------------------
+  // Compact / rebucket / expire
+  // ---------------------------------------------------------------------
+
+  /** Within-write-task sort for generation rewrites. The sort MUST lead
+    * with the partition column: the V1 partitionBy write requires its
+    * output ordered by partition columns and inserts its OWN (non-stable)
+    * sort when the child's ordering doesn't already satisfy that — which
+    * would silently scramble the sortBy order the caller asked for
+    * (measured: identical decoded-rows before/after on the first cut of
+    * the r18 as-of bench). Leading with hk_bucket makes the child ordering
+    * a superset of the writer's requirement, so no extra sort is inserted
+    * and the within-file order survives. */
+  private def sortedWithin(d: DataFrame, sortBy: Seq[String]): DataFrame =
+    if (sortBy.isEmpty) d
+    else {
+      val keys = if (d.columns.contains("hk_bucket")) "hk_bucket" +: sortBy else sortBy
+      d.sortWithinPartitions(keys.map(col): _*)
+    }
 
   /** Compact a bucketed table: every append adds a part file per bucket per
     * task, and a long-lived vault accumulates small files (the classic
@@ -367,6 +653,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * (`{table}/_gen-N/`), committed by creating one small marker file —
     * readers never observe a half-compacted (mixed old/new) table, and
     * never a missing one. Returns (files before, files after).
+    *
+    * CLAIM: the whole operation runs under the table's compaction claim
+    * (create-no-overwrite marker at the table root) — a second concurrent
+    * compact/rebucket/expire gets a typed DvError.Concurrency refusal
+    * instead of silently deleting this one's staged data (two compactors
+    * both compute nextN; the loser's pre-write `delete(staged)` used to
+    * wipe the winner's in-flight staging). The claim is released on every
+    * exit; a hard crash leaves it behind — clear with
+    * [[releaseCompactionClaim]].
     *
     * COMMIT POSTURE (generation layout, r18 — replaced the two-rename
     * swap): the staged generation is written next to the live data
@@ -379,19 +674,27 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * resolving at any moment during compaction sees the OLD generation
     * (before the marker lands) or the NEW one (after), never an absent or
     * mixed table. A crashed compaction leaves an uncommitted `_gen-N`
-    * that resolution ignores and the next compact deletes.
+    * that resolution ignores and the next compact deletes. The staged
+    * data's survival is verified IMMEDIATELY before the marker create
+    * ([[verifyStaged]]), and the table's layout record is copied into the
+    * staged generation before the commit, so one marker publishes data +
+    * layout atomically.
     *
     * RETENTION: the superseded data (previous generation, or the root's
     * flat files on first compaction) is kept until the NEXT compaction
-    * ([[expireSuperseded]] runs at compact start) — so a reader that
-    * resolved its file listing just before the commit can finish its scan;
-    * the no-concurrent-reader window of the old swap is gone on every
-    * store. Steady-state cost: ≤ 2× table storage between compactions;
-    * call [[expireSuperseded]] explicitly once in-flight readers are
-    * known drained to reclaim earlier. Catalog tables registered over the
-    * FLAT path (Graft registers staging tables this way) must be
-    * re-registered after a first compaction — engine paths never compact
-    * staging tables.
+    * (the expire pass runs at compact start) — so a reader that resolved
+    * its file listing just before the commit can finish its scan; the
+    * no-concurrent-reader window of the old swap is gone on every store.
+    * Steady-state cost: ≤ 2× table storage between compactions. Reclaim
+    * earlier either by POLICY (`spark.graft.gen.retainMillis` ≥ 0: any
+    * compact/rebucket/bucketed-append deletes data superseded for at
+    * least that long — size the window to the longest reader) or by an
+    * explicit [[expireSuperseded]] call once in-flight readers are known
+    * drained. With retainMillis set, the compact-start expire ALSO
+    * respects the window (young superseded generations survive a rapid
+    * re-compact). Catalog tables registered over the FLAT path (Graft
+    * registers staging tables this way) must be re-registered after a
+    * first compaction — engine paths never compact staging tables.
     *
     * `sortBy`: optional within-chunk sort columns for the rewrite. Vault
     * satellites pass (hk, load_dts): as-of queries filter `load_dts` over
@@ -416,120 +719,235 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   def compact(layer: String, name: String, sortBy: Seq[String] = Nil): (Long, Long) = {
     val root = new Path(tablePath(layer, name))
     val fs = fsOf(root)
-    // Reclaim data superseded by the CURRENT generation (kept one cycle for
-    // in-flight readers) and any uncommitted staged generation a crashed
-    // compaction left — also what keeps the flat-layout walk below from
-    // counting a leftover `_gen` dir's leaves.
-    expireSuperseded(layer, name)
-    val cur = currentGen(fs, root)
-    val curDir = cur.map(_._2).getOrElse(root)
-    val nextN = cur.map(_._1 + 1L).getOrElse(1L)
-    // ONE pre-rewrite walk serves both the before-count and the per-bucket
-    // byte sizing below (a leaf's bucket is its parent dir's partition
-    // value) — a second full walk doubled the driver metadata RPCs per
-    // compaction on remote stores.
-    val leaves = parquetLeaves(fs, curDir).toArray
-    val before = leaves.length.toLong
-    // mergeSchema: compaction REWRITES the table, so it must read the UNION
-    // of every file's schema. Plain inference picks one footer; on a
-    // schema-evolved satellite (older appends missing a newer column) an
-    // old-footer pick would silently DROP the evolved column from the
-    // rewrite — on-disk data loss, not just a narrowed read. The
-    // footer-merge job is proportional to file count, which a compaction
-    // pays anyway; readOr's imposed-metadata-schema contract covers normal
-    // reads, but compact cannot assume a caller-supplied schema.
-    val df = spark.read.option("mergeSchema", "true").parquet(curDir.toString)
-    // Applied AFTER the (bucket, chunk) exchange, inside each write task.
-    // The sort MUST lead with the partition column: the V1 partitionBy
-    // write requires its output ordered by partition columns and inserts
-    // its OWN (non-stable) sort when the child's ordering doesn't already
-    // satisfy that — which would silently scramble the sortBy order the
-    // caller asked for (measured: identical decoded-rows before/after on
-    // the first cut of the r18 as-of bench). Leading with hk_bucket makes
-    // the child ordering a superset of the writer's requirement, so no
-    // extra sort is inserted and the within-file order survives.
-    def sorted(d: DataFrame): DataFrame =
-      if (sortBy.isEmpty) d
-      else {
-        val keys = if (d.columns.contains("hk_bucket")) "hk_bucket" +: sortBy else sortBy
-        d.sortWithinPartitions(keys.map(col): _*)
+    if (!fs.exists(root))
+      throw new DvException(DvError.Entity(s"compact($layer.$name): table does not exist"))
+    withCompactionClaim(layer, name, "compact") {
+      // Reclaim data superseded by the CURRENT generation (kept one cycle
+      // for in-flight readers; kept at least retainMillis under the policy)
+      // and any uncommitted staged generation a crashed compaction left —
+      // also what keeps the flat-layout walk below from counting a
+      // leftover `_gen` dir's leaves.
+      expireInternal(fs, root, layer, name,
+        math.max(0L, Confs.genRetainMillis(spark.conf)))
+      val cur = currentGen(fs, root)
+      val curDir = cur.map(_._2).getOrElse(root)
+      val nextN = cur.map(_._1 + 1L).getOrElse(1L)
+      val layout = readLayout(fs, curDir)
+        .orElse(if (cur.isDefined) readLayout(fs, root) else None)
+      // ONE pre-rewrite walk serves both the before-count and the per-bucket
+      // byte sizing below (a leaf's bucket is its parent dir's partition
+      // value) — a second full walk doubled the driver metadata RPCs per
+      // compaction on remote stores.
+      val leaves = parquetLeaves(fs, curDir).toArray
+      val before = leaves.length.toLong
+      // mergeSchema: compaction REWRITES the table, so it must read the UNION
+      // of every file's schema. Plain inference picks one footer; on a
+      // schema-evolved satellite (older appends missing a newer column) an
+      // old-footer pick would silently DROP the evolved column from the
+      // rewrite — on-disk data loss, not just a narrowed read. The
+      // footer-merge job is proportional to file count, which a compaction
+      // pays anyway; readOr's imposed-metadata-schema contract covers normal
+      // reads, but compact cannot assume a caller-supplied schema.
+      val df = spark.read.option("mergeSchema", "true").parquet(curDir.toString)
+      val staged = new Path(root, s"${Lake.GenPrefix}$nextN")
+      fs.delete(staged, true)
+      if (df.columns.contains("hk_bucket")) {
+        val target = Confs.compactTargetBytes(spark.conf)
+        // per-bucket compressed bytes from the SAME leaves the file count
+        // walked (a leaf's bucket = its parent dir's hk_bucket= value); an
+        // empty bucket dir is simply absent and falls to the coalesce(…, 1)
+        // default below.
+        val chunksOf: Map[Long, Int] = leaves.iterator
+          .flatMap { s =>
+            val dir = s.getPath.getParent.getName
+            if (dir.startsWith("hk_bucket="))
+              dir.stripPrefix("hk_bucket=").toLongOption.map(_ -> s.getLen)
+            else None
+          }
+          .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+          .map { case (b, bytes) =>
+            b -> math.max(1L, (bytes + target - 1) / target).min(1L << 16).toInt
+          }
+        val totalChunks = chunksOf.values.map(_.toLong).sum
+          .max(1L).min(1L << 20).toInt
+        val dataCols = df.columns.filterNot(_ == "hk_bucket").toIndexedSeq
+        // chunk = row-hash mod the bucket's OWN chunk count (a tiny literal
+        // map — bucket counts are configuration-scale, not data-scale), so
+        // single-chunk buckets keep one file and only oversized ones split.
+        // coalesce: a bucket value absent from the driver listing (directory
+        // race, unexpected partition value) would make element_at NULL and
+        // silently collapse that bucket to a single repartition cell —
+        // deterministically give an unmapped bucket one chunk instead.
+        val chunk = pmod(
+          xxhash64(dataCols.map(col): _*),
+          coalesce(
+            element_at(typedLit(chunksOf), col("hk_bucket").cast("long")),
+            lit(1)))
+        sortedWithin(
+          df.withColumn("__chunk", chunk)
+            .repartition(totalChunks, col("hk_bucket"), col("__chunk")), sortBy)
+          .drop("__chunk")
+          .write.partitionBy("hk_bucket").parquet(staged.toString)
       }
-    val staged = new Path(root, s"${Lake.GenPrefix}$nextN")
-    fs.delete(staged, true)
-    if (df.columns.contains("hk_bucket")) {
+      // inputFiles length instead of df.rdd.getNumPartitions (the latter
+      // materializes the physical RDD driver-side); compaction targets ~8
+      // input files per output file.
+      else sortedWithin(df.coalesce(math.max(1, df.inputFiles.length / 8)), sortBy)
+        .write.parquet(staged.toString)
+      // the layout record travels WITH the generation it describes (one
+      // marker publishes data + layout); the rewrite's sort becomes the
+      // recorded one
+      layout.foreach { lo =>
+        writeLayout(fs, staged, if (sortBy.nonEmpty) lo.copy(sortBy = sortBy) else lo)
+      }
+      verifyStaged(fs, staged, s"compact($layer.$name)")
+      // THE COMMIT: one small-file create (atomic visibility on every store —
+      // no renames). Before it, readers resolve the old generation; after it,
+      // the new one. A crash before this line leaves an uncommitted staged
+      // dir that resolution ignores.
+      fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
+      refresh(layer, name)
+      (before, parquetLeaves(fs, staged).size.toLong)
+    }
+  }
+
+  /** Rewrite a bucketed table at a NEW bucket count, as a committed
+    * generation — the explicit (and only) way a table's bucket count
+    * changes. A 16-bucket vault that grows 100× otherwise keeps
+    * multi-TB-granularity probe pruning forever: bucket span is the unit
+    * of probe/lookup/append-listing cost, so the count must be able to
+    * follow data volume. Same claim, staging, verify-then-marker commit,
+    * and retention posture as [[compact]]; the staged generation's layout
+    * record carries the new count, so the one marker create atomically
+    * republishes data + layout, and concurrent readers of the old
+    * generation are unaffected (their files persist one retention cycle).
+    *
+    * `keyCol` defaults to the layout record's key; tables created before
+    * layout records must pass it explicitly. Output files are size-capped
+    * like compact's (uniform chunk estimate — hash keys spread bytes
+    * evenly across the new buckets). Returns (files before, files after). */
+  def rebucket(
+      layer: String, name: String, newBuckets: Int,
+      keyCol: Option[String] = None, sortBy: Seq[String] = Nil): (Long, Long) = {
+    require(newBuckets > 0, s"rebucket($layer.$name): newBuckets must be > 0, got $newBuckets")
+    val root = new Path(tablePath(layer, name))
+    val fs = fsOf(root)
+    if (!fs.exists(root))
+      throw new DvException(DvError.Entity(s"rebucket($layer.$name): table does not exist"))
+    withCompactionClaim(layer, name, "rebucket") {
+      expireInternal(fs, root, layer, name,
+        math.max(0L, Confs.genRetainMillis(spark.conf)))
+      val cur = currentGen(fs, root)
+      val curDir = cur.map(_._2).getOrElse(root)
+      val nextN = cur.map(_._1 + 1L).getOrElse(1L)
+      val layout = readLayout(fs, curDir)
+        .orElse(if (cur.isDefined) readLayout(fs, root) else None)
+      val key = keyCol.orElse(layout.map(_.keyCol)).getOrElse(
+        throw new DvException(DvError.Configuration(
+          s"rebucket($layer.$name): the table has no layout record to take the bucket " +
+            s"key from (created before records existed) — pass keyCol explicitly")))
+      val leaves = parquetLeaves(fs, curDir).toArray
+      val before = leaves.length.toLong
+      val totalBytes = leaves.iterator.map(_.getLen).sum
+      val df0 = spark.read.option("mergeSchema", "true").parquet(curDir.toString)
+      if (!df0.columns.contains(key))
+        throw new DvException(DvError.Configuration(
+          s"rebucket($layer.$name): bucket key column '$key' not present in the table " +
+            s"(columns: ${df0.columns.mkString(", ")})"))
+      val df = df0.drop("hk_bucket").withColumn("hk_bucket", bucketOfN(col(key), newBuckets))
       val target = Confs.compactTargetBytes(spark.conf)
-      // per-bucket compressed bytes from the SAME leaves the file count
-      // walked (a leaf's bucket = its parent dir's hk_bucket= value); an
-      // empty bucket dir is simply absent and falls to the coalesce(…, 1)
-      // default below.
-      val chunksOf: Map[Long, Int] = leaves.iterator
-        .flatMap { s =>
-          val dir = s.getPath.getParent.getName
-          if (dir.startsWith("hk_bucket="))
-            dir.stripPrefix("hk_bucket=").toLongOption.map(_ -> s.getLen)
-          else None
-        }
-        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
-        .map { case (b, bytes) =>
-          b -> math.max(1L, (bytes + target - 1) / target).min(1L << 16).toInt
-        }
-      val totalChunks = chunksOf.values.map(_.toLong).sum
-        .max(1L).min(1L << 20).toInt
+      // xxhash64 keys spread bytes ~uniformly over the NEW buckets, so one
+      // chunk count serves all of them (the old per-bucket listing can't
+      // size new buckets — old dirs don't map to new assignments)
+      val chunksPerBucket = math.max(1L,
+        (totalBytes / math.max(1, newBuckets) + target - 1) / target).min(1L << 16).toInt
+      val totalChunks = (chunksPerBucket.toLong * newBuckets).max(1L).min(1L << 20).toInt
+      val staged = new Path(root, s"${Lake.GenPrefix}$nextN")
+      fs.delete(staged, true)
       val dataCols = df.columns.filterNot(_ == "hk_bucket").toIndexedSeq
-      // chunk = row-hash mod the bucket's OWN chunk count (a tiny literal
-      // map — bucket counts are configuration-scale, not data-scale), so
-      // single-chunk buckets keep one file and only oversized ones split.
-      // coalesce: a bucket value absent from the driver listing (directory
-      // race, unexpected partition value) would make element_at NULL and
-      // silently collapse that bucket to a single repartition cell —
-      // deterministically give an unmapped bucket one chunk instead.
-      val chunk = pmod(
-        xxhash64(dataCols.map(col): _*),
-        coalesce(
-          element_at(typedLit(chunksOf), col("hk_bucket").cast("long")),
-          lit(1)))
-      sorted(
+      val chunk = pmod(xxhash64(dataCols.map(col): _*), lit(chunksPerBucket))
+      val effSort = if (sortBy.nonEmpty) sortBy else layout.map(_.sortBy).getOrElse(Nil)
+      sortedWithin(
         df.withColumn("__chunk", chunk)
-          .repartition(totalChunks, col("hk_bucket"), col("__chunk")))
+          .repartition(totalChunks, col("hk_bucket"), col("__chunk")), effSort)
         .drop("__chunk")
         .write.partitionBy("hk_bucket").parquet(staged.toString)
+      writeLayout(fs, staged, TableLayout(newBuckets, key, effSort))
+      verifyStaged(fs, staged, s"rebucket($layer.$name)")
+      fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
+      refresh(layer, name)
+      (before, parquetLeaves(fs, staged).size.toLong)
     }
-    // inputFiles length instead of df.rdd.getNumPartitions (the latter
-    // materializes the physical RDD driver-side); compaction targets ~8
-    // input files per output file.
-    else sorted(df.coalesce(math.max(1, df.inputFiles.length / 8)))
-      .write.parquet(staged.toString)
-    // THE COMMIT: one small-file create (atomic visibility on every store —
-    // no renames). Before it, readers resolve the old generation; after it,
-    // the new one. A crash before this line leaves an uncommitted staged
-    // dir that resolution ignores.
-    fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
-    refresh(layer, name)
-    (before, parquetLeaves(fs, staged).size.toLong)
   }
 
   /** Delete data superseded by the table's current committed generation:
     * committed generations BELOW the current one, uncommitted staged
     * generations (crashed compactions), and — once any generation is
     * committed — the legacy flat data files in the table root. Runs
-    * automatically at the start of every [[compact]] (so superseded data
-    * survives exactly one compaction cycle for in-flight readers — see the
-    * retention note there); call directly to reclaim the ≤ 2× storage
-    * earlier once concurrent readers are known drained. Returns the number
-    * of root entries deleted. No-op on a flat table with no generation
-    * leftovers. */
+    * automatically at the start of every [[compact]]/[[rebucket]] (so
+    * superseded data survives at least one compaction cycle for in-flight
+    * readers — see the retention note there) and, under the
+    * `spark.graft.gen.retainMillis` policy, age-gated after bucketed
+    * appends; call directly to reclaim the ≤ 2× storage immediately once
+    * concurrent readers are known drained (the explicit call ignores the
+    * retention window — it IS the operator's drain statement). Claim-gated
+    * like compact: calling this while a compaction of the same table is
+    * in flight gets a typed Concurrency refusal instead of deleting the
+    * compaction's staged generation mid-write (r18 ADVICE finding).
+    * Returns the number of root entries deleted. No-op on a flat table
+    * with no generation leftovers and on absent tables. */
   def expireSuperseded(layer: String, name: String): Long = {
     val root = new Path(tablePath(layer, name))
     val fs = fsOf(root)
+    // absent-table guard BEFORE the claim: the claim marker's create would
+    // otherwise materialize the table dir and flip exists() to true
     if (!fs.exists(root)) return 0L
-    val cur = currentGen(fs, root)
-    val doomed = fs.listStatus(root).iterator.filter { s =>
+    withCompactionClaim(layer, name, "expireSuperseded") {
+      expireInternal(fs, root, layer, name, minAgeMillis = 0L)
+    }
+  }
+
+  /** The expire pass itself — callers hold the compaction claim. An item is
+    * reclaimable when it is superseded (a committed generation above it
+    * exists) AND its superseding generation's commit marker is at least
+    * `minAgeMillis` old (0 = immediately). Uncommitted staged generations
+    * are crashed leftovers by definition under the claim (a live staging
+    * writer would hold it) and are reclaimed regardless of age. The claim
+    * marker itself and the current generation are never touched. */
+  private def expireInternal(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      layer: String, name: String, minAgeMillis: Long): Long = {
+    if (!fs.exists(root)) return 0L
+    val entries = fs.listStatus(root)
+    val committed = entries.iterator
+      .filter(_.isDirectory)
+      .flatMap(s => genNumber(s.getPath).map(_ -> s.getPath))
+      .filter { case (_, p) => fs.exists(new Path(p, Lake.CommitMarker)) }
+      .toArray.sortBy(_._1)
+    val cur = committed.lastOption
+    val now = System.currentTimeMillis()
+    def agedOut(supersederDir: Path): Boolean =
+      minAgeMillis <= 0L || {
+        val m = new Path(supersederDir, Lake.CommitMarker)
+        // marker mtime = the moment its predecessor became superseded; a
+        // vanished marker (shouldn't happen under the claim) counts as aged
+        scala.util.Try(fs.getFileStatus(m).getModificationTime)
+          .map(t => now - t >= minAgeMillis).getOrElse(true)
+      }
+    val doomed = entries.iterator.filter { s =>
       genNumber(s.getPath) match {
-        // a generation dir: superseded or uncommitted unless it IS current
-        case Some(n) => !cur.exists(_._1 == n)
-        // non-generation root entry (flat part files, hk_bucket= dirs,
-        // _SUCCESS): legacy data once any generation is committed
-        case None => cur.isDefined
+        case Some(n) if cur.exists(_._1 == n) => false // the current generation
+        case Some(n) =>
+          committed.find(_._1 > n) match {
+            case Some((_, superseder)) if committed.exists(_._1 == n) => agedOut(superseder)
+            case _ => true // uncommitted staging: crashed leftover (we hold the claim)
+          }
+        case None =>
+          // non-generation root entry (flat part files, hk_bucket= dirs,
+          // _SUCCESS, the root layout record): legacy data once any
+          // generation is committed — but never the claim marker we hold
+          s.getPath.getName != Lake.CompactClaim &&
+            cur.exists { case (_, d) => agedOut(d) }
       }
     }.map(_.getPath).toArray
     doomed.foreach(fs.delete(_, true))
@@ -537,19 +955,43 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     doomed.length.toLong
   }
 
-  /** Point lookup on a bucketed vault table: recomputes the key's bucket and
-    * filters on the partition column FIRST, so the scan touches 1/buckets of
-    * the table's files (PartitionFilters in the plan) — the read-side payoff
-    * of bucketed appends at 100 TB.
+  /** Policy-driven reclaim hook on the append path: with
+    * `spark.graft.gen.retainMillis` ≥ 0, data superseded for longer than
+    * the window is deleted by the table's OWN ongoing writes — storage
+    * returns to 1× without anyone remembering [[expireSuperseded]].
+    * Costs nothing at the default (-1: disabled); under the policy it is
+    * one claim acquire/release + one root listing per append, and it
+    * SKIPS silently when the claim is held (a live compaction will expire
+    * at its own start). */
+  private def maybeExpireAged(layer: String, name: String): Unit = {
+    val retain = Confs.genRetainMillis(spark.conf)
+    if (retain < 0L) return
+    val root = new Path(tablePath(layer, name))
+    val fs = fsOf(root)
+    if (!fs.exists(root)) return
+    if (tryCompactionClaim(layer, name)) {
+      try { expireInternal(fs, root, layer, name, retain); () }
+      finally releaseCompactionClaim(layer, name)
+    }
+  }
+
+  /** Point lookup on a bucketed vault table: recomputes the key's bucket
+    * (under the TABLE's persisted count — session-conf drift cannot
+    * mis-prune) and filters on the partition column FIRST, so the scan
+    * touches 1/buckets of the table's files (PartitionFilters in the
+    * plan) — the read-side payoff of bucketed appends at 100 TB.
     *
     * Schema-evolution caveat: like any plain parquet read, the schema is
     * INFERRED from one footer, so a column added after earlier appends may
     * be absent from the result depending on which file wins inference. For
     * evolved satellites use [[readOr]] with the metadata schema (its
     * imposed-schema contract null-backfills old files) and filter on
-    * [[bucketOf]] — this helper stays inference-based because a per-lookup
-    * footer-merge would cost a full listing per point read. */
+    * [[tableBucketOf]] — this helper stays inference-based because a
+    * per-lookup footer-merge would cost a full listing per point read. */
   def lookupBucketed(layer: String, name: String, keyCol: String, value: String): DataFrame = {
+    val res = resolution(layer, name)
+    res.layout.foreach(noteDrift(layer, name, _))
+    val n = res.layout.map(_.bucketCount).getOrElse(bucketCount)
     val df = read(layer, name)
     // bucketOfValue hashes a STRING; a table bucketed on a non-string key
     // column (xxhash64 of the native type) would prune to the WRONG bucket
@@ -562,14 +1004,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       s"lookupBucketed: $keyCol is $kt, but the bucket is recomputed from a STRING value — " +
         "a non-string bucket derivation would prune to the wrong bucket and return an " +
         "empty result; read with readOr + filter instead")
-    df.filter(col("hk_bucket") === bucketOfValue(value) && col(keyCol) === value)
+    df.filter(col("hk_bucket") === bucketOfValueN(value, n) && col(keyCol) === value)
       .drop("hk_bucket")
   }
 }
 
 object Lake {
   /** Session-conf key for the default bucket count of lakes constructed
-    * without an explicit `buckets` arg (SURVEY §4). */
+    * without an explicit `buckets` arg (SURVEY §4). Applies to NEW tables;
+    * existing tables' layout records govern themselves. */
   val BucketsKey = "spark.graft.buckets"
   val DefaultBuckets = 16
   /** Sentinel default for the constructor arg: "resolve from conf". */
@@ -581,4 +1024,33 @@ object Lake {
   /** Marker file whose CREATE inside a generation dir is compaction's
     * atomic commit point ([[Lake.compact]] commit posture). */
   val CommitMarker = "_graft_committed"
+  /** Per-table layout record file name ([[TableLayout]]); lives beside the
+    * data it describes (table root, or generation dir once compacted).
+    * Underscore-prefixed → hidden from Spark's file index. */
+  val LayoutFile = "_graft_table.json"
+  /** Per-table compaction-claim marker at the table root (underscore →
+    * hidden); create-no-overwrite is the cross-process arbiter. */
+  val CompactClaim = "_graft_compacting"
+
+  private[core] final case class Resolution(dataDir: String, layout: Option[TableLayout])
+
+  /** JVM-wide (data dir, layout) resolution cache keyed by table path —
+    * shared across Lake instances over the same root so any instance's
+    * write invalidates for all (see [[Lake.resolution]] staleness note). */
+  private val resolutionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Resolution]()
+
+  /** JVM-wide compaction-claim registry (same role as the flow executor's
+    * ingestion-claim registry: deterministic same-process arbitration on
+    * stores whose create-no-overwrite is check-then-act locally). */
+  private val localClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Tables already drift-noted in this JVM (note once, not per op). */
+  private val notedDrift =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Shared Jackson mapper for layout records (readTree is thread-safe);
+    * Jackson ships with Spark itself. */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

@@ -69,8 +69,11 @@ object DvError {
     e match {
       // already typed (e.g. the claim-store capability gate throwing a
       // Configuration error mid-flow) — carry it through instead of
-      // re-wrapping a DvError as a generic Etl error
-      case de: DvException => de.error
+      // re-wrapping a DvError as a generic Etl error; the caller's context
+      // (flow/entity label) is prefixed onto the typed message rather than
+      // dropped, so "which flow hit this" survives the carry
+      case de: DvException =>
+        if (context.isEmpty) de.error else withContext(de.error, context)
       // ParseException extends AnalysisException in Spark 4, so this one
       // case covers both parse and analysis failures.
       case ae: AnalysisException =>
@@ -82,6 +85,17 @@ object DvError {
       case _ =>
         Etl(msg, Some(e))
     }
+  }
+
+  /** Same typed error with `context: ` prefixed to its message — keeps the
+    * kind (callers dispatch on it) while recording where it surfaced. */
+  private def withContext(err: DvError, context: String): DvError = err match {
+    case e: Sql           => e.copy(message = s"$context: ${e.message}")
+    case e: Metadata      => e.copy(message = s"$context: ${e.message}")
+    case e: Entity        => e.copy(message = s"$context: ${e.message}")
+    case e: Configuration => e.copy(message = s"$context: ${e.message}")
+    case e: Etl           => e.copy(message = s"$context: ${e.message}")
+    case e: Concurrency   => e.copy(message = s"$context: ${e.message}")
   }
 
   private def baseMsg(e: Throwable): String =

@@ -50,6 +50,93 @@ object TextOps {
        | CAST(len(regexp_extract_all(text, '${TextFns.BpeishPattern}')) AS BIGINT) AS n_bpe_tokens
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- #36a real BPE tokens
+
+  /** Merges per frozen tokenizer (GPT-2's table has 50k; 1024 over the
+    * synthetic corpus saturates its vocabulary — training stops early at
+    * the min-pair-frequency floor) and the driver-side dictionary cap
+    * (word TYPES collected for training — the bound on driver memory; the
+    * distributed word-frequency aggregation underneath is map-side-combined
+    * and linear in corpus size). */
+  private val BpeNumMerges = 1024
+  private val BpeDictCap = 32768
+
+  /** Corpus-keyed location of the frozen BPE merges table — the
+    * frozen-centroids pattern (queries/Ann.scala frozenCentroidsPath):
+    * per-run aux dir under Verify's `graft.centroids.dir` property,
+    * shared Scratch cache otherwise, so bench reps retrain nothing. */
+  private[graft] def frozenMergesPath(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    sys.props.get("graft.centroids.dir") match {
+      case Some(base) => base.stripSuffix("/") + "/.graft_aux/bpe_merges_" + key
+      case None       => graft.core.Scratch.stablePath(s, "graft_bpe_merges_" + key)
+    }
+  }
+
+  /** Paths whose merges this JVM already trained and froze (mirrors
+    * Ann.frozenTrained: training is one-time artifact build, not part of
+    * the tokenize being measured). */
+  private val bpeTrained = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Train-and-freeze the merges table for a corpus: ONE map-side-combined
+    * word-frequency aggregation (the only shuffle; grams are (word, count)
+    * pairs, never documents), a TakeOrdered top-`BpeDictCap` dictionary
+    * (deterministic tiebreak on the word), classic BPE merge training
+    * driver-side over the capped dictionary — sentencepiece/HF train the
+    * same way: over word types weighted by count — then parquet
+    * (rank, left, right). */
+  private def ensureFrozenMerges(s: SparkSession, dir: String): String = {
+    val path = frozenMergesPath(s, dir)
+    bpeTrained.computeIfAbsent(path, _ => {
+      val t0 = System.nanoTime()
+      import s.implicits._
+      val wordFreqs = docs(s, dir).select(col("text")).as[String]
+        .flatMap(graft.functions.Bpe.preTokens(_))
+        .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(BpeDictCap)
+        .as[(String, Long)].collect().toSeq
+      val merges = graft.functions.Bpe.train(wordFreqs, BpeNumMerges)
+      merges.iterator.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }.toSeq
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      System.err.println(
+        f"[graft] bpe merge train ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          s"${merges.length} merges -> $path")
+      java.lang.Boolean.TRUE
+    })
+    path
+  }
+
+  /** Real BPE token counts per document (SURVEY §2 #36a): greedy
+    * lowest-rank merge encoding against the corpus's frozen merges table.
+    * Rows-only under the driver (the greedy merge loop is iterative and
+    * not SQL-expressible — documented like `knn_ivf_kmeans`); pinned by
+    * BpeSpec against hand-computed fixtures, and `n_bpe_tokens ≤
+    * n_pretokens ≤ chars` invariants hold by construction (every merge
+    * strictly shrinks a pre-token's symbol count). The encode itself is a
+    * zero-shuffle typed pass with the merges BROADCAST and a per-partition
+    * Zipfian word cache — scan-bound and linear at 100 TB, like the rest
+    * of the text family. */
+  def textTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureFrozenMerges(s, dir)
+    val merges = s.read.parquet(path)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect()
+    val bcRanks = s.sparkContext.broadcast(graft.functions.Bpe.ranksOf(merges))
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bcRanks.value
+        val cache = new java.util.HashMap[String, Integer]()
+        it.map { case (id, text) =>
+          (id, graft.functions.Bpe.countTokens(text, ranks, cache))
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens")
+  }
+
   // --------------------------------------------------------------- #35 quality
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -637,6 +724,10 @@ object TextOps {
     "corpus_stats" -> (corpusStats _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tokens" -> (textTokens _),
+    // rows-only BY DESIGN (no oracles entry): greedy BPE merge encoding is
+    // iterative, not SQL-expressible — same posture as knn_ivf_kmeans;
+    // correctness pinned by BpeSpec's hand-computed fixtures
+    "text_tokens_bpe" -> (textTokensBpe _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "corpus_filter" -> (corpusFilter _),

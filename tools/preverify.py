@@ -54,7 +54,7 @@ def main():
     # before the driver ever sees it. Dot-prefixed entries are aux by
     # convention and must not appear either (Verify keeps aux state in a
     # temp dir outside out_dir entirely).
-    ROWS_ONLY = {"knn_ivf_kmeans"}
+    ROWS_ONLY = {"knn_ivf_kmeans", "text_tokens_bpe"}
     for entry in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, entry)
         if not os.path.isdir(full):
