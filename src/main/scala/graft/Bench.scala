@@ -170,7 +170,7 @@ object Bench {
     // truncated fragment for per-query numbers. Path is round-stamped (bump
     // per round) and env-overridable; non-fatal when cwd isn't the repo.
     val perQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r18_driver_perquery.json")
+      "bench/r19_driver_perquery.json")
     try {
       val p = java.nio.file.Paths.get(perQuery)
       if (p.getParent == null || java.nio.file.Files.isDirectory(p.getParent))
@@ -194,7 +194,7 @@ object Bench {
     //   lost — else the "queries_file" pointer (never a decapitated line,
     //   the BENCH_r07 failure mode). Millisecond precision is always in
     //   the full line above and BOTH durable sidecars (including the
-    //   committed bench/r18_driver_perquery.json). total_min lives there
+    //   committed bench/r19_driver_perquery.json). total_min lives there
     //   too — dropped here to buy map room.
     def qMap(unit: Double) = results.map { case (k, (med, _)) =>
       jstr(k) + ":" + Math.round(med * unit)

@@ -187,7 +187,16 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       spark.read.schema(schema).parquet(dataPath(layer, name))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // empty LOCAL relation, not an empty RDD: a LogicalRDD's stats are the
+      // defaultSizeInBytes SENTINEL, so every plan built over an
+      // absent-table probe (a first flow load, a streaming sink's batch 0)
+      // claimed Long.MaxValue-ish input — Tables.clusterParts then sized
+      // the delta load's exchange to the 4-wave cap (128 tasks for a
+      // 15k-row micro-batch, profiled r19) and estBytesKnown-gated sites
+      // saw "unknown". A LocalRelation reports its true 0 bytes, and the
+      // optimizer's PropagateEmptyRelation can collapse joins against it
+      // outright — the correct first-batch plan.
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** [[readOr]] for INCREMENTAL-LOAD probes: the existing-table side of a
     * hub/link anti-join or a satellite DELTA probe only matters where its
@@ -233,15 +242,25 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * counted append's listing diff ([[appendIncrementBucketed]]) — the
     * probe scan and the listing are bounded by the SAME set by
     * construction. Bucket derivation uses the TABLE's persisted count
-    * ([[tableBuckets]]), so a session-conf drift cannot mis-prune. */
+    * ([[tableBuckets]]), so a session-conf drift cannot mis-prune.
+    *
+    * `gate`: a caller that already evaluated [[probeWouldEngage]] this
+    * batch (the streaming sinks do, to decide hash-view caching BEFORE the
+    * span's action runs) passes the decision here — the gate's
+    * estBytesKnown walks the optimized plan, a per-call driver optimizer
+    * pass worth skipping twice per micro-batch. None = evaluate here. */
   def readOrProbeWithSpan(
       layer: String, name: String, schema: StructType,
-      staged: DataFrame, stagedKey: org.apache.spark.sql.Column): (DataFrame, Option[Array[Long]]) = {
+      staged: DataFrame, stagedKey: org.apache.spark.sql.Column,
+      gate: Option[Boolean] = None): (DataFrame, Option[Array[Long]]) = {
     val full = readOr(layer, name, schema)
     if (!exists(layer, name)) return (full, None)
-    val known = Tables.estBytesKnown(full)
-    val engaged = known.exists(_ >= Confs.probePruneMinBytes(spark.conf))
-    Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", engaged, known)
+    val engaged = gate.getOrElse {
+      val known = Tables.estBytesKnown(full)
+      val e = known.exists(_ >= Confs.probePruneMinBytes(spark.conf))
+      Tables.gateTrace(spark.conf, s"readOrProbe($layer.$name)", e, known)
+      e
+    }
     if (!engaged) (full, None)
     else {
       val n = tableBuckets(layer, name)

@@ -87,6 +87,12 @@ object StreamingDv {
       statePartitions: Option[Int] = None
   ): StreamingQuery = {
     val hkName = s"${hubTable.stripPrefix("hub_")}_hk"
+    // Batch-invariant state the foreachBatch closure carries ACROSS batches
+    // (the r19 per-batch fixed-cost pass): the probe gate is monotone for a
+    // sink table — appends only grow it — so once it clears, later batches
+    // skip the evaluation (an optimizer-pass stats walk per call).
+    val hubSchema = StructType(StructField(hkName, StringType) :: Nil)
+    var gateOn = false
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -95,18 +101,19 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        val hubSchema = StructType(StructField(hkName, StringType) :: Nil)
         // cached like the flow executor's hv — but ONLY above the probe
         // gate, where the span distinct-collect is a second ACTION over the
         // batch; under the gate the append is the only action and a cache
-        // is pure overhead (Lake.probeWouldEngage doc).
-        val cacheHv = lake.probeWouldEngage("dv", hubTable, hubSchema)
+        // is pure overhead (Lake.probeWouldEngage doc). Evaluated ONCE per
+        // batch and reused by the probe below; once true, never re-checked.
+        if (!gateOn) gateOn = lake.probeWouldEngage("dv", hubTable, hubSchema)
+        val cacheHv = gateOn
         if (cacheHv) { hv.cache(); () }
         try {
           // bucket-pruned above the probe-prune gate: the anti-join only
           // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
-          val existing = lake.readOrProbe("dv", hubTable, hubSchema,
-            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
+          val existing = lake.readOrProbeWithSpan("dv", hubTable, hubSchema,
+            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"), gate = Some(cacheHv))._1
           lake.appendIncrementBucketedUncounted(
             DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
           afterAppendHook(hubTable, batchId)
@@ -137,7 +144,10 @@ object StreamingDv {
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
       statePartitions: Option[Int] = None
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // cross-batch invariants — see hubSink
+    val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
+    var gateOn = false
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -146,14 +156,15 @@ object StreamingDv {
         sizeBatch(batch, statePartitions)
         val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
         val hv = HashView.build(batch, transitions, algo)
-        val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
-        // gate-conditioned cache — see hubSink / Lake.probeWouldEngage
-        val cacheHv = lake.probeWouldEngage("dv", linkTable, linkSchema)
+        // gate-conditioned cache, one evaluation per batch, monotone across
+        // batches — see hubSink / Lake.probeWouldEngage
+        if (!gateOn) gateOn = lake.probeWouldEngage("dv", linkTable, linkSchema)
+        val cacheHv = gateOn
         if (cacheHv) { hv.cache(); () }
         try {
           // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-          val existing = lake.readOrProbe("dv", linkTable, linkSchema,
-            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"))
+          val existing = lake.readOrProbeWithSpan("dv", linkTable, linkSchema,
+            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"), gate = Some(cacheHv))._1
           lake.appendIncrementBucketedUncounted(
             DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
           afterAppendHook(linkTable, batchId)
@@ -161,6 +172,7 @@ object StreamingDv {
         ()
       }
       .start()
+  }
 
   /** Streaming satellite (SCD2) sink: each micro-batch runs hash view →
     * latest-row hashdiff compare → bucketed append, so re-delivered or
@@ -180,7 +192,13 @@ object StreamingDv {
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
       statePartitions: Option[Int] = None
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // cross-batch invariants — see hubSink. The satellite schema depends on
+    // the hash view's RESOLVED payload types, so computing it per batch
+    // forces a driver analyzer pass over the hash-view plan every batch;
+    // the stream's source schema is fixed, so batch 0's answer holds.
+    var satSchema: StructType = null
+    var gateOn = false
     staged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -195,17 +213,20 @@ object StreamingDv {
         // from the raw staged stream would then disagree with the written
         // parquet — the imposed-schema read of the NEXT batch's probe
         // would fail on the type mismatch.
-        val satSchema = graft.dv.VaultSchemas.satFromFields(
-          satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
-        // gate-conditioned cache — see hubSink / Lake.probeWouldEngage
-        val cacheHv = lake.probeWouldEngage("dv", satTable, satSchema)
+        if (satSchema == null)
+          satSchema = graft.dv.VaultSchemas.satFromFields(
+            satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
+        // gate-conditioned cache, one evaluation per batch, monotone across
+        // batches — see hubSink / Lake.probeWouldEngage
+        if (!gateOn) gateOn = lake.probeWouldEngage("dv", satTable, satSchema)
+        val cacheHv = gateOn
         if (cacheHv) { hv.cache(); () }
         try {
           // DELTA probe only (latest-per-key where the key is staged), so
           // the bucket-pruned read is semantics-identical (Lake.readOrProbe
           // doc); delete detection must never use this.
-          val existing = lake.readOrProbe("dv", satTable, satSchema,
-            hv, org.apache.spark.sql.functions.col(hkSource))
+          val existing = lake.readOrProbeWithSpan("dv", satTable, satSchema,
+            hv, org.apache.spark.sql.functions.col(hkSource), gate = Some(cacheHv))._1
           lake.appendIncrementBucketedUncounted(
             DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
           afterAppendHook(satTable, batchId)
@@ -213,6 +234,7 @@ object StreamingDv {
         ()
       }
       .start()
+  }
 
   /** One finalized gap session. */
   final case class SessionOut(
