@@ -135,6 +135,20 @@ object ClusterSmoke {
       val cur2 = DvOps.currentRows(lake.read("dv", "hsat_customer").drop("hk_bucket"), "customer_hk")
       check(cur2.count() == 4, s"current view keys after compact=${cur2.count()}")
 
+      // ── 2c. Rebucket under two executor JVMs (r19) ──
+      // the new-count re-derivation job runs on the executors; the layout
+      // record + marker commit are driver metadata — bucket-coupled ops
+      // must resolve the NEW count and results must be byte-identical
+      check(lake.tableBuckets("dv", "hsat_customer") == lake.bucketCount,
+        "pre-rebucket layout count")
+      lake.rebucket("dv", "hsat_customer", 8, sortBy = Seq("customer_hk", "load_dts"))
+      check(lake.tableBuckets("dv", "hsat_customer") == 8,
+        s"rebucket must update the layout record (got ${lake.tableBuckets("dv", "hsat_customer")})")
+      val cur3 = DvOps.currentRows(lake.read("dv", "hsat_customer").drop("hk_bucket"), "customer_hk")
+      check(cur3.count() == 4, s"current view keys after rebucket=${cur3.count()}")
+      check(cur3.filter(col("c_name") === "bob" && !col("del_flag")).select("c_segment")
+        .as[String].head() == "PROMOTED", "rebucket must preserve version history")
+
       // ── 3. Streaming hub + sat sinks, two overlapping micro-batches ──
       val srcDir = s"$root/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
