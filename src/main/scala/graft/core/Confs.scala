@@ -133,7 +133,8 @@ object Confs {
     * — so ≤ 2× storage between compactions no longer depends on operators
     * remembering `expireSuperseded`. Size the window to the longest scan a
     * reader may hold over an old generation (an in-flight reader of data
-    * expired under it gets FILE_NOT_EXIST). */
+    * expired under it gets FILE_NOT_EXIST), PLUS a clock-skew margin: the
+    * age compares the store's marker mtime against the driver's clock. */
   def genRetainMillis(conf: RuntimeConfig): Long = {
     val m = long(conf, GenRetainMillisKey, -1L)
     require(m >= -1L, s"$GenRetainMillisKey must be -1 (off) or >= 0, got $m")

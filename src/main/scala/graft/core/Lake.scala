@@ -86,6 +86,20 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
   private def fsOf(p: Path): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Fully-qualified table path — the key every JVM-wide per-table registry
+    * (resolution cache, compaction claims, drift notes) uses. Two Lake
+    * instances can spell one directory differently ("/data/lake" vs
+    * "file:/data/lake/", a scheme-qualified vs a relative root); Hadoop
+    * resolves them to the same place, and Spark's own refreshByPath
+    * normalizes — so the cache keys must too, or instance A's compact
+    * would invalidate only A's spelling and B would keep serving the
+    * superseded generation (and plain-append INTO it) indefinitely.
+    * makeQualified is pure path arithmetic: no filesystem RPC. */
+  private def qualifiedKey(layer: String, name: String): String = {
+    val p = new Path(tablePath(layer, name))
+    fsOf(p).makeQualified(p).toString
+  }
+
   /** Generation number of a `_gen-N` directory name, None for anything else
     * (flat data files, `hk_bucket=` partition dirs, markers). */
   private def genNumber(p: Path): Option[Long] =
@@ -124,9 +138,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * `spark.catalog.refreshByPath`-accompanied [[refresh]] — same staleness
     * class as Spark's own file-listing cache. */
   private def resolution(layer: String, name: String): Lake.Resolution = {
-    val key = tablePath(layer, name)
+    val key = qualifiedKey(layer, name)
     Lake.resolutionCache.computeIfAbsent(key, _ => {
-      val rootP = new Path(key)
+      val rootP = new Path(tablePath(layer, name))
       val fs = fsOf(rootP)
       val cur = currentGen(fs, rootP)
       val dir = cur.map(_._2).getOrElse(rootP)
@@ -304,7 +318,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * [[resolution]] cache is invalidated here too — every mutating lake
     * operation funnels through refresh. */
   private def refresh(layer: String, name: String): Unit = {
-    Lake.resolutionCache.remove(tablePath(layer, name))
+    Lake.resolutionCache.remove(qualifiedKey(layer, name))
     spark.catalog.refreshByPath(tablePath(layer, name))
     // A catalog table registered over this path (Graft.initVault) caches its
     // own relation keyed by name; refreshByPath alone can miss it.
@@ -464,7 +478,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * results stay correct), but drift usually means a misconfigured
     * session and the operator should know. */
   private def noteDrift(layer: String, name: String, lo: TableLayout): Unit =
-    if (lo.bucketCount != bucketCount && Lake.notedDrift.add(tablePath(layer, name)))
+    if (lo.bucketCount != bucketCount && Lake.notedDrift.add(qualifiedKey(layer, name)))
       Console.err.println(
         s"[graft] NOTE: $layer.$name was written with ${lo.bucketCount} buckets (layout " +
           s"record) but this session's Lake is configured for $bucketCount — the table's " +
@@ -509,13 +523,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     if (res.layout.isEmpty)
       // legacy (pre-record) table: refuse when the disk disproves this
       // lake's count before we bless it into a record
-      observedBucketAtOrOver(fs, dataDir, n).foreach { b =>
-        throw new DvException(DvError.Configuration(
-          s"appendBucketed($layer.$name): on-disk partition hk_bucket=$b is outside this " +
-            s"session's bucket count $n — the table predates layout records and was written " +
-            s"at a different count. Construct the Lake with the original count (a record is " +
-            s"adopted on the next append) or rewrite via Lake.rebucket."))
-      }
+      verifyLegacyAdoption(layer, name, fs, dataDir, keyCol, n)
     val bucketed = df.withColumn("hk_bucket", bucketOfN(col(keyCol), n))
     bucketed
       .repartition(n, col("hk_bucket"))
@@ -527,6 +535,59 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       writeLayout(fs, dataDir, TableLayout(n, keyCol, Nil))
     refresh(layer, name)
     maybeExpireAged(layer, name)
+  }
+
+  /** Adoption check for a RECORD-LESS legacy table about to be blessed into
+    * a TableLayout at count `n`: the record makes `n` permanently
+    * authoritative, so the disk must be proven CONSISTENT with it first —
+    * "no partition name ≥ n" alone is not proof (a table written at 16
+    * whose occupied buckets happen to all be < 12 would pass that test at
+    * n=12, then every probe/lookup under the blessed record would scan the
+    * wrong partitions and silently miss existing keys — worse than
+    * pre-record drift, which healed when the conf was fixed).
+    *
+    * Two stages: (1) the free listing check — any observed `hk_bucket=` ≥ n
+    * disproves n outright; (2) an exhaustive row check — one column-pruned
+    * job over (keyCol, hk_bucket) asserting `pmod(xxhash64(key), n)` equals
+    * the stored partition value for EVERY row. On a genuinely mismatched
+    * count the limit(1) short-circuits at the first wrong row (most rows
+    * are wrong, so the incremental collect-limit stops in its first
+    * partition batch); on a consistent table it is one full two-column scan
+    * — the one-time price of adopting an unrecorded table (the record is
+    * written immediately after, so this never runs again).
+    *
+    * Deliberately admitted: a table written at count m where n divides m
+    * and every occupied bucket b < n passes — and adopting n there is
+    * CORRECT, not a near-miss: b = h mod m and n | m give h mod n = b for
+    * every stored row, so old rows already sit exactly where n-derived
+    * probes/appends look, and the table is henceforth a valid n-bucket
+    * table. The check admits precisely the consistent counts. */
+  private def verifyLegacyAdoption(
+      layer: String, name: String, fs: org.apache.hadoop.fs.FileSystem,
+      dataDir: Path, keyCol: String, n: Int): Unit = {
+    observedBucketAtOrOver(fs, dataDir, n).foreach { b =>
+      throw new DvException(DvError.Configuration(
+        s"appendBucketed($layer.$name): on-disk partition hk_bucket=$b is outside this " +
+          s"session's bucket count $n — the table predates layout records and was written " +
+          s"at a different count. Construct the Lake with the original count (a record is " +
+          s"adopted on the next append) or rewrite via Lake.rebucket."))
+    }
+    val hasBuckets = fs.exists(dataDir) && fs.listStatus(dataDir).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("hk_bucket="))
+    if (!hasBuckets) return
+    val mismatch = spark.read.parquet(dataDir.toString)
+      .filter(bucketOfN(col(keyCol), n) =!= col("hk_bucket").cast("long"))
+      .select(col("hk_bucket").cast("long"))
+      .limit(1).collect()
+    mismatch.headOption.foreach { row =>
+      throw new DvException(DvError.Configuration(
+        s"appendBucketed($layer.$name): a stored row in hk_bucket=${row.getLong(0)} does " +
+          s"not re-derive to its partition under this session's bucket count $n — the " +
+          s"table predates layout records and was written at a different count; blessing " +
+          s"$n into a record would make probes/lookups miss existing keys permanently. " +
+          s"Construct the Lake with the original count (a record is adopted on the next " +
+          s"append) or rewrite via Lake.rebucket."))
+    }
   }
 
   /** First on-disk `hk_bucket=` partition value ≥ `n` under `dir`, if any —
@@ -598,11 +659,14 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     val p = compactClaimPath(layer, name)
     val fs = fsOf(p)
     graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, "compaction")
-    if (Lake.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null) return false
+    // qualified key: the JVM registry must arbitrate across Lake instances
+    // whose roots spell this directory differently (see qualifiedKey)
+    val key = fs.makeQualified(p).toString
+    if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
     try { fs.create(p, /* overwrite = */ false).close(); true }
     catch {
       case scala.util.control.NonFatal(e) =>
-        Lake.localClaims.remove(p.toString)
+        Lake.localClaims.remove(key)
         if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
     }
   }
@@ -612,8 +676,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * the flow executor's stale ingestion claims). */
   def releaseCompactionClaim(layer: String, name: String): Unit = {
     val p = compactClaimPath(layer, name)
-    Lake.localClaims.remove(p.toString)
-    fsOf(p).delete(p, false)
+    val fs = fsOf(p)
+    Lake.localClaims.remove(fs.makeQualified(p).toString)
+    fs.delete(p, false)
     ()
   }
 
@@ -948,10 +1013,17 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     def agedOut(supersederDir: Path): Boolean =
       minAgeMillis <= 0L || {
         val m = new Path(supersederDir, Lake.CommitMarker)
-        // marker mtime = the moment its predecessor became superseded; a
-        // vanished marker (shouldn't happen under the claim) counts as aged
+        // marker mtime = the moment its predecessor became superseded. A
+        // FAILED stat (transient RPC error; a vanished marker shouldn't
+        // happen under the claim) errs toward KEEPING: retention is a
+        // safety window for in-flight readers, and deleting on an error
+        // would shrink it to zero exactly when the store is flaky — the
+        // next expire pass reclaims once the stat succeeds. Clock caveat:
+        // the age compares the STORE's marker mtime against the driver's
+        // clock; size retainMillis with a skew margin (a driver ahead of
+        // the store by N shrinks every window by N).
         scala.util.Try(fs.getFileStatus(m).getModificationTime)
-          .map(t => now - t >= minAgeMillis).getOrElse(true)
+          .map(t => now - t >= minAgeMillis).getOrElse(false)
       }
     val doomed = entries.iterator.filter { s =>
       genNumber(s.getPath) match {
@@ -981,14 +1053,35 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * Costs nothing at the default (-1: disabled); under the policy it is
     * one claim acquire/release + one root listing per append, and it
     * SKIPS silently when the claim is held (a live compaction will expire
-    * at its own start). */
+    * at its own start).
+    *
+    * Best-effort BY CONSTRUCTION: this runs AFTER the append's data has
+    * landed, so it must never fail the append. In particular the claim
+    * capability gate (`spark.graft.claims.requireAtomic` on S3-class
+    * stores) is caught and turned into a once-per-JVM note — a fail-fast
+    * posture that throws here would kill every streaming micro-batch and
+    * flow load whose rows already committed, on exactly the stores the
+    * retention policy targets; explicit compact/rebucket/expireSuperseded
+    * calls keep the loud gate (they fail BEFORE touching data). */
   private def maybeExpireAged(layer: String, name: String): Unit = {
     val retain = Confs.genRetainMillis(spark.conf)
     if (retain < 0L) return
     val root = new Path(tablePath(layer, name))
     val fs = fsOf(root)
     if (!fs.exists(root)) return
-    if (tryCompactionClaim(layer, name)) {
+    val claimed =
+      try tryCompactionClaim(layer, name)
+      catch {
+        case e: DvException if e.error.isInstanceOf[DvError.Configuration] =>
+          if (Lake.notedNoPolicyExpire.add(qualifiedKey(layer, name)))
+            Console.err.println(
+              s"[graft] NOTE: ${Confs.GenRetainMillisKey} is set but $layer.$name's store " +
+                s"fails the claim capability gate (${e.error.message.takeWhile(_ != '\n')}); " +
+                s"policy reclaim is skipped — superseded generations accumulate until an " +
+                s"explicit compact/expireSuperseded.")
+          false
+      }
+    if (claimed) {
       try { expireInternal(fs, root, layer, name, retain); () }
       finally releaseCompactionClaim(layer, name)
     }
@@ -1067,6 +1160,11 @@ object Lake {
 
   /** Tables already drift-noted in this JVM (note once, not per op). */
   private val notedDrift =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Tables already noted for skipped policy reclaim (capability-gated
+    * store) in this JVM — [[Lake.maybeExpireAged]]. */
+  private val notedNoPolicyExpire =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Shared Jackson mapper for layout records (readTree is thread-safe);

@@ -85,7 +85,10 @@ final class FlowExecutor(
     var id = nextRunId()
     def claim(id: Long): Boolean = {
       val p = new Path(dir, f"$id%020d")
-      if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
+      // qualified key: same-JVM arbitration must hold across FlowExecutors
+      // whose lake roots spell this directory differently (Lake.qualifiedKey
+      // rationale)
+      if (FlowExecutor.localClaims.putIfAbsent(fs.makeQualified(p).toString, java.lang.Boolean.TRUE) != null)
         false
       else
         try { fs.create(p, /* overwrite = */ false).close(); true }
@@ -141,7 +144,10 @@ final class FlowExecutor(
     // gate BEFORE the registry insert: a requireAtomic throw must not leave
     // a stale in-process entry blocking this (source, file) forever
     FlowExecutor.gateClaimStore(fs, spark.conf, "ingestion")
-    if (FlowExecutor.localClaims.putIfAbsent(p.toString, java.lang.Boolean.TRUE) != null)
+    // qualified key (Lake.qualifiedKey rationale): two executors over
+    // "/x" vs "file:/x/" must arbitrate the same (source, file) in-process
+    val key = fs.makeQualified(p).toString
+    if (FlowExecutor.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null)
       return false
     try {
       fs.mkdirs(p.getParent)
@@ -156,18 +162,18 @@ final class FlowExecutor(
       true
     } catch {
       case scala.util.control.NonFatal(e) =>
-        FlowExecutor.localClaims.remove(p.toString)
+        FlowExecutor.localClaims.remove(key)
         if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
     }
   }
 
   private def releaseClaim(sourceTable: String, filePath: String): Unit = {
     val p = claimPath(sourceTable, filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // registry entry FIRST: if the marker delete throws, the next in-process
     // attempt still resolves correctly through the fs marker (typed
     // Concurrency skip) instead of being silently blocked by a stale entry.
-    FlowExecutor.localClaims.remove(p.toString)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FlowExecutor.localClaims.remove(fs.makeQualified(p).toString)
     fs.delete(p, false)
     ()
   }

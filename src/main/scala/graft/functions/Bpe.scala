@@ -46,8 +46,17 @@ object Bpe {
         val s = i; while (i < n && isDigit(text.charAt(i))) i += 1
         out += text.substring(s, i)
       } else {
-        if (!isWs(c)) out += String.valueOf(c)
-        i += 1
+        // full CODE POINT, not UTF-16 char: java.util.regex's negated char
+        // class matches one code point, so a supplementary character (emoji,
+        // astral CJK) is ONE regex pre-token — emitting its two surrogate
+        // halves separately would double-count it vs the segmentation this
+        // walk claims to match exactly
+        if (!isWs(c)) {
+          val w = if (Character.isHighSurrogate(c) && i + 1 < n &&
+            Character.isLowSurrogate(text.charAt(i + 1))) 2 else 1
+          out += text.substring(i, i + w)
+          i += w
+        } else i += 1
       }
     }
     out.toList
@@ -73,7 +82,7 @@ object Bpe {
     val syms = mutable.ArrayBuffer.empty[String]
     def intern(s: String): Int = symOf.getOrElseUpdate(s, { syms += s; syms.length - 1 })
     val words: Array[Array[Int]] =
-      wordFreqs.iterator.map(_._1.toCharArray.map(c => intern(String.valueOf(c)))).toArray
+      wordFreqs.iterator.map(w => codePointStrings(w._1).map(intern)).toArray
     val freqs: Array[Long] = wordFreqs.iterator.map(_._2).toArray
     val merges = mutable.ArrayBuffer.empty[(String, String)]
 
@@ -132,6 +141,22 @@ object Bpe {
     merges.toArray
   }
 
+  /** One string per CODE POINT of `s` — the base-symbol split shared by
+    * train and encode. Code points, not UTF-16 chars: a lone surrogate
+    * half is not a character (and would diverge from [[preTokens]]'
+    * code-point segmentation), so a supplementary character is one base
+    * symbol. */
+  private def codePointStrings(s: String): Array[String] = {
+    val out = new Array[String](s.codePointCount(0, s.length))
+    var i = 0; var j = 0
+    while (i < s.length) {
+      val w = Character.charCount(s.codePointAt(i))
+      out(j) = s.substring(i, i + w)
+      i += w; j += 1
+    }
+    out
+  }
+
   /** Merge ranks for encoding: (left, right) → rank (lower merges first). */
   def ranksOf(merges: Array[(String, String)]): Map[(String, String), Int] =
     merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
@@ -143,7 +168,8 @@ object Bpe {
     * never merges and stays one token (byte-level-ish base vocab, no UNK). */
   def encodeCount(word: String, ranks: Map[(String, String), Int]): Int = {
     if (word.length <= 1) return word.length
-    var parts: Array[String] = word.toCharArray.map(String.valueOf(_))
+    var parts: Array[String] = codePointStrings(word)
+    if (parts.length == 1) return 1 // a single supplementary code point
     var continue = true
     while (continue && parts.length >= 2) {
       var bestRank = Int.MaxValue; var bestAt = -1

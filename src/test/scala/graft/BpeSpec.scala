@@ -19,6 +19,29 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.preTokens("héllo") == List("h", "é", "llo"))
   }
 
+  test("supplementary characters: one code point = one pre-token = one base symbol (regex parity)") {
+    // java.util.regex's negated char class matches a full CODE POINT, so an
+    // emoji is ONE pre-token — a UTF-16 char walk would emit two lone
+    // surrogate halves and double-count astral text (r19 review finding)
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 UTF-16 chars
+    val cjkB = new String(Character.toChars(0x20000))  // 𠀀, CJK ext B
+    val s = s"a${emoji}b $cjkB$emoji 7"
+    // parity oracle: the actual regex the operator's column uses
+    val p = java.util.regex.Pattern.compile(graft.functions.TextFns.BpeishPattern)
+    val m = p.matcher(s)
+    val viaRegex = Iterator.continually(m.find()).takeWhile(identity).map(_ => m.group()).toList
+    assert(Bpe.preTokens(s) == viaRegex, s"hand-rolled walk diverged from the regex on $s")
+    assert(viaRegex == List("a", emoji, "b", cjkB, emoji, "7"))
+    // base symbols are code points too: an untrained astral char is ONE
+    // token, and training over astral words never sees surrogate halves
+    assert(Bpe.encodeCount(emoji, Map.empty) == 1)
+    val merges = Bpe.train(Seq(s"$emoji$emoji" -> 5L), numMerges = 2, minPairFreq = 2L)
+    assert(merges.toSeq == Seq(emoji -> emoji), merges.mkString(","))
+    assert(Bpe.encodeCount(emoji + emoji, Bpe.ranksOf(merges)) == 1)
+    val cache = new java.util.HashMap[String, Integer]()
+    assert(Bpe.countTokens(s, Map.empty, cache) == 6L)
+  }
+
   test("training follows weighted pair frequency with deterministic lexicographic tiebreak") {
     // the classic BPE fixture (Sennrich et al. 2016 §3.2, sans </w>):
     // pair counts: (e,s)=9, then (es,t)=9, then (l,o)=7, (lo,w)=7

@@ -131,6 +131,82 @@ class LakeLayoutSpec extends SparkSpec {
     assert(orig.tableLayout("dv", "t").contains(TableLayout(16, "hk", Nil)))
   }
 
+  test("legacy adoption: a wrong count the partition NAMES can't disprove is caught by the row re-derivation check") {
+    // the r19 review scenario: a pre-record table written at 16 whose
+    // occupied buckets all happen to be < the drifted session's count —
+    // observedBucketAtOrOver passes, but blessing the wrong count into a
+    // record would make probes/lookups miss existing keys PERMANENTLY
+    val root = tmpDir("lake_layout_sparse_")
+    val writer = new Lake(spark, root, buckets = 16)
+    // keys confined to buckets < 12 under the TRUE count 16
+    val keys = (1 to 400).map(i => s"k$i").filter(k => writer.bucketOfValue(k) < 12).take(60)
+    assert(keys.size >= 30, s"fixture needs enough sparse keys, got ${keys.size}")
+    writer.appendBucketed(keys.map((_, 1L)).toDF("hk", "v"), "dv", "t", "hk")
+    val rec = new Path(writer.tablePath("dv", "t"), Lake.LayoutFile)
+    rec.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rec, false)
+    assert(bucketDirs(writer, "dv", "t").forall(_ < 12), "fixture: names alone can't disprove 12")
+
+    // 12 ∤ 16: stored rows have pmod(h,16) ≠ pmod(h,12) for most keys — the
+    // exhaustive adoption check must refuse before writing the record
+    val drifted = new Lake(spark, root, buckets = 12)
+    val e = intercept[DvException](
+      drifted.appendBucketed(Seq(("x", 1L)).toDF("hk", "v"), "dv", "t", "hk"))
+    assert(e.error.isInstanceOf[DvError.Configuration], e.error.render)
+    assert(e.error.message.contains("does not re-derive"), e.error.message)
+    assert(!rootChildren(drifted, "dv", "t").contains(Lake.LayoutFile), "no record blessed")
+  }
+
+  test("legacy adoption: a divisor count consistent with every stored row is admitted and stays correct") {
+    // 4 | 16 and occupied buckets all < 4 ⇒ pmod(h,4) = pmod(h,16) for every
+    // stored row: adopting 4 makes the table a VALID 4-bucket table (old
+    // rows already sit where 4-derived probes look) — deliberately admitted
+    val root = tmpDir("lake_layout_divisor_")
+    val writer = new Lake(spark, root, buckets = 16)
+    val keys = (1 to 800).map(i => s"k$i").filter(k => writer.bucketOfValue(k) < 4).take(40)
+    assert(keys.size >= 20, s"fixture needs enough keys, got ${keys.size}")
+    writer.appendBucketed(keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("hk", "v"),
+      "dv", "t", "hk")
+    val rec = new Path(writer.tablePath("dv", "t"), Lake.LayoutFile)
+    rec.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rec, false)
+
+    val adopter = new Lake(spark, root, buckets = 4)
+    adopter.appendBucketed(Seq(("newk", 999L)).toDF("hk", "v"), "dv", "t", "hk")
+    assert(adopter.tableLayout("dv", "t").contains(TableLayout(4, "hk", Nil)))
+    // every OLD key still resolves under the adopted count
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(adopter.lookupBucketed("dv", "t", "hk", k)
+        .select("v").as[Long].head() == i.toLong, k)
+    }
+    assert(adopter.lookupBucketed("dv", "t", "hk", "newk").select("v").as[Long].head() == 999L)
+  }
+
+  test("resolution cache is keyed by the QUALIFIED path: a write through one spelling invalidates the other") {
+    // two Lake instances over equivalent-but-differently-spelled roots
+    // ("/x" vs "file:/x/"): without normalization, A's compact invalidated
+    // only A's key and B kept serving (and plain-appending into) the
+    // superseded generation until the next expire deleted it under B's feet
+    val plainRoot = tmpDir("lake_qual_")
+    val a = new Lake(spark, plainRoot, buckets = 4)
+    val b = new Lake(spark, s"file:$plainRoot/", buckets = 4)
+    a.append(Seq((1L, "a"), (2L, "b")).toDF("run_id", "status"), "metadata", "runinfo")
+    // B resolves (and caches) the flat layout
+    assert(!b.dataPath("metadata", "runinfo").contains(Lake.GenPrefix))
+    assert(b.read("metadata", "runinfo").count() == 2)
+    // A compacts: B must observe the committed generation immediately
+    a.compact("metadata", "runinfo")
+    assert(b.dataPath("metadata", "runinfo").contains(Lake.GenPrefix),
+      s"stale resolution through the other spelling: ${b.dataPath("metadata", "runinfo")}")
+    // B's plain append lands INSIDE the generation and survives A's expire
+    b.append(Seq((3L, "c")).toDF("run_id", "status"), "metadata", "runinfo")
+    a.expireSuperseded("metadata", "runinfo")
+    assert(a.read("metadata", "runinfo").count() == 3)
+    assert(b.read("metadata", "runinfo").count() == 3)
+    // claims arbitrate across spellings too
+    assert(a.tryCompactionClaim("metadata", "runinfo"))
+    try assert(!b.tryCompactionClaim("metadata", "runinfo"), "claim must be shared across spellings")
+    finally a.releaseCompactionClaim("metadata", "runinfo")
+  }
+
   test("rebucket: committed-generation rewrite at a new count — equality, pruned ops at the new count, old reader completes") {
     val root = tmpDir("lake_rebucket_")
     val lake = new Lake(spark, root, buckets = 4)
