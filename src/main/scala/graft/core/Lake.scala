@@ -692,6 +692,66 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     try body finally releaseCompactionClaim(layer, name)
   }
 
+  /** Fail instead of committing when the SOURCE directory's parquet leaves
+    * changed between the rewrite's input snapshot and the commit point —
+    * the loud form of the one silent-loss hole the claim does not cover:
+    * the claim arbitrates generation WRITERS (compact/rebucket/expire),
+    * but a plain or bucketed APPEND never takes it, so an append landing
+    * in the current generation while a compact is staging is invisible to
+    * the rewrite (its file listing snapshotted earlier) — the marker would
+    * commit a generation MISSING those rows and the next expire would
+    * delete them with the superseded data. That is a violation of the
+    * documented single-writer-per-table contract, but a violated contract
+    * should fail the compaction, not silently drop committed rows (the
+    * same posture as [[verifyStaged]]). One extra listing walk per
+    * compact/rebucket, compared as (path, length, mtime) sets so an
+    * appended, deleted, or rewritten file all trip it — mtime closes the
+    * same-length in-place rewrite (an out-of-band same-size re-upload)
+    * that a (path, length) key would wave through; the FileStatus already
+    * carries it. A tiny window remains between this check and the marker
+    * create — the guard converts the practically-hittable race into a
+    * typed error, not a proof. */
+  private def verifySourceUnchanged(
+      fs: org.apache.hadoop.fs.FileSystem, srcDir: Path, staged: Path,
+      snapshot: Array[org.apache.hadoop.fs.FileStatus], what: String): Unit = {
+    def key(s: org.apache.hadoop.fs.FileStatus) =
+      (s.getPath.toString, s.getLen, s.getModificationTime)
+    val before = snapshot.map(key).toSet
+    // skip the just-written staged generation: on a FIRST compaction the
+    // source dir is the table root and the staged dir sits inside it — its
+    // fresh files are the rewrite's own output, not a concurrent append
+    // listStatus returns QUALIFIED paths; qualify the staged path too or
+    // the exclusion never matches (file:/x/_gen-N vs /x/_gen-N)
+    val stagedQ = fs.makeQualified(staged)
+    val now =
+      try fs.listStatus(srcDir).iterator.flatMap { s =>
+        if (s.isDirectory && fs.makeQualified(s.getPath) == stagedQ) Iterator.empty
+        else if (s.isDirectory) parquetLeaves(fs, s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Iterator.single(s)
+        else Iterator.empty
+      }.map(key).toSet
+      catch {
+        // a directory vanishing between the listing and the descent IS the
+        // concurrent mutation this guard exists to catch — surface the
+        // typed abort, not a raw FNFE with no contract diagnosis
+        case e: java.io.FileNotFoundException =>
+          throw new DvException(DvError.Concurrency(
+            s"$what: the table's data changed while the rewrite was staging (a directory " +
+              s"under $srcDir vanished mid-listing) — a concurrent writer or cleaner is " +
+              s"active, violating the single-writer-per-table contract. Aborting; re-run " +
+              s"once the other writer is done.", Some(e)))
+      }
+    if (before != now) {
+      val appeared = (now -- before).size; val vanished = (before -- now).size
+      throw new DvException(DvError.Concurrency(
+        s"$what: the table's data changed while the rewrite was staging " +
+          s"($appeared file(s) appeared, $vanished vanished under $srcDir) — a concurrent " +
+          s"writer appended during the compaction, violating the single-writer-per-table " +
+          s"contract. Committing would silently drop those rows when the superseded " +
+          s"generation expires; aborting instead. Re-run once the other writer is done."))
+    }
+  }
+
   /** Fail instead of committing when the staged generation's data did not
     * survive to the commit point (defense-in-depth under the claim: an
     * unclaimed concurrent expireSuperseded used to be able to delete the
@@ -884,6 +944,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       layout.foreach { lo =>
         writeLayout(fs, staged, if (sortBy.nonEmpty) lo.copy(sortBy = sortBy) else lo)
       }
+      Lake.beforeCommitHook(s"$layer.$name")
+      // a concurrent append mid-staging would be silently dropped by this
+      // commit — abort loudly instead (contract-violation detection)
+      verifySourceUnchanged(fs, curDir, staged, leaves, s"compact($layer.$name)")
       verifyStaged(fs, staged, s"compact($layer.$name)")
       // THE COMMIT: one small-file create (atomic visibility on every store —
       // no renames). Before it, readers resolve the old generation; after it,
@@ -957,6 +1021,9 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         .drop("__chunk")
         .write.partitionBy("hk_bucket").parquet(staged.toString)
       writeLayout(fs, staged, TableLayout(newBuckets, key, effSort))
+      Lake.beforeCommitHook(s"$layer.$name")
+      // same concurrent-append detection as compact's
+      verifySourceUnchanged(fs, curDir, staged, leaves, s"rebucket($layer.$name)")
       verifyStaged(fs, staged, s"rebucket($layer.$name)")
       fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
       refresh(layer, name)
@@ -1025,25 +1092,78 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         scala.util.Try(fs.getFileStatus(m).getModificationTime)
           .map(t => now - t >= minAgeMillis).getOrElse(false)
       }
-    val doomed = entries.iterator.filter { s =>
-      genNumber(s.getPath) match {
-        case Some(n) if cur.exists(_._1 == n) => false // the current generation
-        case Some(n) =>
-          committed.find(_._1 > n) match {
-            case Some((_, superseder)) if committed.exists(_._1 == n) => agedOut(superseder)
-            case _ => true // uncommitted staging: crashed leftover (we hold the claim)
-          }
-        case None =>
-          // non-generation root entry (flat part files, hk_bucket= dirs,
-          // _SUCCESS, the root layout record): legacy data once any
-          // generation is committed — but never the claim marker we hold
-          s.getPath.getName != Lake.CompactClaim &&
-            cur.exists { case (_, d) => agedOut(d) }
+    // doomed entry -> the superseding generation that makes it reclaimable
+    // (None for uncommitted staged leftovers, which have no superseder and
+    // no orphan check — a LIVE stager's loss is already loud on its own
+    // side via verifyStaged)
+    val doomed: Array[(org.apache.hadoop.fs.FileStatus, Option[Path])] =
+      entries.iterator.flatMap { s =>
+        genNumber(s.getPath) match {
+          case Some(n) if cur.exists(_._1 == n) => None // the current generation
+          case Some(n) =>
+            committed.find(_._1 > n) match {
+              case Some((_, superseder)) if committed.exists(_._1 == n) =>
+                if (agedOut(superseder)) Some(s -> Some(superseder)) else None
+              case _ => Some(s -> None) // uncommitted staging: crashed leftover (we hold the claim)
+            }
+          case None =>
+            // non-generation root entry (flat part files, hk_bucket= dirs,
+            // _SUCCESS, the root layout record): legacy data once any
+            // generation is committed — but never the claim marker we hold,
+            // and never a root layout record the CURRENT generation doesn't
+            // carry its own copy of (the manual-migration shape: a table
+            // compacted before layout records existed, record added at the
+            // root afterwards — resolution falls back to the root record,
+            // and deleting it would silently regress the table to
+            // session-conf bucket resolution, the exact drift the record
+            // prevents; the next compact copies it into its generation,
+            // after which the root copy is reclaimable as usual)
+            val reclaimable =
+              s.getPath.getName != Lake.CompactClaim &&
+                !(s.getPath.getName == Lake.LayoutFile &&
+                  cur.exists { case (_, d) => !fs.exists(new Path(d, Lake.LayoutFile)) }) &&
+                cur.exists { case (_, d) => agedOut(d) }
+            if (reclaimable) Some(s -> cur.map(_._2)) else None
+        }
+      }.toArray
+    // ORPHAN-WRITE REFUSAL, checked for ALL doomed entries before deleting
+    // ANY: "superseded" means the data predates its superseding commit. A
+    // parquet file (or a dir holding one) whose newest data mtime POSTDATES
+    // the superseder's marker was written AFTER the generation swap — a
+    // writer routed by a stale resolution (a cross-process Lake whose cache
+    // still pointed at the old generation, or at the flat root) appended
+    // rows the current generation never absorbed. Deleting it is silent
+    // data loss; refuse with a typed error instead and leave the operator
+    // to reconcile (re-ingest the orphaned rows into the current
+    // generation, then expire). Marker and data mtimes come from the SAME
+    // store, so the comparison needs no clock-skew margin. Cost: one leaf
+    // walk per doomed entry per expire — compaction-cadence, not hot-path.
+    def newestDataMtime(s: org.apache.hadoop.fs.FileStatus): Option[Long] =
+      if (s.isDirectory)
+        parquetLeaves(fs, s.getPath).map(_.getModificationTime).maxOption
+      else if (s.getPath.getName.endsWith(".parquet")) Some(s.getModificationTime)
+      else None // markers/_SUCCESS/records hold no rows — no loss in deleting
+    doomed.foreach { case (s, superseder) =>
+      superseder.foreach { d =>
+        val marker = scala.util.Try(
+          fs.getFileStatus(new Path(d, Lake.CommitMarker)).getModificationTime).toOption
+        newestDataMtime(s).foreach { dataT =>
+          if (marker.exists(dataT > _))
+            throw new DvException(DvError.Concurrency(
+              s"expireSuperseded($layer.$name): ${s.getPath} contains data WRITTEN AFTER " +
+                s"the generation that supersedes it committed ($d) — a writer with a stale " +
+                s"table resolution (another process's cache, or a direct path write) " +
+                s"appended rows the current generation never absorbed. Deleting would lose " +
+                s"them silently; refusing instead. Re-ingest the orphaned rows into the " +
+                s"current generation (read the path directly, append via the Lake), then " +
+                s"re-run the expire."))
+        }
       }
-    }.map(_.getPath).toArray
-    doomed.foreach(fs.delete(_, true))
-    if (doomed.nonEmpty) refresh(layer, name)
-    doomed.length.toLong
+    }
+    val paths = doomed.map(_._1.getPath)
+    paths.foreach(fs.delete(_, true))
+    if (paths.nonEmpty) refresh(layer, name)
+    paths.length.toLong
   }
 
   /** Policy-driven reclaim hook on the append path: with
@@ -1157,6 +1277,13 @@ object Lake {
     * stores whose create-no-overwrite is check-then-act locally). */
   private val localClaims =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Test seam for the concurrent-append-during-compaction proof: invoked
+    * with "layer.name" after a compact/rebucket's staged write lands,
+    * IMMEDIATELY before the source-unchanged check and the commit marker —
+    * i.e. inside the window a contract-violating concurrent writer would
+    * hit. No-op in production. */
+  private[graft] var beforeCommitHook: String => Unit = _ => ()
 
   /** Tables already drift-noted in this JVM (note once, not per op). */
   private val notedDrift =

@@ -362,6 +362,115 @@ class LakeLayoutSpec extends SparkSpec {
     assert(lake.read("metadata", "runinfo").agg(sum("run_id")).head().getLong(0) == 15L)
   }
 
+  test("a concurrent append during compact/rebucket staging aborts the commit instead of silently dropping rows") {
+    // the one silent-loss hole the claim doesn't cover: appends never take
+    // the compaction claim, so rows landing in the current generation while
+    // a rewrite is staging are invisible to it — the commit would publish a
+    // generation WITHOUT them and the next expire would delete them with
+    // the superseded data. The source-unchanged check converts that into a
+    // typed Concurrency abort.
+    val root = tmpDir("lake_midcompact_")
+    val lake = new Lake(spark, root, buckets = 4)
+    lake.appendBucketed((1 to 30).map(i => (s"k$i", i.toLong)).toDF("hk", "v"), "dv", "t", "hk")
+    val expected = lake.read("dv", "t").agg(sum("v")).head().getLong(0)
+    Lake.beforeCommitHook = { _ =>
+      Lake.beforeCommitHook = _ => () // fire once (the append below compacts nothing)
+      lake.appendBucketed(Seq(("mid", 777L)).toDF("hk", "v"), "dv", "t", "hk")
+    }
+    try {
+      val e = intercept[DvException](lake.compact("dv", "t"))
+      assert(e.error.isInstanceOf[DvError.Concurrency], e.error.render)
+      assert(e.error.message.contains("changed while the rewrite was staging"), e.error.message)
+    } finally Lake.beforeCommitHook = _ => ()
+    // nothing committed, nothing lost: flat layout intact INCLUDING the
+    // mid-staging append's row
+    assert(!lake.dataPath("dv", "t").contains(Lake.GenPrefix))
+    assert(lake.read("dv", "t").agg(sum("v")).head().getLong(0) == expected + 777L)
+    // the next (unraced) compact succeeds and carries every row
+    lake.compact("dv", "t")
+    assert(lake.dataPath("dv", "t").contains(Lake.GenPrefix))
+    assert(lake.read("dv", "t").agg(sum("v")).head().getLong(0) == expected + 777L)
+
+    // rebucket takes the same guard
+    Lake.beforeCommitHook = { _ =>
+      Lake.beforeCommitHook = _ => ()
+      lake.appendBucketed(Seq(("mid2", 888L)).toDF("hk", "v"), "dv", "t", "hk")
+    }
+    try {
+      val e = intercept[DvException](lake.rebucket("dv", "t", 8))
+      assert(e.error.isInstanceOf[DvError.Concurrency], e.error.render)
+    } finally Lake.beforeCommitHook = _ => ()
+    assert(lake.tableBuckets("dv", "t") == 4, "aborted rebucket must not change the count")
+    assert(lake.read("dv", "t").agg(sum("v")).head().getLong(0) == expected + 777L + 888L)
+    // a clean FIRST-compaction baseline: the staged dir inside the source
+    // root must not trip the check (its files are the rewrite's own output)
+    lake.appendBucketed(Seq(("flat", 1L)).toDF("hk", "v"), "dv", "t2", "hk")
+    lake.compact("dv", "t2")
+    assert(lake.read("dv", "t2").count() == 1)
+  }
+
+  test("expire keeps a root layout record the current generation doesn't carry (manual-migration shape)") {
+    val root = tmpDir("lake_rootrec_")
+    val lake = new Lake(spark, root, buckets = 4)
+    lake.appendBucketed((1 to 20).map(i => (s"k$i", i.toLong)).toDF("hk", "v"), "dv", "t", "hk")
+    lake.compact("dv", "t")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genDir = new Path(lake.dataPath("dv", "t"))
+    val tableRoot = new Path(lake.tablePath("dv", "t"))
+    // simulate the pre-record migration shape: record at the ROOT only
+    // (a table compacted before layout records existed, record added by an
+    // operator afterwards — the resolution fallback reads the root copy).
+    // The root copy survives from create; remove the generation's own.
+    assert(fs.delete(new Path(genDir, Lake.LayoutFile), false))
+    assert(fs.exists(new Path(tableRoot, Lake.LayoutFile)), "fixture: root record present")
+    lake.expireSuperseded("dv", "t")
+    // the root record SURVIVES (deleting it would silently regress the
+    // table to session-conf bucket resolution)...
+    assert(fs.exists(new Path(tableRoot, Lake.LayoutFile)), "root record expired away")
+    val drifted = new Lake(spark, root, buckets = 32)
+    assert(drifted.tableBuckets("dv", "t") == 4, "fallback record must govern")
+    // ...and the next compact copies it into its generation, after which
+    // the root copy is reclaimable as usual
+    lake.compact("dv", "t")
+    assert(fs.exists(new Path(new Path(lake.dataPath("dv", "t")), Lake.LayoutFile)))
+    lake.expireSuperseded("dv", "t")
+    assert(!fs.exists(new Path(tableRoot, Lake.LayoutFile)), "carried record: root copy reclaims")
+    assert(new Lake(spark, root, buckets = 32).tableBuckets("dv", "t") == 4)
+  }
+
+  test("expire refuses to delete data written AFTER the superseding commit (stale-resolution orphan)") {
+    // the cross-process shape: a Lake whose cached resolution predates a
+    // compaction keeps appending at the table root (or an old generation);
+    // those rows postdate the superseding commit, so "superseded legacy
+    // data" is a misdiagnosis — deleting them is silent loss. Expire must
+    // refuse with a typed error until the operator reconciles.
+    val root = tmpDir("lake_orphan_")
+    val lake = new Lake(spark, root, buckets = 4)
+    lake.appendBucketed((1 to 20).map(i => (s"k$i", i.toLong)).toDF("hk", "v"), "dv", "t", "hk")
+    lake.compact("dv", "t")
+    Thread.sleep(20) // mtime strictly after the commit marker's
+    // orphan write: directly into the superseded flat layout, bypassing the
+    // Lake (what a stale cross-process resolution effectively does)
+    Seq(("orphan", 999L)).toDF("hk", "v")
+      .write.mode("append").parquet(s"${lake.tablePath("dv", "t")}/hk_bucket=0")
+    val e = intercept[DvException](lake.expireSuperseded("dv", "t"))
+    assert(e.error.isInstanceOf[DvError.Concurrency], e.error.render)
+    assert(e.error.message.contains("WRITTEN AFTER"), e.error.message)
+    // nothing was deleted — the superseded flat data (and the orphan) survive
+    assert(rootChildren(lake, "dv", "t").exists(_.startsWith("hk_bucket=")),
+      "refusal must not have deleted anything")
+    // operator reconciles (here: removes the orphan) — expire then succeeds
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDir = new Path(lake.tablePath("dv", "t"), "hk_bucket=0")
+    fs.listStatus(bucketDir).filter(s => s.getModificationTime >
+      fs.getFileStatus(new Path(new Path(lake.dataPath("dv", "t")), Lake.CommitMarker))
+        .getModificationTime)
+      .foreach(s => fs.delete(s.getPath, false))
+    assert(lake.expireSuperseded("dv", "t") > 0)
+    assert(!rootChildren(lake, "dv", "t").exists(_.startsWith("hk_bucket=")))
+    assert(lake.read("dv", "t").count() == 20)
+  }
+
   test("DvError.from keeps the caller's context on already-typed errors") {
     val typed = new DvException(DvError.Configuration("bucket drift"))
     DvError.from(typed, "flow customer") match {
