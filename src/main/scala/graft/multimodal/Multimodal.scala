@@ -102,8 +102,13 @@ object Multimodal {
         } finally {
           // release the input so the reader holds no reference between
           // calls; the reader object itself is reused (dispose() kills it,
-          // so only the failure branch above does that)
-          try { reader.setInput(null); iis.close() } catch { case _: Exception => () }
+          // so only the failure branch above does that). setInput on a
+          // DISPOSED reader (the failure branch) throws IllegalState —
+          // caught separately so the stream close below still runs (one
+          // swallowed-throw-skips-close leaked an input stream per
+          // rejected payload).
+          try reader.setInput(null) catch { case _: Exception => () }
+          try iis.close() catch { case _: Exception => () }
         }
       fast.getOrElse(
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))

@@ -950,10 +950,15 @@ object Analytics {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).as("max_k"))
 
   val eventsJsonSql: String =
+    // TRY_CAST + count the CASTED value, mirroring the Spark side exactly:
+    // Spark's cast("long") yields NULL on a non-numeric $.k (count excludes
+    // it), so a plain CAST would abort the oracle and a COUNT of the raw
+    // string would overcount — a latent twin divergence on any corpus with
+    // non-numeric props values (the synthetic corpus is numeric-only).
     """SELECT event_type,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  COUNT(json_extract_string(props, '$.k')) AS n_k,
-      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
   /** Pivot matrix: daily event counts, one column per event type. The

@@ -280,34 +280,16 @@ object Ann {
     * the same-corpus Spark run wrote. */
   private[graft] val CentroidPathToken = "__GRAFT_CENTROIDS__"
 
-  /** Corpus-keyed location for the frozen trained centroids. When the
-    * `graft.centroids.dir` system property is set (Verify sets it to its
-    * per-run outDir), centroids live under a DOT-PREFIXED aux subdir of
-    * that directory — inside the run's private dir so a concurrent bench
-    * (which never sets the property) can never replace the parquet a
-    * pending DuckDB compare will read, but dot-prefixed so any sweep of
-    * the outDir for per-query result parquets skips it: the r9 driver
-    * artifact gained a crash row because the centroids dir sat as a
-    * sibling of the query dumps. Without the property (bench, ad-hoc use)
-    * the shared cache under [[graft.core.Scratch]]'s root — cluster-
-    * portable via `spark.graft.scratch.dir`, the previous `/tmp` path by
-    * default — keyed by corpus dir is used. */
-  private[graft] def frozenCentroidsPath(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    sys.props.get("graft.centroids.dir") match {
-      case Some(base) => base.stripSuffix("/") + "/.graft_aux/knn_centroids_" + key
-      case None       => graft.core.Scratch.stablePath(s, "graft_knn_centroids_" + key)
-    }
-  }
-
-  /** Paths whose centroids this JVM already trained and froze. Training is
-    * iterative float work (10 Lloyd rounds, several Spark actions) that is
-    * NOT part of the search being measured: without this cache every bench
-    * rep re-paid the train inside the timed region, conflating index build
-    * with query latency. First call per path trains and logs the build
-    * time to stderr; subsequent calls (bench reps 2..n, warmup-then-timed)
-    * reuse the frozen parquet, so the timed path is search-only. */
-  private val frozenTrained = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Corpus-keyed location for the frozen trained centroids
+    * ([[graft.core.FrozenArtifact]] holds the single path/memo
+    * definition). When the `graft.centroids.dir` system property is set
+    * (Verify sets it to its per-run outDir), artifacts live under a
+    * dot-prefixed aux subdir of that directory — inside the run's private
+    * dir so a concurrent bench (which never sets the property) can never
+    * replace the parquet a pending DuckDB compare will read; the shared
+    * [[graft.core.Scratch]] cache otherwise. */
+  private[graft] def frozenCentroidsPath(s: SparkSession, dir: String): String =
+    graft.core.FrozenArtifact.path(s, "knn_centroids", dir)
 
   /** Trains centroids for the trained-IVF variants (count → nlist → k-means
     * → (cent_id, cv) projection) — single definition shared by the
@@ -334,14 +316,18 @@ object Ann {
     * `knn_ivf_kmeans`. */
   def knnIvfKmeansSearch(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val path = frozenCentroidsPath(s, dir)
-    frozenTrained.computeIfAbsent(path, _ => {
-      val t0 = System.nanoTime()
-      trainCentroids(s, v, iters = 10)
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      System.err.println(f"[graft] knn centroid train ${(System.nanoTime() - t0) / 1e9}%.2f s -> $path")
-      java.lang.Boolean.TRUE
-    })
+    // train-once-per-JVM+corpus ([[graft.core.FrozenArtifact.ensure]]):
+    // training is iterative float work (10 Lloyd rounds) NOT part of the
+    // search being measured — without the memo every bench rep re-paid the
+    // train inside the timed region, conflating index build with query
+    // latency; reps 2..n reuse the frozen parquet, so the timed path is
+    // search-only
+    val path = graft.core.FrozenArtifact.ensure(
+      frozenCentroidsPath(s, dir), "knn centroid train") { p =>
+        trainCentroids(s, v, iters = 10)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        ""
+      }
     val frozen = s.read.parquet(path)
     ivfSearch(v, frozen, nProbe = 3, replicate = 2)
   }

@@ -172,15 +172,7 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val repPairs = cands
-      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val repPairs = verifyJaccardPairs(cands, withSh)
     // Expansion back to member pairs (output-bounded, the answer itself).
     // Within-group pairs exist in the uncollapsed pipeline iff the group's
     // text has ≥1 rare shingle. Liveness is computed by re-shingling ONLY
@@ -195,13 +187,26 @@ object Dedup {
       .flatMap { case (g, n) => TextFns.shinglesOf(n).map(sh => (g, sh)) }
       .toDF("grp", "shingle")
     val liveGrps = multiSh.join(rare, "shingle").select(col("grp")).distinct()
+    expandMemberPairs(members, reps, repPairs, liveGrps)
+  }
+
+  /** Expand rep-level verified pairs back to member pairs — the tail shared
+    * by the collapsed pipelines (rare-shingle and minhash): within-group
+    * pairs are exact duplicates (Jaccard exactly 1.0, output-bounded — the
+    * answer itself), cross-group member pairs inherit their reps' score
+    * with ids reordered per member pair (rep order need not be member
+    * order). `liveGrps` must already be restricted to LIVE multi-member
+    * groups (gsz ≥ 2 and shingles nonempty — each caller's cheapest
+    * equivalent predicate); repMap needs no liveness filter because every
+    * id in `repPairs` already survived its pipeline's nonempty filter. */
+  private def expandMemberPairs(
+      members: DataFrame, reps: DataFrame,
+      repPairs: DataFrame, liveGrps: DataFrame): DataFrame = {
     val live = members.join(liveGrps, "grp")
     val within = live.as("x")
       .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(1.0).as("jaccard"))
-    // repMap is a pure rep_id→grp mapping off the cheap aggregate (ids in
-    // repPairs already passed the rare-shingle pipeline; no filter needed).
     val repMap = reps.select(col("doc_id").as("rep_id"), col("grp"))
     val cross = repPairs
       .join(repMap.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
@@ -340,16 +345,25 @@ object Dedup {
       // coalesced read (~10 tasks for ~12 MB), while their cost is CPU.
       .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    verifyJaccardPairs(cands, withBands)
+  }
+
+  /** The exact-Jaccard verify tail every blocked text-dedup pipeline shares
+    * (rare-shingle, plain-minhash, collapsed-minhash): rejoin both shingle
+    * arrays onto the candidate pairs, compute |∩| / |∪|, keep ≥ 0.5.
+    * `withSh` carries (doc_id, sh); ONE definition so a threshold or
+    * formula change cannot de-synchronize the operators from each other or
+    * from their shared oracle CTE. */
+  private def verifyJaccardPairs(cands: DataFrame, withSh: DataFrame): DataFrame =
     cands
-      .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(withBands.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn(
         "jaccard",
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
 
   /** The collapsed (dup-heavy) pipeline up to rep-level verified pairs. */
   /** `cache = true` (for EAGER consumers like the clusters landing, which
@@ -433,15 +447,7 @@ object Dedup {
       // minhashPlain's note.
       .repartition(s.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val repPairs = cands
-      .join(withBands.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(withBands.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val repPairs = verifyJaccardPairs(cands, withBands)
     Collapsed(members, reps, repPairs, withBands,
       handles = if (cache) Seq(members, withBands) else Nil)
   }
@@ -464,29 +470,9 @@ object Dedup {
     * has Jaccard exactly 1.0 — output-bounded, the answer itself. Only
     * groups with ≥ 2 members can emit a pair, so the self-join input is
     * the duplicate groups alone, not the whole corpus. */
-  private[graft] def minhashExpand(c: Collapsed): DataFrame = {
-    val liveMulti = c.reps
-      .filter(col("gsz") >= 2 && liveGroup)
-      .select(col("grp"))
-    val live = c.members.join(liveMulti, "grp")
-    val within = live.as("x")
-      .join(live.as("y"), col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        lit(1.0).as("jaccard"))
-    // Cross-group: member pairs inherit their reps' Jaccard; ids reorder
-    // per member pair (rep order need not be member order). repMap is a
-    // pure rep_id→grp mapping (no liveness filter needed: every id in
-    // repPairs already survived the band pipeline's nonempty filter).
-    val repMap = c.reps.select(col("doc_id").as("rep_id"), col("grp"))
-    val cross = c.repPairs
-      .join(repMap.select(col("rep_id").as("a_id"), col("grp").as("ga")), "a_id")
-      .join(repMap.select(col("rep_id").as("b_id"), col("grp").as("gb")), "b_id")
-      .join(c.members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
-      .join(c.members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
-    within.unionAll(cross)
-  }
+  private[graft] def minhashExpand(c: Collapsed): DataFrame =
+    expandMemberPairs(c.members, c.reps, c.repPairs,
+      c.reps.filter(col("gsz") >= 2 && liveGroup).select(col("grp")))
 
   /** The minhash pipeline's CTE list (norm → shingles → sigs → bands →
     * candidates → verified pairs), shared by [[dedupMinhashSql]] and the
@@ -876,8 +862,17 @@ object Dedup {
 
   /** The uncollapsed (dup-light) simhash pipeline: bucket on the 4 chunks
     * directly, hamming-filter before the pair-dedup exchange. */
-  private[graft] def simhashPlain(sigs: DataFrame): DataFrame = {
-    val buckets = sigs.select(
+  private[graft] def simhashPlain(sigs: DataFrame): DataFrame =
+    simhashVerifiedPairs(sigs)
+
+  /** Chunk-bucketed candidate pairs, hamming-verified — the pair generator
+    * both simhash pipelines share, over whichever (doc_id, chunks) frame
+    * each buckets on (every doc vs signature reps). ONE definition so the
+    * hamming threshold / chunk arithmetic cannot silently diverge between
+    * the adaptive branches (the branch-equality argument assumes they
+    * never do). */
+  private def simhashVerifiedPairs(docs: DataFrame): DataFrame = {
+    val buckets = docs.select(
       col("doc_id"),
       col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
@@ -917,28 +912,7 @@ object Dedup {
     val members = sigs
       .join(reps.withColumnRenamed("doc_id", "rep_id"), "chunks")
       .select(col("doc_id"), col("rep_id"))
-    val buckets = reps.select(
-      col("doc_id"),
-      col("chunks"),
-      posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
-    val repPairs = buckets.as("a")
-      .join(
-        buckets.as("b"),
-        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.chunks").as("ca"), col("b.chunks").as("cb"))
-      // Hamming filter BEFORE the pair-dedup: hamming is a pure function of
-      // the pair, so dedup keeps it intact either way — but filtering first
-      // means the dropDuplicates exchange shuffles only the true near-dup
-      // pairs (~0.6% of candidates at sf1) instead of every candidate pair
-      // a hot chunk bucket emits. The redundant per-copy hamming evals are
-      // codegen'd bit_count over 4 ints — orders cheaper than the shuffle.
-      .withColumn("hamming", hammingExpr)
-      .filter(col("hamming") <= 3)
-      .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    val repPairs = simhashVerifiedPairs(reps.select(col("doc_id"), col("chunks")))
     // Only signature groups with ≥ 2 members can emit a within pair, so
     // the self-join input is the duplicate groups alone (empty on a
     // dup-free corpus), not the whole corpus.

@@ -61,34 +61,21 @@ object TextOps {
   private val BpeNumMerges = 1024
   private val BpeDictCap = 32768
 
-  /** Corpus-keyed location of the frozen BPE merges table — the
-    * frozen-centroids pattern (queries/Ann.scala frozenCentroidsPath):
-    * per-run aux dir under Verify's `graft.centroids.dir` property,
-    * shared Scratch cache otherwise, so bench reps retrain nothing. */
-  private[graft] def frozenMergesPath(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    sys.props.get("graft.centroids.dir") match {
-      case Some(base) => base.stripSuffix("/") + "/.graft_aux/bpe_merges_" + key
-      case None       => graft.core.Scratch.stablePath(s, "graft_bpe_merges_" + key)
-    }
-  }
+  /** Corpus-keyed location of the frozen BPE merges table
+    * ([[graft.core.FrozenArtifact]] — the frozen-centroids pattern). */
+  private[graft] def frozenMergesPath(s: SparkSession, dir: String): String =
+    graft.core.FrozenArtifact.path(s, "bpe_merges", dir)
 
-  /** Paths whose merges this JVM already trained and froze (mirrors
-    * Ann.frozenTrained: training is one-time artifact build, not part of
-    * the tokenize being measured). */
-  private val bpeTrained = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
-  /** Train-and-freeze the merges table for a corpus: ONE map-side-combined
+  /** Train-and-freeze the merges table for a corpus (once per JVM+corpus —
+    * [[graft.core.FrozenArtifact.ensure]]): ONE map-side-combined
     * word-frequency aggregation (the only shuffle; grams are (word, count)
     * pairs, never documents), a TakeOrdered top-`BpeDictCap` dictionary
     * (deterministic tiebreak on the word), classic BPE merge training
     * driver-side over the capped dictionary — sentencepiece/HF train the
     * same way: over word types weighted by count — then parquet
     * (rank, left, right). */
-  private def ensureFrozenMerges(s: SparkSession, dir: String): String = {
-    val path = frozenMergesPath(s, dir)
-    bpeTrained.computeIfAbsent(path, _ => {
-      val t0 = System.nanoTime()
+  private def ensureFrozenMerges(s: SparkSession, dir: String): String =
+    graft.core.FrozenArtifact.ensure(frozenMergesPath(s, dir), "bpe merge train") { path =>
       import s.implicits._
       val wordFreqs = docs(s, dir).select(col("text")).as[String]
         .flatMap(graft.functions.Bpe.preTokens(_))
@@ -100,13 +87,8 @@ object TextOps {
         .map { case ((l, r), i) => (i, l, r) }.toSeq
         .toDF("rank", "left", "right")
         .coalesce(1).write.mode("overwrite").parquet(path)
-      System.err.println(
-        f"[graft] bpe merge train ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-          s"${merges.length} merges -> $path")
-      java.lang.Boolean.TRUE
-    })
-    path
-  }
+      s", ${merges.length} merges"
+    }
 
   /** Real BPE token counts per document (SURVEY §2 #36a): greedy
     * lowest-rank merge encoding against the corpus's frozen merges table.
