@@ -251,9 +251,14 @@ final class Graft(
   }
 
   /** Metadata-driven hash view over a staging table (reference
-    * compute_hash_view; here a lazy DataFrame, not a stored view). */
+    * compute_hash_view; here a lazy DataFrame, not a stored view).
+    * Resolves the source like the flow executor does — lake `stg` table
+    * when the metadata declares one, session-catalog view otherwise — so
+    * view-backed sources (stg_vw flows) work here and in the verbose echo
+    * exactly as they do in the loads themselves (a lake-only read crashed
+    * PATH_NOT_FOUND on them, turning verbose=true into a crash). */
   def hashView(stgTable: String): DataFrame =
-    HashView.build(lake.read("stg", stgTable), meta.getTransitions(stgTable), algo)
+    HashView.build(flow.stagingDf(stgTable), meta.getTransitions(stgTable), algo)
 
   /** Latest-row current view of a satellite (reference
     * create_current_sat_from_metadata); registered as `<sat>_cv`. */
@@ -268,11 +273,16 @@ final class Graft(
 
   /** Apply one script-view layer (reference apply_script_from_metadata).
     * No scripts path configured → typed DVConfigurationError, matching the
-    * reference's raise (exceptions.py:31-33). */
-  def applyScripts(relType: String): Seq[String] =
+    * reference's raise (exceptions.py:31-33). Layer databases are ensured
+    * first: a fresh session re-opening an existing lake has an empty
+    * in-memory catalog, and a `CREATE VIEW bv.x ...` script would hit
+    * SCHEMA_NOT_FOUND unless it happened to run after initVault. */
+  def applyScripts(relType: String): Seq[String] = {
+    ensureLayerDatabases()
     ScriptViews.apply(spark, meta, relType,
       scriptsPath.getOrElse(throw new graft.etl.DvException(
         graft.etl.DvError.Configuration("no scripts path configured"))))
+  }
 
   /** Run a complete load flow (reference execute_flow). Catalog-registered
     * staging tables are refreshed afterwards so `stg.<table>` views see the
@@ -288,8 +298,15 @@ final class Graft(
     scala.util.Try(spark.catalog.refreshByPath(lake.tablePath("stg", sourceTable)))
     // Current views pin their file listing at registration — refresh the
     // ones this flow touched so `<sat>_cv` reflects the appends (reference
-    // views are live).
-    if (!r.skipped) refreshCurrentViews(Some(r.loaded.keySet.filter(t => t.startsWith("hsat_") || t.startsWith("lsat_"))))
+    // views are live). A FAILED flow refreshes ALL of them: its earlier
+    // appends durably landed even though `loaded` is empty, and a cv
+    // pinned to the pre-flow listing would disagree with the table itself
+    // until some later flow happened to touch it (rare path — the
+    // per-satellite re-listing cost is fine there).
+    if (!r.skipped)
+      refreshCurrentViews(
+        if (r.status == "failure") None
+        else Some(r.loaded.keySet.filter(t => t.startsWith("hsat_") || t.startsWith("lsat_"))))
     r
   }
 

@@ -92,6 +92,35 @@ object DvOps {
       .select(col(hk) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** The keyed-entity load shape hubs and links share (the reference loads
+    * both with the same INSERT pattern — INSERT_HUB sql_templates.py:181-198
+    * and INSERT_LINK :201-217 differ only in the attribute columns):
+    * distinct staged (hk, attrs) anti-joined against existing keys, audit
+    * columns attached. ONE definition so a change to the load shape (audit
+    * column order, distinct placement) cannot desynchronize hub vs link
+    * semantics. */
+  private def newKeyedRows(
+      hashView: DataFrame,
+      existing: DataFrame,
+      groupName: String,
+      attrFields: Seq[(String, String)],
+      hkName: String,
+      ctx: LoadContext
+  ): DataFrame = {
+    val staged = hashView
+      .select((col(s"${groupName}_hk").as(hkName) +: attrFields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*)
+      .distinct()
+    val fresh = staged.join(existing.select(col(hkName)), Seq(hkName), "left_anti")
+    fresh.select(
+      (Seq(
+        col(hkName),
+        lit(ctx.loadDts).as("load_dts"),
+        lit(ctx.recordSource).as("record_source"),
+        lit(ctx.runId).as("run_id")
+      ) ++ attrFields.map { case (_, t) => col(t) }).toIndexedSeq: _*
+    )
+  }
+
   /** New-hub-rows load: distinct staged keys anti-joined against the existing
     * hub. `bkFields` maps staged source field → hub business-key column. */
   def newHubRows(
@@ -101,20 +130,7 @@ object DvOps {
       bkFields: Seq[(String, String)],
       hkName: String,
       ctx: LoadContext
-  ): DataFrame = {
-    val staged = hashView
-      .select((col(s"${groupName}_hk").as(hkName) +: bkFields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*)
-      .distinct()
-    val fresh = staged.join(existingHub.select(col(hkName)), Seq(hkName), "left_anti")
-    fresh.select(
-      (Seq(
-        col(hkName),
-        lit(ctx.loadDts).as("load_dts"),
-        lit(ctx.recordSource).as("record_source"),
-        lit(ctx.runId).as("run_id")
-      ) ++ bkFields.map { case (_, t) => col(t) }).toIndexedSeq: _*
-    )
-  }
+  ): DataFrame = newKeyedRows(hashView, existingHub, groupName, bkFields, hkName, ctx)
 
   /** New-link-rows load: same anti-join pattern; `legFields` maps the staged
     * hash-view column (either `<hubgroup>_hk` for a leg or a plain degenerate
@@ -126,20 +142,7 @@ object DvOps {
       legFields: Seq[(String, String)],
       hkName: String,
       ctx: LoadContext
-  ): DataFrame = {
-    val staged = hashView
-      .select((col(s"${groupName}_hk").as(hkName) +: legFields.map { case (s, t) => col(s).as(t) }).toIndexedSeq: _*)
-      .distinct()
-    val fresh = staged.join(existingLink.select(col(hkName)), Seq(hkName), "left_anti")
-    fresh.select(
-      (Seq(
-        col(hkName),
-        lit(ctx.loadDts).as("load_dts"),
-        lit(ctx.recordSource).as("record_source"),
-        lit(ctx.runId).as("run_id")
-      ) ++ legFields.map { case (_, t) => col(t) }).toIndexedSeq: _*
-    )
-  }
+  ): DataFrame = newKeyedRows(hashView, existingLink, groupName, legFields, hkName, ctx)
 
   /** Satellite delta insert: staged rows whose (hk, hash_diff) does NOT match
     * the latest active (del_flag=false) satellite row for that key. Covers

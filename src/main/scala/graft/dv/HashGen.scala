@@ -36,12 +36,22 @@ object HashGen {
     * cast to string, NULL→''. */
   def stringify(c: Column): Column = coalesce(c.cast(StringType), lit(""))
 
-  /** Stringification for floating-point fields: routed through decimal(18,4)
+  /** Stringification for floating-point fields: routed through decimal(38,4)
     * first, because double→string rendering differs across engines (Java vs
     * C++ shortest-repr) while decimal→string is canonical everywhere. Needed
-    * for cross-engine hash equality when a payload field is a double. */
+    * for cross-engine hash equality when a payload field is a double.
+    *
+    * Precision 38 (the max), not 18: decimal(18,4) overflowed at
+    * |v| ≥ 10^14, where Spark's cast NULLs (hashing as '' — every large
+    * value and NULL collapsed to ONE hash: distinct hub entities merged,
+    * satellite changes never re-versioned) while DuckDB's cast THROWS
+    * (crashing the twin instead of matching) — a silent-vs-loud divergence
+    * either way. At (38,4) overflow needs |v| ≥ 10^34. The scale-4
+    * fraction is the documented canonicalization quantum: payload changes
+    * below 0.0001 hash equal BY DESIGN (a hashdiff insensitivity, not a
+    * bug — sub-quantum noise must not re-version SCD2 history). */
   def stringifyFloating(c: Column): Column =
-    coalesce(c.cast(DecimalType(18, 4)).cast(StringType), lit(""))
+    coalesce(c.cast(DecimalType(38, 4)).cast(StringType), lit(""))
 
   /** `hash(fields)` — the Data Vault key/diff hash over the given columns.
     * Fields must already be stringify-ed ([[stringify]] / [[stringifyFloating]])

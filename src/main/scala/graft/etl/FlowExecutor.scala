@@ -246,6 +246,12 @@ final class FlowExecutor(
       // staging table (reference CHECK_SOURCE_FOR_INGESTION). A non-stg
       // source (stg_vw view) is read from the session catalog instead —
       // flows can run off curated views exactly like the reference.
+      // DELIBERATE reference parity: a filePath passed with a VIEW source
+      // is not staged and the flow still records success carrying the path
+      // ("source view X will not be loaded with new data",
+      // flow_executor.py:122-147 — the reference proceeds identically); the
+      // path rides the ledger row as provenance of the triggering file, not
+      // as an ingestion claim of its contents.
       val isStgTable = meta.getTables(Some(sourceTable), Some("stg")).nonEmpty
       filePath.foreach { fp =>
         if (isStgTable) {

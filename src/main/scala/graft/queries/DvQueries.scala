@@ -31,7 +31,7 @@ object DvQueries {
     s"md5(upper(concat_ws('||', ${fields.mkString(", ")})))"
 
   /** DuckDB canonical stringification of a double field (matches HashGen.stringifyFloating). */
-  private def decStr(f: String): String = s"coalesce(cast(cast($f as decimal(18,4)) as varchar),'')"
+  private def decStr(f: String): String = s"coalesce(cast(cast($f as decimal(38,4)) as varchar),'')"
 
   // ---------------------------------------------------------------- hashing
 

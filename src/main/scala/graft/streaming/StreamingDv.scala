@@ -70,9 +70,70 @@ object StreamingDv {
       batch.sparkSession.conf.set("spark.sql.shuffle.partitions", n)
     }
 
+  /** The micro-batch scaffolding all three DV sinks share — ONE definition
+    * of the per-batch protocol so a fix to it cannot silently diverge the
+    * sinks' cost or correctness:
+    *  - per-batch shuffle sizing ([[sizeBatch]]);
+    *  - hash view per batch; the sink SCHEMA resolved once per stream
+    *    (`schemaOf` on batch 0's hash view — the stream's source schema is
+    *    fixed, and re-resolving forced a driver analyzer pass per batch);
+    *  - the probe gate evaluated once per batch and MONOTONE across
+    *    batches (appends only grow the sink table — once it clears, later
+    *    batches skip the optimizer-pass stats walk);
+    *  - the hash view cached ONLY above the gate, where the span
+    *    distinct-collect is a second ACTION over the batch; under the gate
+    *    the append is the only action and a cache is pure overhead
+    *    (Lake.probeWouldEngage doc); unpersisted in the finally;
+    *  - bucket-pruned existing-probe (Lake.readOrProbe doc), row builder,
+    *    uncounted bucketed append, crash-window test hook. */
+  private def dvSink(
+      lake: Lake,
+      staged: DataFrame,
+      transitions: Seq[Transition],
+      table: String,
+      keyColName: String,
+      probeKey: String,
+      recordSource: String,
+      checkpoint: String,
+      algo: HashGen.Algo,
+      loadDts: Option[Timestamp],
+      statePartitions: Option[Int],
+      trigger: Trigger,
+      schemaOf: DataFrame => StructType)(
+      rows: (DataFrame, DataFrame, LoadContext) => DataFrame): StreamingQuery = {
+    var schema: StructType = null
+    var gateOn = false
+    staged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sizeBatch(batch, statePartitions)
+        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
+        val hv = HashView.build(batch, transitions, algo)
+        if (schema == null) schema = schemaOf(hv)
+        if (!gateOn) gateOn = lake.probeWouldEngage("dv", table, schema)
+        val cacheHv = gateOn
+        if (cacheHv) { hv.cache(); () }
+        try {
+          val existing = lake.readOrProbeWithSpan("dv", table, schema,
+            hv, org.apache.spark.sql.functions.col(probeKey), gate = Some(cacheHv))._1
+          lake.appendIncrementBucketedUncounted(rows(hv, existing, ctx), "dv", table, keyColName)
+          afterAppendHook(table, batchId)
+        } finally if (cacheHv) { hv.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** Wire a streaming staged source into an incremental hub load. Returns a
     * started query writing to `dv/<hubTable>` in the lake.
-    * `statePartitions`: see [[sizeBatch]]. */
+    * `statePartitions`: see [[sizeBatch]]. `trigger` defaults to
+    * AvailableNow — drain what the source holds at start, then stop (the
+    * batch-parity/backfill posture every test pins); pass
+    * `Trigger.ProcessingTime(...)` for a continuously-running ingest over
+    * an unbounded source, which would otherwise stop after the initial
+    * snapshot. */
   def hubSink(
       lake: Lake,
       staged: DataFrame,
@@ -84,43 +145,15 @@ object StreamingDv {
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
-      statePartitions: Option[Int] = None
+      statePartitions: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
     val hkName = s"${hubTable.stripPrefix("hub_")}_hk"
-    // Batch-invariant state the foreachBatch closure carries ACROSS batches
-    // (the r19 per-batch fixed-cost pass): the probe gate is monotone for a
-    // sink table — appends only grow it — so once it clears, later batches
-    // skip the evaluation (an optimizer-pass stats walk per call).
-    val hubSchema = StructType(StructField(hkName, StringType) :: Nil)
-    var gateOn = false
-    staged.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sizeBatch(batch, statePartitions)
-        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
-        val hv = HashView.build(batch, transitions, algo)
-        // cached like the flow executor's hv — but ONLY above the probe
-        // gate, where the span distinct-collect is a second ACTION over the
-        // batch; under the gate the append is the only action and a cache
-        // is pure overhead (Lake.probeWouldEngage doc). Evaluated ONCE per
-        // batch and reused by the probe below; once true, never re-checked.
-        if (!gateOn) gateOn = lake.probeWouldEngage("dv", hubTable, hubSchema)
-        val cacheHv = gateOn
-        if (cacheHv) { hv.cache(); () }
-        try {
-          // bucket-pruned above the probe-prune gate: the anti-join only
-          // consults hub keys in the BATCH's buckets (Lake.readOrProbe doc)
-          val existing = lake.readOrProbeWithSpan("dv", hubTable, hubSchema,
-            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"), gate = Some(cacheHv))._1
-          lake.appendIncrementBucketedUncounted(
-            DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx), "dv", hubTable, hkName)
-          afterAppendHook(hubTable, batchId)
-        } finally if (cacheHv) { hv.unpersist(); () }
-        ()
-      }
-      .start()
+    dvSink(lake, staged, transitions, hubTable, hkName, s"${groupName}_hk",
+      recordSource, checkpoint, algo, loadDts, statePartitions, trigger,
+      _ => StructType(StructField(hkName, StringType) :: Nil)) {
+      (hv, existing, ctx) => DvOps.newHubRows(hv, existing, groupName, bkFields, hkName, ctx)
+    }
   }
 
   /** Streaming link sink: micro-batch incremental link load — hash view →
@@ -143,36 +176,14 @@ object StreamingDv {
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
-      statePartitions: Option[Int] = None
-  ): StreamingQuery = {
-    // cross-batch invariants — see hubSink
-    val linkSchema = StructType(StructField(hkName, StringType) :: Nil)
-    var gateOn = false
-    staged.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sizeBatch(batch, statePartitions)
-        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
-        val hv = HashView.build(batch, transitions, algo)
-        // gate-conditioned cache, one evaluation per batch, monotone across
-        // batches — see hubSink / Lake.probeWouldEngage
-        if (!gateOn) gateOn = lake.probeWouldEngage("dv", linkTable, linkSchema)
-        val cacheHv = gateOn
-        if (cacheHv) { hv.cache(); () }
-        try {
-          // bucket-pruned above the probe-prune gate (Lake.readOrProbe doc)
-          val existing = lake.readOrProbeWithSpan("dv", linkTable, linkSchema,
-            hv, org.apache.spark.sql.functions.col(s"${groupName}_hk"), gate = Some(cacheHv))._1
-          lake.appendIncrementBucketedUncounted(
-            DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx), "dv", linkTable, hkName)
-          afterAppendHook(linkTable, batchId)
-        } finally if (cacheHv) { hv.unpersist(); () }
-        ()
-      }
-      .start()
-  }
+      statePartitions: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    dvSink(lake, staged, transitions, linkTable, hkName, s"${groupName}_hk",
+      recordSource, checkpoint, algo, loadDts, statePartitions, trigger,
+      _ => StructType(StructField(hkName, StringType) :: Nil)) {
+      (hv, existing, ctx) => DvOps.newLinkRows(hv, existing, groupName, legFields, hkName, ctx)
+    }
 
   /** Streaming satellite (SCD2) sink: each micro-batch runs hash view →
     * latest-row hashdiff compare → bucketed append, so re-delivered or
@@ -191,50 +202,24 @@ object StreamingDv {
       checkpoint: String,
       algo: HashGen.Algo = HashGen.Sha1,
       loadDts: Option[Timestamp] = None,
-      statePartitions: Option[Int] = None
-  ): StreamingQuery = {
-    // cross-batch invariants — see hubSink. The satellite schema depends on
-    // the hash view's RESOLVED payload types, so computing it per batch
-    // forces a driver analyzer pass over the hash-view plan every batch;
-    // the stream's source schema is fixed, so batch 0's answer holds.
-    var satSchema: StructType = null
-    var gateOn = false
-    staged.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sizeBatch(batch, statePartitions)
-        val ctx = LoadContext(loadDts.getOrElse(new Timestamp(System.currentTimeMillis())), recordSource, batchId)
-        val hv = HashView.build(batch, transitions, algo)
-        // Payload types from the HASH VIEW (what the writes actually
-        // carry), exactly like FlowExecutor.satLoads: a transition
-        // `transformation` can retype a payload field, and a schema built
-        // from the raw staged stream would then disagree with the written
-        // parquet — the imposed-schema read of the NEXT batch's probe
-        // would fail on the type mismatch.
-        if (satSchema == null)
-          satSchema = graft.dv.VaultSchemas.satFromFields(
-            satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
-        // gate-conditioned cache, one evaluation per batch, monotone across
-        // batches — see hubSink / Lake.probeWouldEngage
-        if (!gateOn) gateOn = lake.probeWouldEngage("dv", satTable, satSchema)
-        val cacheHv = gateOn
-        if (cacheHv) { hv.cache(); () }
-        try {
-          // DELTA probe only (latest-per-key where the key is staged), so
-          // the bucket-pruned read is semantics-identical (Lake.readOrProbe
-          // doc); delete detection must never use this.
-          val existing = lake.readOrProbeWithSpan("dv", satTable, satSchema,
-            hv, org.apache.spark.sql.functions.col(hkSource), gate = Some(cacheHv))._1
-          lake.appendIncrementBucketedUncounted(
-            DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx), "dv", satTable, satHk)
-          afterAppendHook(satTable, batchId)
-        } finally if (cacheHv) { hv.unpersist(); () }
-        ()
-      }
-      .start()
-  }
+      statePartitions: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    // Payload types from the HASH VIEW (what the writes actually carry),
+    // exactly like FlowExecutor.satLoads: a transition `transformation` can
+    // retype a payload field, and a schema built from the raw staged stream
+    // would then disagree with the written parquet — the imposed-schema
+    // read of the NEXT batch's probe would fail on the type mismatch.
+    // The probe is the DELTA probe only (latest-per-key where the key is
+    // staged), so the bucket-pruned read is semantics-identical
+    // (Lake.readOrProbe doc); delete detection must never use this.
+    dvSink(lake, staged, transitions, satTable, satHk, hkSource,
+      recordSource, checkpoint, algo, loadDts, statePartitions, trigger,
+      hv => graft.dv.VaultSchemas.satFromFields(
+        satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })) {
+      (hv, existing, ctx) =>
+        DvOps.satNewRows(hv, existing, hkSource, hashdiffField, fields, satHk, ctx)
+    }
 
   /** One finalized gap session. */
   final case class SessionOut(
