@@ -10,41 +10,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffleParts)
-      // NTZ event timestamps are cast to session-zone instants
-      // (Tables.normalizeTs) — every entrypoint must pin UTC or a non-UTC
-      // host shifts hour buckets and session windows.
-      .config("spark.sql.session.timeZone", "UTC")
-      // Let AQE SIZE each exchange instead of pinning it to the core count:
-      // exchanges start at 16×cores partitions and coalesce down to ~cores
-      // when map output is small (same task count as before for sf0.1), but
-      // a ×100 input keeps the width and each task's spill stays bounded.
-      // Without this, 32-way shuffles at sf10 put ~4 GB in one sorter task
-      // and dedup_minhash dies in spill — partition count must be a
-      // function of DATA, not cluster size; this is how you express that
-      // declaratively.
+    // Shared standing tuning (graft.core.Sessions) + the bench-only delta:
+    // let AQE SIZE each exchange instead of pinning it to the core count —
+    // exchanges start at 16×cores partitions and coalesce down to ~cores
+    // when map output is small (same task count as before for sf0.1), but
+    // a ×100 input keeps the width and each task's spill stays bounded.
+    // Without this, 32-way shuffles at sf10 put ~4 GB in one sorter task
+    // and dedup_minhash dies in spill — partition count must be a function
+    // of DATA, not cluster size; this is how you express that declaratively.
+    val spark = graft.core.Sessions.localBuilder(cpus, shuffleParts)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (shuffleParts.toInt * 16).toString)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Hash-based typed aggregates (graft_latest, graft_topk, collect_set)
-      // stay in ObjectHashAggregate's map up to 1M keys per task (~a few
-      // hundred MB worst case) before the sort-based fallback — the 128-key
-      // default would demote every large aggregation to a sort from row 129.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // Explicit multi-wave exchanges (Tables.clusterBy at 4x cores = 128
-      // reduce partitions) sit UNDER the 200-partition bypass-merge default,
-      // so every map task streams through 128 open bucket files (4k
-      // concurrent buffers at 32 tasks) — measured 3-4x the map-side CPU of
-      // the serialized sort writer on dv_sat_current/dv_pit_asof at sf1
-      // (scan stage 41 -> 17 s CPU). Bypass applies when numPartitions <=
-      // threshold, so 64 keeps genuinely-narrow exchanges (up to 64
-      // buckets, incl. the one-wave 32s) on the cheap bypass path and
-      // routes everything wider (>64 — incl. the 128s) through the
-      // single-file sort writer.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
       .getOrCreate()
     // Ad-hoc conf A/Bs without code edits (e.g. state-store provider
     // sweeps): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2".
@@ -112,7 +88,10 @@ object Bench {
           } catch {
             case e: Throwable =>
               errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
-              Some((System.nanoTime() - t0) / 1e9)
+              // NOT a timing: a failed rep's elapsed (often a fast crash)
+              // would pollute median/min/total in the durable sidecars the
+              // round judge reads — the error map + exit 1 carry the failure
+              None
           }
         }
       }
@@ -122,8 +101,11 @@ object Bench {
       // timings 2-3×, and a single archived number keeps manufacturing
       // phantom regressions — median vs min lets the round judge separate
       // a real slowdown (min moved) from scheduler noise (only median did).
-      name -> (sorted(sorted.length / 2), sorted.head)
-    }
+      // A query with NO successful rep (first timed rep crashed) yields no
+      // timing row at all — only the error entry.
+      if (sorted.isEmpty) None
+      else Some(name -> (sorted(sorted.length / 2), sorted.head))
+    }.flatten.toMap
     // 3-decimal (1 ms) timings: raw doubles pushed the one-line JSON past
     // the ~2 KB stdout tail the driver archives, decapitating the line and
     // leaving the round artifact unparseable (BENCH_r07 lesson). 1 ms is

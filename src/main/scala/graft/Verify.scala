@@ -7,28 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Hash-based typed aggregates (graft_latest, graft_topk, collect_set)
-      // stay in ObjectHashAggregate's map up to 1M keys per task (~a few
-      // hundred MB worst case) before the sort-based fallback — the 128-key
-      // default would demote every large aggregation to a sort from row 129.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // Explicit multi-wave exchanges (Tables.clusterBy at 4x cores = 128
-      // reduce partitions) sit UNDER the 200-partition bypass-merge default,
-      // so every map task streams through 128 open bucket files (4k
-      // concurrent buffers at 32 tasks) — measured 3-4x the map-side CPU of
-      // the serialized sort writer on dv_sat_current/dv_pit_asof at sf1
-      // (scan stage 41 -> 17 s CPU). Bypass applies when numPartitions <=
-      // threshold, so 64 keeps genuinely-narrow exchanges (up to 64
-      // buckets, incl. the one-wave 32s) on the cheap bypass path and
-      // routes everything wider (>64 — incl. the 128s) through the
-      // single-file sort writer.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+    // Shared standing tuning — ONE definition with Bench
+    // (graft.core.Sessions), so the config that gets verified is the
+    // config that gets benched.
+    val spark = graft.core.Sessions.localBuilder(cpus, shuffleParts = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -87,5 +69,13 @@ object Verify {
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Nonzero exit on ANY query failure, like Bench: oracle-keyed failures
+    // are caught downstream by preverify's MISSING check, but the rows-only
+    // queries (knn_ivf_kmeans, text_tokens_bpe — no oracle_sql entry) are
+    // not: a crashed rows-only query left no result dir, no MISSING row,
+    // and preverify printed N/N passed — a green gate over a crashed query.
+    // Everything above (results, oracle_sql.json, the stderr summary) is
+    // already written, so the driver still gets the full artifact.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

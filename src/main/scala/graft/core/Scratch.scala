@@ -33,15 +33,17 @@ object Scratch {
       .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       .stripSuffix("/")
 
-  /** A fresh unique directory path under the root, registered for JVM-exit
-    * deletion via the Hadoop FS API (scheme-agnostic — works for HDFS/S3A
-    * roots, unlike `FileUtils.forceDeleteOnExit`). The directory is NOT
-    * created here: Spark writers create their target themselves, and a
-    * pre-created dir would trip `mode("error")` writers. */
+  /** A fresh unique directory path under the root. NOT created here (Spark
+    * writers create their target themselves, and a pre-created dir would
+    * trip `mode("error")` writers) and therefore NOT reaped at JVM exit:
+    * Hadoop's `FileSystem.deleteOnExit` silently refuses paths that don't
+    * exist yet, so the registration this method used to make was a no-op —
+    * and Verify's aux dir (frozen centroids the DuckDB compare reads from
+    * a SEPARATE process after this JVM exits) works precisely because the
+    * path survives. Callers own the lifecycle; for self-reaping ephemeral
+    * dirs use [[streamTempDir]]. */
   def tempDir(spark: SparkSession, prefix: String): String = {
     val p = new Path(root(spark), prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.deleteOnExit(p)
     p.toString
   }
 
@@ -70,10 +72,19 @@ object Scratch {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     }.stripSuffix("/")
 
-  /** [[tempDir]] against [[streamRoot]]. */
+  /** [[tempDir]] against [[streamRoot]], PRE-CREATED and genuinely reaped
+    * at JVM exit. The creation is what makes the reaping real: Hadoop's
+    * `FileSystem.deleteOnExit` silently refuses nonexistent paths, so the
+    * previous register-then-let-Spark-create order leaked every dir — on
+    * the default `/dev/shm` root that is RAM, one checkpoint + staged lake
+    * per streaming bench rep, accumulating until the host exhausts shared
+    * memory. Callers (streaming checkpoint roots, ephemeral lake roots,
+    * overwrite-mode landings) all tolerate an existing empty dir; a
+    * `mode("error")` writer must use a subpath or [[tempDir]]. */
   def streamTempDir(spark: SparkSession, prefix: String): String = {
     val p = new Path(streamRoot(spark), prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
     fs.deleteOnExit(p)
     p.toString
   }

@@ -36,14 +36,41 @@ object ScriptViews {
   }
 
   /** Register one view from SQL text: SELECT scripts become a temp view of
-    * that name; CREATE ... scripts run as-is. */
+    * that name; CREATE ... scripts run as-is. The CREATE detection skips
+    * leading SQL comments (`-- ...` lines, `/* ... */` blocks): a script
+    * headed by a comment banner would otherwise take the SELECT branch,
+    * where spark.sql() still executes the CREATE (commands run eagerly)
+    * and the temp-view registration then SHADOWS the just-created object
+    * with the command's empty zero-column result — every downstream read
+    * of the view silently empty. */
   def register(spark: SparkSession, name: String, sql: String): DataFrame = {
     val trimmed = sql.trim.stripSuffix(";")
-    if (trimmed.toUpperCase.startsWith("CREATE")) spark.sql(trimmed)
+    if (firstKeyword(trimmed).equalsIgnoreCase("CREATE")) spark.sql(trimmed)
     else {
       val df = spark.sql(trimmed)
       df.createOrReplaceTempView(name)
       df
     }
+  }
+
+  /** First SQL keyword of a script, skipping `--` line comments and
+    * `/* */` block comments. */
+  private def firstKeyword(sql: String): String = {
+    var i = 0; val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end < 0) n else end + 2
+      } else {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetter || sql.charAt(i) == '_')) i += 1
+        return if (i > s) sql.substring(s, i) else ""
+      }
+    }
+    ""
   }
 }

@@ -238,11 +238,18 @@ object Tables {
           // over unchanged inputs (flow executor) pay the sample once.
           val hot: java.lang.Boolean = SkewMemo.cached(
             Seq(df), s"cbg:${keys.mkString(",")}:$frac:$hotShare") {
+            // count(1) aliased to a reserved name instead of .count(): the
+            // latter appends a column literally named "count", so a guarded
+            // KEY column itself named "count" (a plausible fact column)
+            // would make the max/sum references ambiguous and crash the
+            // guard at plan time
+            val cnt = org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("__graft_cnt")
             val stats = df.select(keys.map(df.col): _*)
               .sample(withReplacement = false, frac, seed = 42L)
-              .groupBy(keys.map(df.col): _*).count()
-              .agg(org.apache.spark.sql.functions.max(expr("count")).as("mx"),
-                   org.apache.spark.sql.functions.sum(expr("count")).as("tot"))
+              .groupBy(keys.map(df.col): _*).agg(cnt)
+              .agg(org.apache.spark.sql.functions.max(expr("__graft_cnt")).as("mx"),
+                   org.apache.spark.sql.functions.sum(expr("__graft_cnt")).as("tot"))
               .head()
             java.lang.Boolean.valueOf(!stats.isNullAt(0) && stats.getLong(1) >= 200 &&
               stats.getLong(0).toDouble / stats.getLong(1) > hotShare)

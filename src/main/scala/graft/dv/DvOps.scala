@@ -230,16 +230,19 @@ object DvOps {
   private def sampledHotKeysUncached(
       sides: Seq[DataFrame], keyCol: String,
       frac: Double, hotShare: Double): Array[Any] = {
+    // count(1) aliased, not .count(): a key column literally named "count"
+    // would otherwise make the references below ambiguous (Tables
+    // .clusterByGuarded has the same posture)
     val sampled = sides
       .map(_.select(col(keyCol)).sample(withReplacement = false, frac, seed = 42L))
       .reduce(_ union _)
-      .groupBy(col(keyCol)).count()
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__graft_cnt"))
     sampled.persist()
     try {
-      val tot = Option(sampled.agg(sum("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+      val tot = Option(sampled.agg(sum("__graft_cnt")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
       if (tot < 200) Array.empty
-      else sampled.filter(col("count") >= lit(math.max(2.0, tot * hotShare)))
-        .orderBy(col("count").desc).limit(64)
+      else sampled.filter(col("__graft_cnt") >= lit(math.max(2.0, tot * hotShare)))
+        .orderBy(col("__graft_cnt").desc).limit(64)
         .select(col(keyCol)).collect().map(_.get(0))
     } finally { sampled.unpersist(); () }
   }

@@ -22,6 +22,26 @@ class ScriptViewsSpec extends SparkSpec {
     assert(spark.table("big_customers").count() == 2)
   }
 
+  test("CREATE scripts headed by SQL comments run as CREATE, not as a shadowing temp view") {
+    // a comment banner before CREATE used to route the script down the
+    // SELECT branch: spark.sql still executed the CREATE (commands run
+    // eagerly), then createOrReplaceTempView SHADOWED the created view
+    // with the command's empty zero-column result
+    Seq((1L, "ann"), (2L, "bob")).toDF("id", "name")
+      .createOrReplaceTempView("src_people")
+    ScriptViews.register(spark, "people_vw",
+      """-- business view over people
+        |/* generated; do not edit */
+        |CREATE OR REPLACE TEMPORARY VIEW people_vw AS
+        |SELECT id, name FROM src_people WHERE id > 1;""".stripMargin)
+    assert(spark.table("people_vw").columns.toSeq == Seq("id", "name"))
+    assert(spark.table("people_vw").count() == 1)
+    // plain SELECT with a leading comment still lands as a temp view
+    ScriptViews.register(spark, "people_all_vw",
+      "-- all of them\nSELECT id FROM src_people")
+    assert(spark.table("people_all_vw").count() == 2)
+  }
+
   test("missing script file throws with the path in the message") {
     val meta = MetaStore(Seq(TableColumn("ghost", "dm_vw", "", "", 1, "vwdef")), Nil)
     val e = intercept[IllegalArgumentException](
