@@ -154,13 +154,30 @@ object Bench {
     // A run WITH errors writes to `<path>.failed` instead: a deliberately-
     // failing probe (or a broken local run) must never clobber the
     // committed quiet-window artifact the judge reads — that happened once.
+    // And a CLEAN run never clobbers either (r19 verdict #5: the driver's
+    // noisy-window run overwrote the committed quiet-window artifact): an
+    // existing file diverts this run to the first free `<base>.N.json`
+    // suffix, so every run keeps its own artifact and git history stays
+    // coherent. Operators pin a path explicitly via the env override.
     val perQueryBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r19_driver_perquery.json")
+      "bench/r20_driver_perquery.json")
     val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
-      val p = java.nio.file.Paths.get(perQuery)
-      if (p.getParent == null || java.nio.file.Files.isDirectory(p.getParent))
+      val p0 = java.nio.file.Paths.get(perQuery)
+      if (p0.getParent == null || java.nio.file.Files.isDirectory(p0.getParent)) {
+        val p = Iterator.single(p0)
+          .concat(Iterator.from(2).map { n =>
+            val s = p0.toString
+            val (stem, ext) =
+              if (s.endsWith(".json")) (s.dropRight(5), ".json") else (s, "")
+            java.nio.file.Paths.get(s"$stem.$n$ext")
+          })
+          .find(!java.nio.file.Files.exists(_))
+          .get // Iterator.from is unbounded — a free suffix always exists
+        if (p != p0)
+          System.err.println(s"[bench] $p0 exists; writing this run's per-query sidecar to $p")
         java.nio.file.Files.writeString(p, line + "\n")
+      }
     } catch { case e: Exception => System.err.println(s"[bench] per-query sidecar write to $perQuery failed: $e") }
     // Stop Spark BEFORE printing: the result lines must be the LAST stdout
     // lines of the process (the driver parses the stdout tail as JSON), and
@@ -180,7 +197,7 @@ object Bench {
     //   lost — else the "queries_file" pointer (never a decapitated line,
     //   the BENCH_r07 failure mode). Millisecond precision is always in
     //   the full line above and BOTH durable sidecars (including the
-    //   committed bench/r19_driver_perquery.json). total_min lives there
+    //   committed bench/r20_driver_perquery*.json). total_min lives there
     //   too — dropped here to buy map room.
     def qMap(unit: Double) = results.map { case (k, (med, _)) =>
       jstr(k) + ":" + Math.round(med * unit)

@@ -45,6 +45,27 @@ final class Graft(
   val lake = new Lake(spark, lakeRoot, buckets)
   val flow = new FlowExecutor(lake, meta, algo)
 
+  // `dv.<table>` catalog names must follow the table's current GENERATION
+  // (compact/rebucket relocate the data dir) — hook the re-registration
+  // into the lake's swap commit so reference-style qualified SQL keeps
+  // working across compactions (r19 verdict #2). Best-effort Try: a
+  // catalog hiccup must not fail the compaction that already committed.
+  lake.onGenerationSwap = (layer, name) =>
+    if (layer == "dv") { scala.util.Try(registerDvTable(name)); () }
+  // Within-generation appends: the backing table caches its resolved
+  // relation (file listing included) under its CATALOG NAME, which
+  // refreshByPath alone does not invalidate — refresh it whenever the
+  // lake refreshes the table, or `dv.<name>` queries would miss freshly
+  // appended files (and chase expired ones).
+  lake.onRefresh = (layer, name) =>
+    if (layer == "dv") {
+      scala.util.Try {
+        val backing = s"dv.${Graft.dvBackingName(name)}"
+        if (spark.catalog.tableExists(backing)) spark.catalog.refreshTable(backing)
+      }
+      ()
+    }
+
   /** Raw SQL escape hatch (reference mallarddv.py:87). */
   def sql(sqlText: String): DataFrame = spark.sql(sqlText)
 
@@ -119,9 +140,11 @@ final class Graft(
         Some(s"$layer.$name")
       }
     // Staging tables are flat (truncate-and-load) → safe to expose as
-    // catalog tables; vault tables are hk-bucketed partitioned dirs and
-    // stay DataFrame/current-view surfaces. Drop-then-create so a
-    // leftover registration from another lake in this session can't
+    // catalog TABLES at the stable root path; vault tables are
+    // hk-bucketed, generation-resolved dirs and get a VIEW surface
+    // instead ([[registerDvTable]] — the view text pins the CURRENT
+    // generation dir and is re-registered on swaps). Drop-then-create so
+    // a leftover registration from another lake in this session can't
     // shadow this one (the catalog holds one `stg.<name>` per session).
     if (layer == "stg") {
       spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
@@ -152,7 +175,9 @@ final class Graft(
   def createHub(baseName: Option[String] = None): Seq[String] = {
     ensureLayerDatabases()
     metaEntities(Set("hub"), baseName).flatMap { case ((_, base), cols) =>
-      ensure("dv", s"hub_$base", VaultSchemas.hub(base, cols))
+      val made = ensure("dv", s"hub_$base", VaultSchemas.hub(base, cols))
+      registerDvTable(s"hub_$base")
+      made
     }
   }
 
@@ -163,7 +188,9 @@ final class Graft(
     ensureLayerDatabases()
     metaEntities(Set("link", "nhl").filter(rt => relType.forall(_ == rt)), baseName)
       .flatMap { case ((rt, base), cols) =>
-        ensure("dv", s"${rt}_$base", VaultSchemas.link(base, cols))
+        val made = ensure("dv", s"${rt}_$base", VaultSchemas.link(base, cols))
+        registerDvTable(s"${rt}_$base")
+        made
       }
   }
 
@@ -176,7 +203,9 @@ final class Graft(
     metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
       .flatMap { case ((rt, base), cols) =>
         val made = ensure("dv", s"${rt}_$base", VaultSchemas.sat(satHkOf(base, cols), cols))
+        registerDvTable(s"${rt}_$base")
         registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        registerBvCurrentView(s"${rt}_$base", satHkOf(base, cols))
         made
       }
   }
@@ -189,6 +218,7 @@ final class Graft(
       .filter { case ((rt, base), _) => lake.exists("dv", s"${rt}_$base") }
       .map { case ((rt, base), cols) =>
         registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        registerBvCurrentView(s"${rt}_$base", satHkOf(base, cols))
         s"${rt}_${base}_cv"
       }
 
@@ -213,6 +243,68 @@ final class Graft(
 
   private def satHkOf(base: String, cols: Seq[graft.meta.TableColumn]): String =
     cols.find(_.mapping == "hk").map(c => s"${c.columnName}_hk").getOrElse(s"${base}_hk")
+
+  /** Register `dv.<name>` in the session catalog, pointed at the table's
+    * CURRENT data directory — the reference's `sql()` escape hatch queries
+    * `dv.hub_customer` directly (mallarddv.py:87; everything lives in
+    * DuckDB schemas), and a reference user's SQL habits should work
+    * verbatim here. Two catalog objects per vault table:
+    *
+    *  - `dv.__<name>__data`: an EXTERNAL table with the metadata-derived
+    *    schema declared explicitly, located at [[Lake.dataPath]]. The
+    *    explicit schema gives the same imposed-schema contract as
+    *    [[readDv]] — files predating a metadata-added column (or columns
+    *    the flow's payload never writes) read as NULL instead of failing
+    *    resolution — and Spark appends the discovered `hk_bucket`
+    *    partition column, so filters on it prune files.
+    *  - `dv.<name>`: a view selecting exactly the declared columns, i.e.
+    *    the reference's column surface without the internal bucket column.
+    *
+    * Generation-following: re-registered by [[Lake.onGenerationSwap]] on
+    * compact/rebucket (the location must move); within a generation,
+    * appends are covered by the lake's refresh + the [[Lake.onRefresh]]
+    * hook below (the backing table's relation cache pins its file
+    * listing). Undeclared or not-yet-created tables are skipped. */
+  private def registerDvTable(name: String): Unit =
+    dvSchemaOf(name).foreach { schema =>
+      if (lake.exists("dv", name)) {
+        spark.sql("CREATE DATABASE IF NOT EXISTS dv")
+        val backing = Graft.dvBackingName(name)
+        val ddlCols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"DROP TABLE IF EXISTS dv.`$backing`")
+        spark.sql(
+          s"CREATE TABLE dv.`$backing` ($ddlCols) USING PARQUET " +
+            s"LOCATION '${lake.dataPath("dv", name)}'")
+        val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
+        spark.sql(s"CREATE OR REPLACE VIEW dv.`$name` AS SELECT $cols FROM dv.`$backing`")
+        ()
+      }
+    }
+
+  /** Register the QUALIFIED current view `bv.<sat>_cv` (the reference
+    * creates current views in its `bv` schema — CREATE_CURRENT_VIEW in
+    * db/sql_templates.py — so reference SQL says `bv.<sat>_cv`). Pure-SQL
+    * re-expression of [[DvOps.latestRows]]: `max(struct(load_dts, run_id,
+    * hash_diff, rest…))` picks the same row (struct comparison is
+    * field-by-field, same ordering prefix), re-projected to the
+    * satellite's column order. Defined OVER `dv.<sat>` by name, so it
+    * follows generations for free once [[registerDvTable]] re-registers.
+    * The unqualified `<sat>_cv` temp views remain (back-compat surface). */
+  private def registerBvCurrentView(satTable: String, hk: String): Unit =
+    dvSchemaOf(satTable).foreach { schema =>
+      if (spark.catalog.tableExists(s"dv.$satTable")) {
+        spark.sql("CREATE DATABASE IF NOT EXISTS bv")
+        val ord = DvOps.DefaultOrdering
+        val payload = schema.fieldNames.filterNot(_ == hk)
+        val structCols = (ord ++ payload.filterNot(ord.contains)).map(f => s"`$f`").mkString(", ")
+        val outer = schema.fieldNames
+          .map(f => if (f == hk) s"`$hk`" else s"__r.`$f` AS `$f`").mkString(", ")
+        spark.sql(
+          s"CREATE OR REPLACE VIEW bv.`${satTable}_cv` AS SELECT $outer FROM " +
+            s"(SELECT `$hk`, max(struct($structCols)) AS __r FROM dv.`$satTable` GROUP BY `$hk`) __t")
+        ()
+      }
+    }
 
   private def registerCurrentView(satTable: String, hk: String): Unit =
     DvOps.currentRows(readDv(satTable), hk).createOrReplaceTempView(s"${satTable}_cv")
@@ -346,6 +438,10 @@ final class Graft(
 }
 
 object Graft {
+  /** Catalog name of the hidden imposed-schema backing table behind the
+    * `dv.<name>` view ([[Graft.registerDvTable]]). */
+  private[graft] def dvBackingName(name: String): String = s"__${name}__data"
+
   /** Reload metadata from CSV into a new facade over the SAME lake
     * (reference overwrite_metadata_from_files — metadata evolves without
     * touching vault data). */

@@ -141,6 +141,23 @@ object Confs {
     m
   }
 
+  val LoadClaimWaitMillisKey = "spark.graft.loadClaim.waitMillis"
+
+  /** How long an incremental LOAD ([[graft.core.Lake.withLoadClaim]] — flow
+    * executor targets, streaming dv sinks) waits for another loader's
+    * per-table claim before refusing with a typed Concurrency error.
+    * Default 5 minutes: the reference's DuckDB serializes concurrent flow
+    * transactions, so the parity posture is "wait for the other loader,
+    * then proceed over its committed rows" — but bounded, so a claim
+    * marker orphaned by a crashed process surfaces as a LOUD refusal
+    * (naming the marker and `releaseLoadClaim`) instead of a silent hang.
+    * 0 = fail fast without waiting. */
+  def loadClaimWaitMillis(conf: RuntimeConfig): Long = {
+    val m = long(conf, LoadClaimWaitMillisKey, 300000L)
+    require(m >= 0L, s"$LoadClaimWaitMillisKey must be >= 0, got $m")
+    m
+  }
+
   val ClaimsRequireAtomicKey = "spark.graft.claims.requireAtomic"
 
   /** Capability posture for the flow executor's claim markers (run-id

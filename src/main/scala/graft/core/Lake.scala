@@ -326,8 +326,14 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       if (spark.catalog.tableExists(s"$layer.$name"))
         spark.catalog.refreshTable(s"$layer.$name")
     }
-    ()
+    onRefresh(layer, name)
   }
+
+  /** Invoked at the end of every [[refresh]] — the Graft facade hooks the
+    * refresh of its differently-named catalog objects here (the hidden
+    * `dv.__<name>__data` backing tables, whose relation caches pin file
+    * listings under their own catalog names). Must not throw. */
+  private[graft] var onRefresh: (String, String) => Unit = (_, _) => ()
 
   /** Truncate-and-load. Writes to the TABLE ROOT deliberately: Spark's
     * overwrite deletes the whole output dir first — generation dirs and
@@ -682,6 +688,121 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     ()
   }
 
+  // ---------------------------------------------------------------------
+  // Per-table LOAD claim (r19 verdict #1)
+  // ---------------------------------------------------------------------
+
+  /** Load-claim marker in a SIDE directory (`<layer>/.claims/`), NOT the
+    * table dir: a marker inside the table dir would materialize the dir
+    * and flip `exists()` true for a table that has no data yet — the
+    * first flow's probe would then scan an empty dir instead of taking
+    * the absent-table path (and a forced-open prune gate would reference
+    * a partition column no file carries). Dot-prefix → hidden. */
+  private def loadClaimPath(layer: String, name: String): Path =
+    new Path(tablePath(layer, ".claims"), s"$name${Lake.LoadClaim}")
+
+  /** Atomically claim the table for one incremental LOAD (anti-join/delta
+    * probe + append); false when another loader holds it. Why it exists:
+    * an incremental load's dedup guarantee is "probe the existing keys,
+    * insert only the new ones" — two PROCESSES loading different files into
+    * the same hub can both probe before either appends and both insert the
+    * same business key. The reference is immune only because DuckDB
+    * serializes its transactions; this claim is the Spark-side serializer.
+    * Same primitive + hygiene as the compaction claim (create-no-overwrite
+    * marker, JVM registry for same-process determinism, capability-gated
+    * advisory mode on S3-class stores). Distinct marker from the
+    * compaction claim on purpose: loads never block compaction (the
+    * compact's commit-time source-unchanged guard already aborts it loudly
+    * if an append lands mid-stage), and compaction never blocks loads. */
+  def tryLoadClaim(layer: String, name: String): Boolean =
+    tryClaimMarker(loadClaimPath(layer, name))
+
+  /** Release the load claim — also the operator escape hatch for a marker a
+    * crashed loader left behind (the refusal message names it). */
+  def releaseLoadClaim(layer: String, name: String): Unit =
+    releaseClaimMarker(loadClaimPath(layer, name))
+
+  /** One create-no-overwrite claim take at an explicit marker path —
+    * shared by the per-table load claim and the flow executor's
+    * per-source-table flow claim (whose marker cannot live in the stg
+    * table dir: truncate-and-load deletes that dir wholesale, and a
+    * deleted marker would silently hand the claim to a second process
+    * mid-hold). mkdirs(parent) because side-dir markers
+    * (metadata/.flow_claims) may precede their directory. */
+  private[graft] def tryClaimMarker(p: Path): Boolean = {
+    val fs = fsOf(p)
+    graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, "load")
+    val key = fs.makeQualified(p).toString
+    if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
+    try {
+      if (p.getParent != null) fs.mkdirs(p.getParent)
+      fs.create(p, /* overwrite = */ false).close(); true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Lake.localClaims.remove(key)
+        if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
+    }
+  }
+
+  private[graft] def releaseClaimMarker(p: Path): Unit = {
+    val fs = fsOf(p)
+    Lake.localClaims.remove(fs.makeQualified(p).toString)
+    fs.delete(p, false)
+    ()
+  }
+
+  /** [[withLoadClaim]]'s engine at an explicit marker path: bounded-wait
+    * acquire (poll [[Confs.loadClaimWaitMillis]], then a typed Concurrency
+    * refusal naming the marker), per-thread reentrancy, `onAcquire` run
+    * under the claim before `body` (cache refresh hooks). */
+  private[graft] def withClaimedMarker[A](
+      p: Path, what: String)(onAcquire: => Unit)(body: => A): A = {
+    val key = fsOf(p).makeQualified(p).toString
+    val held = Lake.heldLoadClaims.get()
+    if (held.contains(key)) return body
+    val waitMs = Confs.loadClaimWaitMillis(spark.conf)
+    val deadline = System.currentTimeMillis() + waitMs
+    var claimed = tryClaimMarker(p)
+    while (!claimed && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200L)
+      claimed = tryClaimMarker(p)
+    }
+    if (!claimed)
+      throw new DvException(DvError.Concurrency(
+        s"$what: another loader holds the claim marker $p after ${waitMs} ms " +
+          s"(${Confs.LoadClaimWaitMillisKey}) — a concurrent flow/stream is loading, or a " +
+          s"crashed loader left a stale marker. Wait it out, raise the conf, or clear a " +
+          s"stale marker (releaseLoadClaim for a table's ${Lake.LoadClaim}; delete the " +
+          s"marker file otherwise)."))
+    held.add(key)
+    try {
+      onAcquire
+      body
+    } finally {
+      held.remove(key)
+      releaseClaimMarker(p)
+    }
+  }
+
+  /** Run one table's incremental load under its load claim. The claimed
+    * span MUST cover probe CONSTRUCTION, not just the append: Spark pins a
+    * scan's file listing when the DataFrame is built, so a probe built
+    * before the previous loader released would anti-join against a listing
+    * missing its rows even though the append itself came later. On acquire
+    * the table's caches are refreshed (resolution + Spark's file-listing
+    * cache) so the probe lists fresh — that is what makes the claim close
+    * the cross-process double-insert, where the winner's own post-append
+    * refresh only fixed its JVM. Reentrant per thread (a sat_full load
+    * claims once around both its append phases and the inner counted
+    * appends must not self-deadlock); the loser polls for
+    * [[Confs.loadClaimWaitMillis]] then refuses with a typed Concurrency
+    * error. Cost when uncontended: one create + one delete of a marker
+    * file per table per load — noise against the load's own jobs. */
+  def withLoadClaim[A](layer: String, name: String, what: String)(body: => A): A =
+    withClaimedMarker(loadClaimPath(layer, name), s"$what($layer.$name)") {
+      refresh(layer, name)
+    }(body)
+
   private def withCompactionClaim[A](layer: String, name: String, what: String)(body: => A): A = {
     if (!tryCompactionClaim(layer, name))
       throw new DvException(DvError.Concurrency(
@@ -955,9 +1076,18 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       // dir that resolution ignores.
       fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
       refresh(layer, name)
+      onGenerationSwap(layer, name)
       (before, parquetLeaves(fs, staged).size.toLong)
     }
   }
+
+  /** Invoked with (layer, name) after a commit RELOCATES the table's
+    * current data directory (compact/rebucket generation swap), after the
+    * caches are refreshed. The Graft facade hooks catalog re-registration
+    * here so `dv.<table>` names follow the generation; plain appends never
+    * fire it (they stay inside the current directory, where [[refresh]]'s
+    * listing-cache invalidation is already sufficient). */
+  private[graft] var onGenerationSwap: (String, String) => Unit = (_, _) => ()
 
   /** Rewrite a bucketed table at a NEW bucket count, as a committed
     * generation — the explicit (and only) way a table's bucket count
@@ -1027,6 +1157,7 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       verifyStaged(fs, staged, s"rebucket($layer.$name)")
       fs.create(new Path(staged, Lake.CommitMarker), /* overwrite = */ false).close()
       refresh(layer, name)
+      onGenerationSwap(layer, name)
       (before, parquetLeaves(fs, staged).size.toLong)
     }
   }
@@ -1154,9 +1285,11 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
                 s"the generation that supersedes it committed ($d) — a writer with a stale " +
                 s"table resolution (another process's cache, or a direct path write) " +
                 s"appended rows the current generation never absorbed. Deleting would lose " +
-                s"them silently; refusing instead. Re-ingest the orphaned rows into the " +
-                s"current generation (read the path directly, append via the Lake), then " +
-                s"re-run the expire."))
+                s"them silently; refusing instead. To resolve: re-ingest the orphaned rows " +
+                s"into the current generation (read the path directly, append via the Lake), " +
+                s"then REMOVE or move aside the orphaned file itself — its mtime postdates " +
+                s"the superseding commit forever, so expire (and compact, which expires at " +
+                s"start) keeps refusing until the file is gone."))
         }
       }
     }
@@ -1202,7 +1335,24 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
           false
       }
     if (claimed) {
+      // Best-effort holds for the reclaim PASS too, not just the claim gate:
+      // expireInternal can throw the orphan-write Concurrency refusal (or a
+      // transient IO error), and this hook runs AFTER the append's rows
+      // committed — letting it escape would fail every subsequent append and
+      // streaming micro-batch on a table with one orphaned file, a
+      // persistent crash loop until manual cleanup (r19 ADVICE finding).
+      // Loud once per table, then quiet: the explicit
+      // compact/expireSuperseded calls keep the full refusal.
       try { expireInternal(fs, root, layer, name, retain); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (Lake.notedPolicyExpireFailed.add(qualifiedKey(layer, name)))
+            Console.err.println(
+              s"[graft] NOTE: policy reclaim of $layer.$name failed and is suspended for " +
+                s"this JVM (the append itself committed); run an explicit " +
+                s"expireSuperseded/compact to see and resolve the cause: " +
+                s"${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.mkString(" ")}")
+      }
       finally releaseCompactionClaim(layer, name)
     }
   }
@@ -1263,6 +1413,11 @@ object Lake {
   /** Per-table compaction-claim marker at the table root (underscore →
     * hidden); create-no-overwrite is the cross-process arbiter. */
   val CompactClaim = "_graft_compacting"
+  /** Per-table LOAD-claim marker suffix ([[Lake.withLoadClaim]]) —
+    * serializes concurrent incremental loads of one table across
+    * processes. Marker file: `<layer>/.claims/<table>_graft_loading`
+    * (side dir, so claiming never materializes the table dir). */
+  val LoadClaim = "_graft_loading"
 
   private[core] final case class Resolution(dataDir: String, layout: Option[TableLayout])
 
@@ -1272,11 +1427,21 @@ object Lake {
   private val resolutionCache =
     new java.util.concurrent.ConcurrentHashMap[String, Resolution]()
 
-  /** JVM-wide compaction-claim registry (same role as the flow executor's
-    * ingestion-claim registry: deterministic same-process arbitration on
-    * stores whose create-no-overwrite is check-then-act locally). */
+  /** JVM-wide compaction/load-claim registry (same role as the flow
+    * executor's ingestion-claim registry: deterministic same-process
+    * arbitration on stores whose create-no-overwrite is check-then-act
+    * locally). Keyed by the qualified MARKER path, so the compaction and
+    * load claims of one table never collide. */
   private val localClaims =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Load-claim keys held by the CURRENT thread — [[Lake.withLoadClaim]]
+    * reentrancy (a sat_full load claims once around both append phases). */
+  private val heldLoadClaims =
+    new ThreadLocal[scala.collection.mutable.Set[String]] {
+      override def initialValue(): scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty
+    }
 
   /** Test seam for the concurrent-append-during-compaction proof: invoked
     * with "layer.name" after a compact/rebucket's staged write lands,
@@ -1292,6 +1457,12 @@ object Lake {
   /** Tables already noted for skipped policy reclaim (capability-gated
     * store) in this JVM — [[Lake.maybeExpireAged]]. */
   private val notedNoPolicyExpire =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Tables whose best-effort policy reclaim already failed loudly once in
+    * this JVM ([[Lake.maybeExpireAged]] catch — the reclaim keeps being
+    * retried per append, only the note is deduplicated). */
+  private val notedPolicyExpireFailed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Shared Jackson mapper for layout records (readTree is thread-safe);

@@ -253,26 +253,43 @@ final class FlowExecutor(
       // path rides the ledger row as provenance of the triggering file, not
       // as an ingestion claim of its contents.
       val isStgTable = meta.getTables(Some(sourceTable), Some("stg")).nonEmpty
-      filePath.foreach { fp =>
-        if (isStgTable) {
-          lake.overwrite(Staging.loadFile(spark, meta, sourceTable, fp), "stg", sourceTable)
+      def stageAndLoad(): Map[String, Long] = {
+        filePath.foreach { fp =>
+          if (isStgTable) {
+            lake.overwrite(Staging.loadFile(spark, meta, sourceTable, fp), "stg", sourceTable)
+          }
         }
+        val transitions = meta.getTransitions(sourceTable)
+        val hv = HashView.build(stagingDf(sourceTable), transitions, algo)
+        // The hash view feeds every hub/link/sat load below — materialize it
+        // once instead of recomputing the projection per target. Unpersisted
+        // in the finally so a failing load can't leak the cached copy.
+        hv.cache()
+        try merge(hubLoads(hv, transitions, ctx),
+          merge(linkLoads(hv, transitions, ctx), satLoads(hv, transitions, ctx)))
+        finally hv.unpersist()
       }
-
-      val transitions = meta.getTransitions(sourceTable)
-      val hv = HashView.build(stagingDf(sourceTable), transitions, algo)
-      // The hash view feeds every hub/link/sat load below — materialize it
-      // once instead of recomputing the projection per target. Unpersisted
-      // in the finally so a failing load can't leak the cached copy.
-      hv.cache()
-      try {
-        val loaded =
-          merge(hubLoads(hv, transitions, ctx),
-            merge(linkLoads(hv, transitions, ctx), satLoads(hv, transitions, ctx)))
-        logRun(sourceTable, runId, filePath, "success",
-          loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
-        FlowResult(runId, "success", skipped = false, Nil, loaded)
-      } finally hv.unpersist()
+      // Per-SOURCE flow claim around staging + loads: the per-file
+      // ingestion claim lets two flows of the same source table with
+      // DIFFERENT files both proceed, and the stg table is
+      // truncate-and-load — the second flow's staging overwrite would
+      // swap the data under the first flow's lazily-evaluated hash view
+      // mid-run. The reference effectively serializes here too (one
+      // DuckDB writer). Marker lives beside the ingestion claims
+      // (metadata/.flow_claims), NOT in the stg dir the overwrite
+      // deletes; the per-TARGET load claims (hubLoads doc) nest inside
+      // and stay, because flows of DIFFERENT sources sharing a hub
+      // serialize only on that hub. View-backed sources skip the claim:
+      // nothing stages, and the view's relation is the user's to manage.
+      val loaded =
+        if (isStgTable)
+          lake.withClaimedMarker(
+            new Path(lake.tablePath("metadata", ".flow_claims"), s"__flow__$sourceTable"),
+            s"executeFlow($sourceTable)") { () } { stageAndLoad() }
+        else stageAndLoad()
+      logRun(sourceTable, runId, filePath, "success",
+        loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))
+      FlowResult(runId, "success", skipped = false, Nil, loaded)
     } catch {
       case e: Exception =>
         // Release the claim FIRST so the file can be retried (the ledger
@@ -361,14 +378,23 @@ final class FlowExecutor(
       val hkName = s"${target.stripPrefix("hub_")}_hk"
       val bkFields = fields.sortBy(_.position).map(f => f.sourceField -> f.targetField)
       val existingSchema = StructType(StructField(hkName, StringType) :: Nil)
-      // ONE span computation serves the bucket-pruned probe scan AND the
-      // counted append's listing diff (Lake.readOrProbeWithSpan doc): new
-      // hub keys ⊆ staged keys, so the span covers every bucket the append
-      // writes.
-      val (existing, span) =
-        lake.readOrProbeWithSpan("dv", target, existingSchema, hv, col(s"${group}_hk"))
-      val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
-      val n = appendCounted(rows, target, hkName, span)
+      // Per-table LOAD claim around probe + append: two processes flowing
+      // DIFFERENT files into one hub could otherwise both pass the
+      // anti-join probe and double-insert a business key (the reference's
+      // DuckDB serializes its transactions; Lake.withLoadClaim is the
+      // Spark-side serializer). The claim must open BEFORE the probe is
+      // built — its file listing pins at construction.
+      val n = lake.withLoadClaim("dv", target, "hubLoad") {
+        insideLoadClaimHook(target)
+        // ONE span computation serves the bucket-pruned probe scan AND the
+        // counted append's listing diff (Lake.readOrProbeWithSpan doc): new
+        // hub keys ⊆ staged keys, so the span covers every bucket the append
+        // writes.
+        val (existing, span) =
+          lake.readOrProbeWithSpan("dv", target, existingSchema, hv, col(s"${group}_hk"))
+        val rows = DvOps.newHubRows(hv, existing, group, bkFields, hkName, ctx)
+        appendCounted(rows, target, hkName, span)
+      }
       // several bk groups may feed one hub (self-referencing entities) —
       // accumulate, don't overwrite
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
@@ -391,12 +417,16 @@ final class FlowExecutor(
         if (f.transferType == "ll") s"${f.sourceField}_hk" -> f.targetField
         else f.sourceField -> f.targetField
       }
-      // shared span: probe scan + counted-append listing
-      // (Lake.readOrProbeWithSpan doc)
-      val (existing, span) = lake.readOrProbeWithSpan("dv", target,
-        StructType(StructField(hkName, StringType) :: Nil), hv, col(s"${group}_hk"))
-      val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
-      val n = appendCounted(rows, target, hkName, span)
+      // load claim spanning probe construction + append (hubLoads doc)
+      val n = lake.withLoadClaim("dv", target, "linkLoad") {
+        insideLoadClaimHook(target)
+        // shared span: probe scan + counted-append listing
+        // (Lake.readOrProbeWithSpan doc)
+        val (existing, span) = lake.readOrProbeWithSpan("dv", target,
+          StructType(StructField(hkName, StringType) :: Nil), hv, col(s"${group}_hk"))
+        val rows = DvOps.newLinkRows(hv, existing, group, legFields, hkName, ctx)
+        appendCounted(rows, target, hkName, span)
+      }
       loaded += target -> (loaded.getOrElse(target, 0L) + n)
     }
     loaded
@@ -422,23 +452,32 @@ final class FlowExecutor(
         // this schema on the scan, so a declared-vs-written mismatch would
         // fail the read instead of being silently reconciled.
         graft.dv.VaultSchemas.satFromFields(satHk, fields.map { case (s, t) => t -> hv.schema(s).dataType })
-      // DELTA probe: bucket-pruned above the gate, span shared with the
-      // counted append's listing diff. The sat_full delete detection below
-      // stays UNPRUNED by design — absent keys are its signal
-      // (Lake.readOrProbe doc).
-      val (existing, span) =
-        lake.readOrProbeWithSpan("dv", satName, satSchema, hv, col(satT.sourceField))
-      val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
-      var n = appendCounted(newRows, satName, satHk, span)
-      if (satT.transferType == "sat_full") {
-        // Delete detection must see the vault INCLUDING this run's inserts
-        // (reference runs the two INSERTs sequentially on the same table).
-        // NO listing span here: tombstone keys come from the VAULT side
-        // (keys absent from the batch), so their buckets can lie outside
-        // the staged span — Lake.appendIncrementBucketed contract.
-        val afterNew = lake.readOr("dv", satName, satSchema)
-        val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
-        n += appendCounted(delRows, satName, satHk)
+      // ONE load claim around BOTH append phases (hubLoads doc; reentrant,
+      // so the inner appends under a future claim-at-append refactor can't
+      // self-deadlock): a concurrent loader interleaving between a
+      // sat_full's insert and delete-detection phases would feed the
+      // tombstone scan a vault state neither run staged.
+      val n = lake.withLoadClaim("dv", satName, "satLoad") {
+        insideLoadClaimHook(satName)
+        // DELTA probe: bucket-pruned above the gate, span shared with the
+        // counted append's listing diff. The sat_full delete detection below
+        // stays UNPRUNED by design — absent keys are its signal
+        // (Lake.readOrProbe doc).
+        val (existing, span) =
+          lake.readOrProbeWithSpan("dv", satName, satSchema, hv, col(satT.sourceField))
+        val newRows = DvOps.satNewRows(hv, existing, satT.sourceField, hashdiffField, fields, satHk, ctx)
+        var m = appendCounted(newRows, satName, satHk, span)
+        if (satT.transferType == "sat_full") {
+          // Delete detection must see the vault INCLUDING this run's inserts
+          // (reference runs the two INSERTs sequentially on the same table).
+          // NO listing span here: tombstone keys come from the VAULT side
+          // (keys absent from the batch), so their buckets can lie outside
+          // the staged span — Lake.appendIncrementBucketed contract.
+          val afterNew = lake.readOr("dv", satName, satSchema)
+          val delRows = DvOps.satDeleteRows(hv, afterNew, satT.sourceField, fields.map(_._2), satHk, ctx)
+          m += appendCounted(delRows, satName, satHk)
+        }
+        m
       }
       loaded += satName -> (loaded.getOrElse(satName, 0L) + n)
     }
@@ -449,6 +488,12 @@ final class FlowExecutor(
       rows: DataFrame, target: String, keyCol: String,
       listingSpan: Option[Array[Long]] = None): Long =
     lake.appendIncrementBucketed(rows, "dv", target, keyCol, listingSpan)
+
+  /** Test seam for the concurrent-loader race proof: invoked with the
+    * target table name INSIDE that table's load claim, after acquire and
+    * before the probe is built — i.e. at the point where a second loader
+    * must be excluded. No-op in production. */
+  private[graft] var insideLoadClaimHook: String => Unit = _ => ()
 }
 
 object FlowExecutor {

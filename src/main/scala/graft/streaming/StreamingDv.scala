@@ -116,9 +116,17 @@ object StreamingDv {
         val cacheHv = gateOn
         if (cacheHv) { hv.cache(); () }
         try {
-          val existing = lake.readOrProbeWithSpan("dv", table, schema,
-            hv, org.apache.spark.sql.functions.col(probeKey), gate = Some(cacheHv))._1
-          lake.appendIncrementBucketedUncounted(rows(hv, existing, ctx), "dv", table, keyColName)
+          // Same per-table load claim as the flow executor's targets
+          // (Lake.withLoadClaim): a stream and a flow (or two streams)
+          // loading one vault table could otherwise both pass the probe
+          // and double-insert a key. Uncontended cost is one marker
+          // create+delete per micro-batch — noise against the batch's own
+          // jobs (the per-batch checkpoint machinery alone is ~0.13 s).
+          lake.withLoadClaim("dv", table, "streamSink") {
+            val existing = lake.readOrProbeWithSpan("dv", table, schema,
+              hv, org.apache.spark.sql.functions.col(probeKey), gate = Some(cacheHv))._1
+            lake.appendIncrementBucketedUncounted(rows(hv, existing, ctx), "dv", table, keyColName)
+          }
           afterAppendHook(table, batchId)
         } finally if (cacheHv) { hv.unpersist(); () }
         ()

@@ -96,7 +96,7 @@ class FlowExecutorSpec extends SparkSpec {
       spark.conf.set(graft.core.Confs.ProbePruneMinBytesKey, "0")
       val r1 = flow.executeFlow("customer", "unit", Some(f1),
         Some(Timestamp.valueOf("2026-01-01 00:00:00")))
-      assert(r1.status == "success")
+      assert(r1.status == "success", r1.errors.mkString("; "))
       assert(r1.loaded == Map("hub_customer" -> 3L, "hsat_customer" -> 3L))
       // re-delivery: anti-joins over PRUNED probes must still no-op
       val r2 = flow.executeFlow("customer", "unit", Some(f1),
