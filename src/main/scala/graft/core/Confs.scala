@@ -141,6 +141,42 @@ object Confs {
     m
   }
 
+  val BpeDictCapKey = "spark.graft.bpe.dictCap"
+  val BpeNumMergesKey = "spark.graft.bpe.numMerges"
+  val BpeMergesVersionKey = "spark.graft.bpe.mergesVersion"
+
+  /** Driver-side word-TYPE dictionary cap for BPE merge training (the bound
+    * on driver memory — the distributed word-frequency aggregation stays
+    * linear in corpus size regardless). The tail beyond the cap is DROPPED
+    * from training; the frozen artifact's `_train_stats.json` records the
+    * dropped occurrence-mass fraction so token budgets carry an error bar
+    * (r19 verdict #4a: the truncation must never be silent). */
+  def bpeDictCap(conf: RuntimeConfig): Int = {
+    val v = long(conf, BpeDictCapKey, 32768L)
+    require(v >= 1L && v <= Int.MaxValue, s"$BpeDictCapKey must be in [1, 2^31), got $v")
+    v.toInt
+  }
+
+  /** Ranked merges trained per frozen BPE tokenizer (GPT-2's table has 50k;
+    * training stops early at the min-pair-frequency floor). */
+  def bpeNumMerges(conf: RuntimeConfig): Int = {
+    val v = long(conf, BpeNumMergesKey, 1024L)
+    require(v >= 0L && v <= Int.MaxValue, s"$BpeNumMergesKey must be in [0, 2^31), got $v")
+    v.toInt
+  }
+
+  /** Version of the frozen BPE merges artifact. A frozen table is permanent
+    * per (corpus dir, version) — the explicit retrain path (r19 verdict
+    * #4b, the same explicit posture as Lake.rebucket): bump the version to
+    * retrain after the corpus or the caps above change materially; old
+    * versions stay on disk for in-flight readers until cleaned. Default 1
+    * keeps the historical artifact path. */
+  def bpeMergesVersion(conf: RuntimeConfig): Long = {
+    val v = long(conf, BpeMergesVersionKey, 1L)
+    require(v >= 1L, s"$BpeMergesVersionKey must be >= 1, got $v")
+    v
+  }
+
   val LoadClaimWaitMillisKey = "spark.graft.loadClaim.waitMillis"
 
   /** How long an incremental LOAD ([[graft.core.Lake.withLoadClaim]] — flow

@@ -282,14 +282,23 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         .collect().map(_.getLong(0))
       if (buckets.length >= n) (full, None)
       else {
-        val pruned = spark.read.schema(schema).parquet(dataPath(layer, name))
-          // predicate on the DISCOVERED partition column, applied before
-          // the imposed-schema select drops it — evaluated driver-side by
-          // the file index, so only the staged buckets' files are read
-          // (ProbePruneSpec pins inputFiles shrink + result equality)
-          .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        (pruned, Some(buckets))
+        val raw = spark.read.schema(schema).parquet(dataPath(layer, name))
+        // The partition column only exists once a bucketed append has
+        // landed: a table pre-created by initVault holds a single empty
+        // FLAT part file, and filtering an undiscovered column is an
+        // analysis error, not a no-op — fall back to the unpruned scan
+        // (a forced-open gate is the only way here before first data).
+        if (!raw.columns.contains("hk_bucket")) (full, None)
+        else {
+          val pruned = raw
+            // predicate on the DISCOVERED partition column, applied before
+            // the imposed-schema select drops it — evaluated driver-side by
+            // the file index, so only the staged buckets' files are read
+            // (ProbePruneSpec pins inputFiles shrink + result equality)
+            .filter(col("hk_bucket").cast("long").isin(buckets.map(java.lang.Long.valueOf): _*))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          (pruned, Some(buckets))
+        }
       }
     }
   }

@@ -52,42 +52,92 @@ object TextOps {
 
   // --------------------------------------------------------------- #36a real BPE tokens
 
-  /** Merges per frozen tokenizer (GPT-2's table has 50k; 1024 over the
-    * synthetic corpus saturates its vocabulary — training stops early at
-    * the min-pair-frequency floor) and the driver-side dictionary cap
-    * (word TYPES collected for training — the bound on driver memory; the
-    * distributed word-frequency aggregation underneath is map-side-combined
-    * and linear in corpus size). */
-  private val BpeNumMerges = 1024
-  private val BpeDictCap = 32768
-
   /** Corpus-keyed location of the frozen BPE merges table
-    * ([[graft.core.FrozenArtifact]] — the frozen-centroids pattern). */
-  private[graft] def frozenMergesPath(s: SparkSession, dir: String): String =
-    graft.core.FrozenArtifact.path(s, "bpe_merges", dir)
+    * ([[graft.core.FrozenArtifact]] — the frozen-centroids pattern).
+    * VERSIONED by `spark.graft.bpe.mergesVersion`: a frozen table is
+    * permanent per (corpus, version), and bumping the conf is the explicit
+    * retrain path (r19 verdict #4b) — version 1 keeps the historical
+    * unsuffixed path, so existing caches stay valid. */
+  private[graft] def frozenMergesPath(s: SparkSession, dir: String): String = {
+    val v = graft.core.Confs.bpeMergesVersion(s.conf)
+    val prefix = if (v == 1L) "bpe_merges" else s"bpe_merges_v$v"
+    graft.core.FrozenArtifact.path(s, prefix, dir)
+  }
+
+  /** Name of the train-stats sidecar INSIDE the merges artifact dir —
+    * underscore-prefixed so Spark's file index hides it from parquet
+    * readers of the same dir. */
+  private[graft] val BpeStatsFile = "_train_stats.json"
+
+  /** The frozen artifact's train-stats JSON (dropped-mass error bar etc.),
+    * None before the first train. */
+  private[graft] def bpeTrainStats(s: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(frozenMergesPath(s, dir), BpeStatsFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   /** Train-and-freeze the merges table for a corpus (once per JVM+corpus —
     * [[graft.core.FrozenArtifact.ensure]]): ONE map-side-combined
-    * word-frequency aggregation (the only shuffle; grams are (word, count)
-    * pairs, never documents), a TakeOrdered top-`BpeDictCap` dictionary
-    * (deterministic tiebreak on the word), classic BPE merge training
-    * driver-side over the capped dictionary — sentencepiece/HF train the
-    * same way: over word types weighted by count — then parquet
-    * (rank, left, right). */
+    * word-frequency aggregation (the only corpus-wide shuffle; grams are
+    * (word, count) pairs, never documents) persisted vocab-sized to disk,
+    * a TakeOrdered top-`spark.graft.bpe.dictCap` dictionary (deterministic
+    * tiebreak on the word), classic BPE merge training driver-side over
+    * the capped dictionary — sentencepiece/HF train the same way: over
+    * word types weighted by count — then parquet (rank, left, right).
+    *
+    * The dictionary cap bounds DRIVER memory, which means the tail of the
+    * type distribution is dropped from training — silent on a 100 TB
+    * corpus until r19 verdict #4a: the build now also computes the total
+    * occurrence mass and type count (a second, vocab-sized job over the
+    * PERSISTED aggregation — the corpus is scanned once either way) and
+    * records the dropped-mass fraction in `_train_stats.json` beside the
+    * parquet, echoed in the build log — token budgets carry an error bar. */
   private def ensureFrozenMerges(s: SparkSession, dir: String): String =
     graft.core.FrozenArtifact.ensure(frozenMergesPath(s, dir), "bpe merge train") { path =>
       import s.implicits._
-      val wordFreqs = docs(s, dir).select(col("text")).as[String]
+      val dictCap = graft.core.Confs.bpeDictCap(s.conf)
+      val numMerges = graft.core.Confs.bpeNumMerges(s.conf)
+      val grouped = docs(s, dir).select(col("text")).as[String]
         .flatMap(graft.functions.Bpe.preTokens(_))
         .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word").asc).limit(BpeDictCap)
-        .as[(String, Long)].collect().toSeq
-      val merges = graft.functions.Bpe.train(wordFreqs, BpeNumMerges)
-      merges.iterator.zipWithIndex
-        .map { case ((l, r), i) => (i, l, r) }.toSeq
-        .toDF("rank", "left", "right")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      s", ${merges.length} merges"
+        // DISK_ONLY: the persisted unit is the AGGREGATION OUTPUT (vocab
+        // types, not documents), read twice (top-k + mass totals); memory
+        // persistence of an unbounded vocab would evict under pressure and
+        // silently re-run the corpus scan.
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val wordFreqs = grouped.orderBy(col("cnt").desc, col("word").asc).limit(dictCap)
+          .as[(String, Long)].collect().toSeq
+        val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
+        val totalMass = totals.getLong(0)
+        val totalTypes = totals.getLong(1)
+        val keptMass = wordFreqs.iterator.map(_._2).sum
+        val droppedFrac =
+          if (totalMass > 0L) 1.0 - keptMass.toDouble / totalMass.toDouble else 0.0
+        val merges = graft.functions.Bpe.train(wordFreqs, numMerges)
+        merges.iterator.zipWithIndex
+          .map { case ((l, r), i) => (i, l, r) }.toSeq
+          .toDF("rank", "left", "right")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        val statsJson =
+          s"""{"dict_cap":$dictCap,"num_merges_requested":$numMerges,""" +
+            s""""num_merges":${merges.length},"dict_types":${wordFreqs.size},""" +
+            s""""total_types":$totalTypes,"total_pretokens":$totalMass,""" +
+            s""""kept_mass":$keptMass,"dropped_mass_frac":$droppedFrac}"""
+        val statsPath = new org.apache.hadoop.fs.Path(path, BpeStatsFile)
+        val fs = statsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(statsPath, /* overwrite = */ true)
+        try out.write(statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        f", ${merges.length} merges, dict ${wordFreqs.size}/$totalTypes types, " +
+          f"dropped-mass $droppedFrac%.4f"
+      } finally { grouped.unpersist(); () }
     }
 
   /** Real BPE token counts per document (SURVEY §2 #36a): greedy

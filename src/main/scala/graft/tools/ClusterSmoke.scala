@@ -149,6 +149,64 @@ object ClusterSmoke {
       check(cur3.filter(col("c_name") === "bob" && !col("del_flag")).select("c_segment")
         .as[String].head() == "PROMOTED", "rebucket must preserve version history")
 
+      // ── 2d. Concurrent-loader race under the per-table LOAD claim (r20) ──
+      // Two FlowExecutors over the SAME lake dir spelled two ways (the
+      // cross-process shape the claim arbitrates), racing overlapping
+      // business keys from two different files on two driver threads —
+      // the claimed probe+append spans run their jobs on the REAL executor
+      // JVMs here. Exactly one insert per key must survive.
+      val lakeB = new Lake(spark, s"$root/./lake", buckets = 4)
+      val flowB = new FlowExecutor(lakeB, meta, HashGen.Md5)
+      val fA = s"$root/race_a.csv"; val fB = s"$root/race_b.csv"
+      writeCsv(fA, Seq("100,eve,E", "101,fay,F", "102,gus,G"))
+      writeCsv(fB, Seq("101,fay,F", "102,gus,G", "103,hal,H"))
+      @volatile var raceErr: Throwable = null
+      val ts = Some(Timestamp.valueOf("2026-01-03 00:00:00"))
+      val tA = new Thread(() => try { flow.executeFlow("customer", "smoke", Some(fA), ts); () }
+        catch { case t: Throwable => raceErr = t })
+      val tB = new Thread(() => try { flowB.executeFlow("customer", "smoke", Some(fB), ts); () }
+        catch { case t: Throwable => raceErr = t })
+      tA.start(); tB.start(); tA.join(180000); tB.join(180000)
+      check(raceErr == null, s"claim race thread threw: $raceErr")
+      val hubAfterRace = lake.read("dv", "hub_customer")
+      check(hubAfterRace.count() == hubAfterRace.select("customer_hk").distinct().count(),
+        "concurrent flows double-inserted a hub key despite the load claim")
+      check(hubAfterRace.filter(col("c_custkey_bk").isin(100L, 101L, 102L, 103L)).count() == 4,
+        s"race keys missing: ${hubAfterRace.select("c_custkey_bk").as[Long].collect().sorted.toSeq}")
+      println("[cluster-smoke] load-claim race: 4 keys, no duplicates")
+
+      // ── 2e. Reference-style qualified SQL names over the vault (r20) ──
+      // dv.<table> / bv.<sat>_cv catalog surfaces under two executor JVMs,
+      // including generation-following across a compact. Needs metadata
+      // that DECLARES the vault tables (hub/hsat TableColumn rows — the
+      // reference's tables.csv always does): the catalog surface is
+      // metadata-derived, transitions alone don't name the columns.
+      val gMeta = MetaStore(
+        tables = Seq(
+          TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+          TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+          TableColumn("customer", "stg", "c_segment", "VARCHAR", 3, "c"),
+          TableColumn("customer", "hub", "c_custkey", "BIGINT", 1, "bk"),
+          TableColumn("customer", "hsat", "customer", "", 0, "hk"),
+          TableColumn("customer", "hsat", "c_name", "VARCHAR", 1, "f"),
+          TableColumn("customer", "hsat", "c_segment", "VARCHAR", 2, "f")),
+        transitions = meta.transitions)
+      val g = new graft.Graft(spark, s"$root/glake", gMeta, None, HashGen.Md5)
+      g.initVault()
+      val rg = g.executeFlow("customer", "smoke-sql", Some(f1),
+        Some(Timestamp.valueOf("2026-01-01 00:00:00")))
+      check(rg.status == "success", s"facade flow status=${rg.status} errors=${rg.errors}")
+      check(g.sql("SELECT * FROM dv.hub_customer").count() == 3,
+        "dv.hub_customer qualified SQL")
+      check(g.sql(
+        "SELECT h.c_custkey_bk FROM dv.hub_customer h JOIN bv.hsat_customer_cv s " +
+          "ON h.customer_hk = s.customer_hk WHERE NOT s.del_flag").count() == 3,
+        "dv-join-bv qualified SQL")
+      g.compact("dv", "hub_customer")
+      check(g.sql("SELECT * FROM dv.hub_customer").count() == 3,
+        "dv.hub_customer after compact (catalog must follow the generation)")
+      println("[cluster-smoke] qualified dv/bv SQL OK across compact")
+
       // ── 3. Streaming hub + sat sinks, two overlapping micro-batches ──
       val srcDir = s"$root/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))

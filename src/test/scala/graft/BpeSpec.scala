@@ -119,5 +119,56 @@ class BpeSpec extends SparkSpec {
     val totalChars = docs.map(_._2.length.toLong).sum.toDouble
     assert(totalTokens < totalChars / 2.0,
       f"BPE barely compressed: $totalTokens%.0f tokens over $totalChars%.0f chars")
+
+    // r19 verdict #4a: the frozen artifact carries its train stats — at the
+    // default 32k cap this corpus's full vocabulary fits, so the recorded
+    // dropped mass must be exactly zero (the error bar is honest both ways)
+    val stats = graft.queries.TextOps.bpeTrainStats(spark, dir)
+    assert(stats.isDefined, "no _train_stats.json beside the frozen merges")
+    assert(stats.get.contains("\"dropped_mass_frac\":0.0"), stats.get)
+  }
+
+  test("dict cap truncation is recorded: dropped-mass fraction > 0 under a tiny cap") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = spark.conf
+    try {
+      // fresh artifact path via the version knob — the JVM memo and the
+      // on-disk cache both key by path, so version bumps force a retrain
+      conf.set(graft.core.Confs.BpeMergesVersionKey, "901")
+      conf.set(graft.core.Confs.BpeDictCapKey, "5")
+      conf.set(graft.core.Confs.BpeNumMergesKey, "8")
+      graft.queries.TextOps.textTokensBpe(spark, dir).collect()
+      val stats = graft.queries.TextOps.bpeTrainStats(spark, dir).get
+      assert(stats.contains("\"dict_cap\":5") && stats.contains("\"dict_types\":5"), stats)
+      val dropped = """"dropped_mass_frac":([0-9.eE-]+)""".r
+        .findFirstMatchIn(stats).get.group(1).toDouble
+      assert(dropped > 0.0 && dropped < 1.0, s"dropped=$dropped in $stats")
+      val kept = """"kept_mass":(\d+)""".r.findFirstMatchIn(stats).get.group(1).toLong
+      val total = """"total_pretokens":(\d+)""".r.findFirstMatchIn(stats).get.group(1).toLong
+      assert(kept < total && math.abs((1.0 - kept.toDouble / total) - dropped) < 1e-12)
+    } finally {
+      conf.unset(graft.core.Confs.BpeMergesVersionKey)
+      conf.unset(graft.core.Confs.BpeDictCapKey)
+      conf.unset(graft.core.Confs.BpeNumMergesKey)
+    }
+  }
+
+  test("merges version knob is the explicit retrain path: new version, new artifact") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = spark.conf
+    val v1Path = graft.queries.TextOps.frozenMergesPath(spark, dir)
+    try {
+      conf.set(graft.core.Confs.BpeMergesVersionKey, "902")
+      conf.set(graft.core.Confs.BpeNumMergesKey, "3")
+      val v902Path = graft.queries.TextOps.frozenMergesPath(spark, dir)
+      assert(v902Path != v1Path, "version bump did not change the artifact path")
+      graft.queries.TextOps.textTokensBpe(spark, dir).collect()
+      // retrained under the new caps, not a reuse of the v1 artifact
+      val merges = spark.read.parquet(v902Path).count()
+      assert(merges == 3L, s"expected a fresh 3-merge train, got $merges")
+    } finally {
+      conf.unset(graft.core.Confs.BpeMergesVersionKey)
+      conf.unset(graft.core.Confs.BpeNumMergesKey)
+    }
   }
 }
