@@ -1267,7 +1267,15 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
         }
       }.toArray
     // ORPHAN-WRITE REFUSAL, checked for ALL doomed entries before deleting
-    // ANY: "superseded" means the data predates its superseding commit. A
+    // ANY. Why refuse rather than have compact ABSORB the orphans into its
+    // rewrite (considered, r19 ADVICE): absorption would silently merge
+    // rows from a writer whose view of the table was WRONG — if the
+    // operator already re-ingested them (the documented recovery), absorb
+    // would double them; and an orphan file can carry a pre-evolution
+    // schema the current generation no longer matches. Data that appeared
+    // under a violated contract needs a human decision, not a silent
+    // merge; the refusal message spells out the exact recovery.
+    // "Superseded" means the data predates its superseding commit. A
     // parquet file (or a dir holding one) whose newest data mtime POSTDATES
     // the superseder's marker was written AFTER the generation swap — a
     // writer routed by a stale resolution (a cross-process Lake whose cache

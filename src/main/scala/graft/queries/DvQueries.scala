@@ -437,6 +437,51 @@ object DvQueries {
        |       c_custkey AS c_custkey_bk
        |FROM customer""".stripMargin
 
+  /** #12e (r20): the QUALIFIED catalog surface — a facade-built vault
+    * queried through reference-style `dv.<table>` / `bv.<sat>_cv` SQL
+    * names (mallarddv.py:87 sql() habits verbatim), WITH a compaction in
+    * between so the hash-match also proves the catalog followed the
+    * generation swap (a root-pinned registration would read the
+    * superseded flat files or nothing). Oracle: the same hub+current-sat
+    * join derived straight from the staging parquet. */
+  def catalogSql(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.Scratch.streamTempDir(s, "graft_catalog_lake_")
+    val meta = graft.meta.MetaStore(
+      tables = Seq(
+        graft.meta.TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+        graft.meta.TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
+        graft.meta.TableColumn("customer", "stg", "c_mktsegment", "VARCHAR", 3, "c"),
+        graft.meta.TableColumn("customer", "hub", "c_custkey", "BIGINT", 1, "bk"),
+        graft.meta.TableColumn("customer", "hsat", "customer", "", 0, "hk"),
+        graft.meta.TableColumn("customer", "hsat", "c_name", "VARCHAR", 1, "f"),
+        graft.meta.TableColumn("customer", "hsat", "c_mktsegment", "VARCHAR", 2, "f")
+      ),
+      transitions = Seq(
+        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
+        Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
+        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
+      ))
+    val g = new graft.Graft(s, root, meta, None, Algo)
+    g.initVault()
+    val r = g.executeFlow(
+      "customer", "verify", Some(s"$dir/customer.parquet"), Some(ctx.loadDts))
+    require(r.status == "success", s"flow failed: ${r.errors.mkString("; ")}")
+    g.compact("dv", "hub_customer")
+    g.compact("dv", "hsat_customer")
+    g.sql(
+      """SELECT h.customer_hk, h.c_custkey_bk, s.c_name, s.c_mktsegment
+        |FROM dv.hub_customer h
+        |JOIN bv.hsat_customer_cv s ON h.customer_hk = s.customer_hk
+        |WHERE NOT s.del_flag""".stripMargin)
+  }
+
+  val catalogSqlSql: String =
+    s"""SELECT DISTINCT ${sqlHash("c_custkey")} AS customer_hk,
+       |       c_custkey AS c_custkey_bk,
+       |       c_name, c_mktsegment
+       |FROM customer""".stripMargin
+
   /** #16: streaming hub ingestion under the driver's oracle — customer.parquet
     * fed through [[graft.streaming.StreamingDv.hubSink]] (Structured
     * Streaming file source, AvailableNow trigger completes synchronously)
@@ -1082,6 +1127,7 @@ object DvQueries {
     "dv_pit_asof" -> (pitAsOf _),
     "dv_pit_table" -> (pitTableQ _),
     "dv_flow_hub" -> (flowHub _),
+    "dv_catalog_sql" -> (catalogSql _),
     "dv_stream_hub" -> (streamHub _),
     "dv_stream_sat" -> (streamSat _),
     "dv_stream_link" -> (streamLink _),
@@ -1109,6 +1155,7 @@ object DvQueries {
     "dv_pit_asof" -> pitAsOfSql,
     "dv_pit_table" -> pitTableSql,
     "dv_flow_hub" -> flowHubSql,
+    "dv_catalog_sql" -> catalogSqlSql,
     "dv_stream_hub" -> streamHubSql,
     "dv_stream_sat" -> streamSatSql,
     "dv_stream_link" -> streamLinkSql,

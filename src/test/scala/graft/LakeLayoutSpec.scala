@@ -409,6 +409,51 @@ class LakeLayoutSpec extends SparkSpec {
     assert(lake.read("dv", "t2").count() == 1)
   }
 
+  test("a CLAIM-HOLDING loader appending mid-rebucket: no deadlock, typed abort, retry + policy expire reclaim exactly superseded (r20 sf10 twin)") {
+    // The load claim (r20) and the compaction claim are independent by
+    // design — loads never block generation writers. This is the
+    // small-scale twin of the sf10 stress (bench/r20_rebucket_sf10.json):
+    // a loader that went through the FULL claimed append path lands rows
+    // while a rebucket is staging; the rebucket must abort typed (not
+    // deadlock on the loader's claim), the retry must succeed, and the
+    // retention policy must then reclaim exactly the superseded layout.
+    val root = tmpDir("lake_claimmid_")
+    val lake = new Lake(spark, root, buckets = 4)
+    lake.appendBucketed((1 to 30).map(i => (s"c$i", i.toLong)).toDF("hk", "v"), "dv", "t", "hk")
+    val expected = lake.read("dv", "t").agg(sum("v")).head().getLong(0)
+    Lake.beforeCommitHook = { _ =>
+      Lake.beforeCommitHook = _ => ()
+      lake.withLoadClaim("dv", "t", "midLoad") {
+        lake.appendBucketed(Seq(("midc", 999L)).toDF("hk", "v"), "dv", "t", "hk")
+      }
+    }
+    try {
+      val e = intercept[DvException](lake.rebucket("dv", "t", 8))
+      assert(e.error.isInstanceOf[DvError.Concurrency], e.error.render)
+    } finally Lake.beforeCommitHook = _ => ()
+    assert(lake.tableBuckets("dv", "t") == 4)
+    assert(lake.read("dv", "t").agg(sum("v")).head().getLong(0) == expected + 999L)
+    // retry clean, then the policy reclaims EXACTLY the superseded flat
+    // layout on the next (claimed) append — current generation intact
+    lake.rebucket("dv", "t", 8)
+    assert(lake.tableBuckets("dv", "t") == 8)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableRoot = new Path(lake.tablePath("dv", "t"))
+    assert(fs.listStatus(tableRoot).exists(_.getPath.getName.startsWith("hk_bucket=")),
+      "superseded flat layout should survive until the policy window")
+    try {
+      spark.conf.set(graft.core.Confs.GenRetainMillisKey, "0")
+      lake.withLoadClaim("dv", "t", "postLoad") {
+        lake.appendBucketed(Seq(("post", 1L)).toDF("hk", "v"), "dv", "t", "hk")
+      }
+      val names = fs.listStatus(tableRoot).map(_.getPath.getName).toSeq
+      assert(!names.exists(_.startsWith("hk_bucket=")) && !names.exists(_.endsWith(".parquet")),
+        s"policy expire left superseded root data: $names")
+      assert(names.exists(_.startsWith(Lake.GenPrefix)), s"current generation missing: $names")
+      assert(lake.read("dv", "t").agg(sum("v")).head().getLong(0) == expected + 999L + 1L)
+    } finally spark.conf.unset(graft.core.Confs.GenRetainMillisKey)
+  }
+
   test("expire keeps a root layout record the current generation doesn't carry (manual-migration shape)") {
     val root = tmpDir("lake_rootrec_")
     val lake = new Lake(spark, root, buckets = 4)
