@@ -154,26 +154,33 @@ object Bench {
     // A run WITH errors writes to `<path>.failed` instead: a deliberately-
     // failing probe (or a broken local run) must never clobber the
     // committed quiet-window artifact the judge reads — that happened once.
-    // And a CLEAN run never clobbers either (r19 verdict #5: the driver's
-    // noisy-window run overwrote the committed quiet-window artifact): an
-    // existing file diverts this run to the first free `<base>.N.json`
-    // suffix, so every run keeps its own artifact and git history stays
-    // coherent. Operators pin a path explicitly via the env override.
+    // And a CLEAN run never clobbers the DEFAULT (committed) artifact
+    // either (r19 verdict #5: the driver's noisy-window run overwrote the
+    // committed quiet-window artifact): an existing default-path file
+    // diverts this run to the first free `<base>.N.json` suffix, so every
+    // run keeps its own artifact and git history stays coherent. An
+    // EXPLICIT SPARK_GRAFT_BENCH_PERQUERY pin keeps plain overwrite
+    // semantics — A/B scripts that parse the pinned path after each run
+    // must read THAT run's numbers, not a silently-diverted first run's
+    // (r20 review finding).
+    val envPinned = sys.env.contains("SPARK_GRAFT_BENCH_PERQUERY")
     val perQueryBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
       "bench/r20_driver_perquery.json")
     val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
       val p0 = java.nio.file.Paths.get(perQuery)
       if (p0.getParent == null || java.nio.file.Files.isDirectory(p0.getParent)) {
-        val p = Iterator.single(p0)
-          .concat(Iterator.from(2).map { n =>
-            val s = p0.toString
-            val (stem, ext) =
-              if (s.endsWith(".json")) (s.dropRight(5), ".json") else (s, "")
-            java.nio.file.Paths.get(s"$stem.$n$ext")
-          })
-          .find(!java.nio.file.Files.exists(_))
-          .get // Iterator.from is unbounded — a free suffix always exists
+        val p =
+          if (envPinned) p0
+          else Iterator.single(p0)
+            .concat(Iterator.from(2).map { n =>
+              val s = p0.toString
+              val (stem, ext) =
+                if (s.endsWith(".json")) (s.dropRight(5), ".json") else (s, "")
+              java.nio.file.Paths.get(s"$stem.$n$ext")
+            })
+            .find(!java.nio.file.Files.exists(_))
+            .get // Iterator.from is unbounded — a free suffix always exists
         if (p != p0)
           System.err.println(s"[bench] $p0 exists; writing this run's per-query sidecar to $p")
         java.nio.file.Files.writeString(p, line + "\n")

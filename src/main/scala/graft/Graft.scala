@@ -217,6 +217,11 @@ final class Graft(
     metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
       .filter { case ((rt, base), _) => lake.exists("dv", s"${rt}_$base") }
       .map { case ((rt, base), cols) =>
+        // dv view FIRST: a fresh session over an existing lake calls this
+        // without createSat having run, and bv.<sat>_cv is defined over
+        // dv.<sat> — without it the bv registration would silently skip
+        // (r20 review finding)
+        registerDvTable(s"${rt}_$base")
         registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
         registerBvCurrentView(s"${rt}_$base", satHkOf(base, cols))
         s"${rt}_${base}_cv"

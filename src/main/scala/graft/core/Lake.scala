@@ -678,8 +678,19 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     // whose roots spell this directory differently (see qualifiedKey)
     val key = fs.makeQualified(p).toString
     if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
-    try { fs.create(p, /* overwrite = */ false).close(); true }
-    catch {
+    try {
+      val out = fs.create(p, /* overwrite = */ false)
+      // delete our own half-claim if close() fails post-create — an
+      // orphaned marker would wedge later compactions (same hygiene as
+      // tryClaimMarker / FlowExecutor.tryClaim)
+      try out.close()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(fs.delete(p, false))
+          throw e
+      }
+      true
+    } catch {
       case scala.util.control.NonFatal(e) =>
         Lake.localClaims.remove(key)
         if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
@@ -745,7 +756,18 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
     try {
       if (p.getParent != null) fs.mkdirs(p.getParent)
-      fs.create(p, /* overwrite = */ false).close(); true
+      val out = fs.create(p, /* overwrite = */ false) // the atomic arbiter
+      // a failure AFTER our create succeeded (close flushing on an object
+      // store) must delete OUR half-claim before propagating, or the
+      // orphaned marker wedges every later load of this table behind the
+      // full wait (the FlowExecutor.tryClaim hygiene — r20 review finding)
+      try out.close()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(fs.delete(p, false)) // our own half-claim, not a holder's
+          throw e
+      }
+      true
     } catch {
       case scala.util.control.NonFatal(e) =>
         Lake.localClaims.remove(key)

@@ -400,6 +400,32 @@ object DvQueries {
     * hub + satellite loads into a fresh temp lake, returning the hub table.
     * Exercises the whole orchestration path (runinfo ledger, run-id alloc,
     * bucketed appends) under the driver's oracle compare. */
+  /** The customer flow-metadata both flow-driven queries share (ONE
+    * definition — the r20 review flagged the copies desynchronizing).
+    * `entity` names the staging table and, through it, every vault target
+    * (`hub_<entity>` / `hsat_<entity>`); `declareVault` adds the
+    * hub/hsat TableColumn declarations the Graft facade derives catalog
+    * schemas from (raw FlowExecutor queries need only stg + transitions). */
+  private def customerFlowMeta(entity: String, declareVault: Boolean): graft.meta.MetaStore = {
+    val stg = Seq(
+      graft.meta.TableColumn(entity, "stg", "c_custkey", "BIGINT", 1, "c"),
+      graft.meta.TableColumn(entity, "stg", "c_name", "VARCHAR", 2, "c"),
+      graft.meta.TableColumn(entity, "stg", "c_mktsegment", "VARCHAR", 3, "c"))
+    val vault = if (!declareVault) Nil else Seq(
+      graft.meta.TableColumn(entity, "hub", "c_custkey", "BIGINT", 1, "bk"),
+      graft.meta.TableColumn(entity, "hsat", "customer", "", 0, "hk"),
+      graft.meta.TableColumn(entity, "hsat", "c_name", "VARCHAR", 1, "f"),
+      graft.meta.TableColumn(entity, "hsat", "c_mktsegment", "VARCHAR", 2, "f"))
+    graft.meta.MetaStore(
+      tables = stg ++ vault,
+      transitions = Seq(
+        Transition(entity, "c_custkey", s"hub_$entity", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
+        Transition(entity, "c_name", s"hsat_$entity", "c_name", "customer_details", 1, raw = false, None, "f"),
+        Transition(entity, "c_mktsegment", s"hsat_$entity", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
+        Transition(entity, "customer_hk", s"hsat_$entity", "customer", "customer_details", 0, raw = false, None, "sat_delta")
+      ))
+  }
+
   def flowHub(s: SparkSession, dir: String): DataFrame = {
     // Unique per-call scratch root (concurrent sessions/bench reps must not
     // clobber each other's lake), reaped at JVM exit — the returned DataFrame
@@ -409,19 +435,7 @@ object DvQueries {
     // dominant cost, exactly like the streaming replays).
     val root = graft.core.Scratch.streamTempDir(s, "graft_flow_lake_")
     val lake = new graft.core.Lake(s, root, buckets = 4)
-    val meta = graft.meta.MetaStore(
-      tables = Seq(
-        graft.meta.TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
-        graft.meta.TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
-        graft.meta.TableColumn("customer", "stg", "c_mktsegment", "VARCHAR", 3, "c")
-      ),
-      transitions = Seq(
-        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
-        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
-        Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
-        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
-      ))
-    val flow = new graft.etl.FlowExecutor(lake, meta, Algo)
+    val flow = new graft.etl.FlowExecutor(lake, customerFlowMeta("customer", declareVault = false), Algo)
     val r = flow.executeFlow(
       "customer", "verify", Some(s"$dir/customer.parquet"), Some(ctx.loadDts))
     require(r.status == "success", s"flow failed: ${r.errors.mkString("; ")}")
@@ -446,33 +460,22 @@ object DvQueries {
     * join derived straight from the staging parquet. */
   def catalogSql(s: SparkSession, dir: String): DataFrame = {
     val root = graft.core.Scratch.streamTempDir(s, "graft_catalog_lake_")
-    val meta = graft.meta.MetaStore(
-      tables = Seq(
-        graft.meta.TableColumn("customer", "stg", "c_custkey", "BIGINT", 1, "c"),
-        graft.meta.TableColumn("customer", "stg", "c_name", "VARCHAR", 2, "c"),
-        graft.meta.TableColumn("customer", "stg", "c_mktsegment", "VARCHAR", 3, "c"),
-        graft.meta.TableColumn("customer", "hub", "c_custkey", "BIGINT", 1, "bk"),
-        graft.meta.TableColumn("customer", "hsat", "customer", "", 0, "hk"),
-        graft.meta.TableColumn("customer", "hsat", "c_name", "VARCHAR", 1, "f"),
-        graft.meta.TableColumn("customer", "hsat", "c_mktsegment", "VARCHAR", 2, "f")
-      ),
-      transitions = Seq(
-        Transition("customer", "c_custkey", "hub_customer", "c_custkey_bk", "customer", 1, raw = false, None, "bk"),
-        Transition("customer", "c_name", "hsat_customer", "c_name", "customer_details", 1, raw = false, None, "f"),
-        Transition("customer", "c_mktsegment", "hsat_customer", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
-        Transition("customer", "customer_hk", "hsat_customer", "customer", "customer_details", 0, raw = false, None, "sat_delta")
-      ))
-    val g = new graft.Graft(s, root, meta, None, Algo)
+    // QUERY-SCOPED entity name: the facade registers session-GLOBAL catalog
+    // objects (stg/dv/bv names), and a per-call scratch lake must never
+    // re-point a name a user's own vault could plausibly hold — e.g.
+    // `dv.hub_customer` (r20 review finding). `catverify_customer` keeps
+    // the registration exercise real while making collision impossible.
+    val g = new graft.Graft(s, root, customerFlowMeta("catverify_customer", declareVault = true), None, Algo)
     g.initVault()
     val r = g.executeFlow(
-      "customer", "verify", Some(s"$dir/customer.parquet"), Some(ctx.loadDts))
+      "catverify_customer", "verify", Some(s"$dir/customer.parquet"), Some(ctx.loadDts))
     require(r.status == "success", s"flow failed: ${r.errors.mkString("; ")}")
-    g.compact("dv", "hub_customer")
-    g.compact("dv", "hsat_customer")
+    g.compact("dv", "hub_catverify_customer")
+    g.compact("dv", "hsat_catverify_customer")
     g.sql(
-      """SELECT h.customer_hk, h.c_custkey_bk, s.c_name, s.c_mktsegment
-        |FROM dv.hub_customer h
-        |JOIN bv.hsat_customer_cv s ON h.customer_hk = s.customer_hk
+      """SELECT h.catverify_customer_hk AS customer_hk, h.c_custkey_bk, s.c_name, s.c_mktsegment
+        |FROM dv.hub_catverify_customer h
+        |JOIN bv.hsat_catverify_customer_cv s ON h.catverify_customer_hk = s.customer_hk
         |WHERE NOT s.del_flag""".stripMargin)
   }
 

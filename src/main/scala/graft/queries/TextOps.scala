@@ -115,7 +115,10 @@ object TextOps {
         val wordFreqs = grouped.orderBy(col("cnt").desc, col("word").asc).limit(dictCap)
           .as[(String, Long)].collect().toSeq
         val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
-        val totalMass = totals.getLong(0)
+        // sum over ZERO rows is SQL NULL, not 0 — an empty corpus (or one
+        // whose text yields no pre-tokens) must train an empty merges
+        // table, not NPE (r20 review finding)
+        val totalMass = if (totals.isNullAt(0)) 0L else totals.getLong(0)
         val totalTypes = totals.getLong(1)
         val keptMass = wordFreqs.iterator.map(_._2).sum
         val droppedFrac =

@@ -58,7 +58,8 @@ object BpeTrainStress {
           val t1 = System.nanoTime()
           val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
           val t2 = System.nanoTime()
-          (wf, (t1 - t0) / 1e9, (t2 - t1) / 1e9, totals.getLong(0), totals.getLong(1))
+          (wf, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+            if (totals.isNullAt(0)) 0L else totals.getLong(0), totals.getLong(1))
         } finally { grouped.unpersist(); () }
       val (wf, aggS, statsS, totalMass, totalTypes) = wordFreqs
       val t3 = System.nanoTime()
