@@ -48,15 +48,31 @@ final class Graft(
   // `dv.<table>` catalog names must follow the table's current GENERATION
   // (compact/rebucket relocate the data dir) — hook the re-registration
   // into the lake's swap commit so reference-style qualified SQL keeps
-  // working across compactions (r19 verdict #2). Best-effort Try: a
-  // catalog hiccup must not fail the compaction that already committed.
+  // working across compactions (r19 verdict #2). Best-effort: a catalog
+  // hiccup must not fail the compaction that already committed — but it
+  // must not be SILENT either (a stale registration serves the superseded
+  // generation until expire turns it into FILE_NOT_FOUND with no trace):
+  // failures print a stderr note naming the fix (re-run createHub/
+  // createSat or any initVault to re-register).
   lake.onGenerationSwap = (layer, name) =>
-    if (layer == "dv") { scala.util.Try(registerDvTable(name)); () }
+    if (layer == "dv") {
+      try registerDvTable(name)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            s"[graft] NOTE: re-registering dv.$name after a generation swap failed " +
+              s"(${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.mkString(" ")}); " +
+              s"the catalog name may serve the superseded generation until re-registered " +
+              s"(initVault or createHub/createLink/createSat re-register it).")
+      }
+    }
   // Within-generation appends: the backing table caches its resolved
   // relation (file listing included) under its CATALOG NAME, which
   // refreshByPath alone does not invalidate — refresh it whenever the
   // lake refreshes the table, or `dv.<name>` queries would miss freshly
-  // appended files (and chase expired ones).
+  // appended files (and chase expired ones). Quiet best-effort is right
+  // HERE (unlike the swap hook): the next refresh repeats it every append,
+  // and a transient failure self-heals.
   lake.onRefresh = (layer, name) =>
     if (layer == "dv") {
       scala.util.Try {
@@ -203,9 +219,7 @@ final class Graft(
     metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
       .flatMap { case ((rt, base), cols) =>
         val made = ensure("dv", s"${rt}_$base", VaultSchemas.sat(satHkOf(base, cols), cols))
-        registerDvTable(s"${rt}_$base")
-        registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
-        registerBvCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        registerSatSurfaces(s"${rt}_$base", satHkOf(base, cols))
         made
       }
   }
@@ -217,13 +231,7 @@ final class Graft(
     metaEntities(Set("hsat", "lsat").filter(rt => relType.forall(_ == rt)), baseName)
       .filter { case ((rt, base), _) => lake.exists("dv", s"${rt}_$base") }
       .map { case ((rt, base), cols) =>
-        // dv view FIRST: a fresh session over an existing lake calls this
-        // without createSat having run, and bv.<sat>_cv is defined over
-        // dv.<sat> — without it the bv registration would silently skip
-        // (r20 review finding)
-        registerDvTable(s"${rt}_$base")
-        registerCurrentView(s"${rt}_$base", satHkOf(base, cols))
-        registerBvCurrentView(s"${rt}_$base", satHkOf(base, cols))
+        registerSatSurfaces(s"${rt}_$base", satHkOf(base, cols))
         s"${rt}_${base}_cv"
       }
 
@@ -276,13 +284,38 @@ final class Graft(
         spark.sql("CREATE DATABASE IF NOT EXISTS dv")
         val backing = Graft.dvBackingName(name)
         val ddlCols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        spark.sql(s"DROP TABLE IF EXISTS dv.`$backing`")
-        spark.sql(
-          s"CREATE TABLE dv.`$backing` ($ddlCols) USING PARQUET " +
-            s"LOCATION '${lake.dataPath("dv", name)}'")
-        val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
-        spark.sql(s"CREATE OR REPLACE VIEW dv.`$name` AS SELECT $cols FROM dv.`$backing`")
-        ()
+        val location = lake.dataPath("dv", name)
+        // IDEMPOTENT: when the existing registration already points at the
+        // current generation with the current declared columns, skip the
+        // DDL — repeat createHub/createSat calls (the incremental
+        // schema-evolution entry points) and every initVault on a live
+        // session become catalog no-ops, and the brief DROP→CREATE
+        // not-found window for concurrent dv.<name> readers exists only
+        // when a swap/evolution actually moved something (r20 review).
+        val current = scala.util.Try {
+          val t = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(backing, Some("dv")))
+          // compare LOCATIONS fully qualified — the catalog stores a
+          // qualified URI while dataPath may be scheme-less
+          def qual(p: String) = {
+            val pp = new org.apache.hadoop.fs.Path(p)
+            pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .makeQualified(pp).toString
+          }
+          qual(t.location.toString) == qual(location) &&
+            t.schema.filterNot(_.name == "hk_bucket").map(f => (f.name, f.dataType)) ==
+              schema.fields.toSeq.map(f => (f.name, f.dataType)) &&
+            spark.catalog.tableExists(s"dv.$name")
+        }.getOrElse(false)
+        if (!current) {
+          spark.sql(s"DROP TABLE IF EXISTS dv.`$backing`")
+          spark.sql(
+            s"CREATE TABLE dv.`$backing` ($ddlCols) USING PARQUET " +
+              s"LOCATION '$location'")
+          val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
+          spark.sql(s"CREATE OR REPLACE VIEW dv.`$name` AS SELECT $cols FROM dv.`$backing`")
+          ()
+        }
       }
     }
 
@@ -310,6 +343,17 @@ final class Graft(
         ()
       }
     }
+
+  /** A satellite's THREE registration surfaces, in dependency order —
+    * dv view first (bv.<sat>_cv is defined over it; a fresh session over
+    * an existing lake reaches here without createSat having run), then
+    * the unqualified temp view, then the qualified bv view. The single
+    * definition createSat and createCurrentSat share. */
+  private def registerSatSurfaces(satTable: String, hk: String): Unit = {
+    registerDvTable(satTable)
+    registerCurrentView(satTable, hk)
+    registerBvCurrentView(satTable, hk)
+  }
 
   private def registerCurrentView(satTable: String, hk: String): Unit =
     DvOps.currentRows(readDv(satTable), hk).createOrReplaceTempView(s"${satTable}_cv")

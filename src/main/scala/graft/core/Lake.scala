@@ -670,43 +670,14 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * primitive + hygiene as the flow executor's ingestion claims
     * (create-no-overwrite, JVM registry for same-process determinism,
     * capability-gated on S3-class stores). */
-  def tryCompactionClaim(layer: String, name: String): Boolean = {
-    val p = compactClaimPath(layer, name)
-    val fs = fsOf(p)
-    graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, "compaction")
-    // qualified key: the JVM registry must arbitrate across Lake instances
-    // whose roots spell this directory differently (see qualifiedKey)
-    val key = fs.makeQualified(p).toString
-    if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
-    try {
-      val out = fs.create(p, /* overwrite = */ false)
-      // delete our own half-claim if close() fails post-create — an
-      // orphaned marker would wedge later compactions (same hygiene as
-      // tryClaimMarker / FlowExecutor.tryClaim)
-      try out.close()
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          scala.util.Try(fs.delete(p, false))
-          throw e
-      }
-      true
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        Lake.localClaims.remove(key)
-        if (scala.util.Try(fs.exists(p)).getOrElse(false)) false else throw e
-    }
-  }
+  def tryCompactionClaim(layer: String, name: String): Boolean =
+    tryClaimMarker(compactClaimPath(layer, name), "compaction")
 
   /** Release the compaction claim — also the operator escape hatch for a
     * claim a CRASHED compaction left behind (the same recovery posture as
     * the flow executor's stale ingestion claims). */
-  def releaseCompactionClaim(layer: String, name: String): Unit = {
-    val p = compactClaimPath(layer, name)
-    val fs = fsOf(p)
-    Lake.localClaims.remove(fs.makeQualified(p).toString)
-    fs.delete(p, false)
-    ()
-  }
+  def releaseCompactionClaim(layer: String, name: String): Unit =
+    releaseClaimMarker(compactClaimPath(layer, name))
 
   // ---------------------------------------------------------------------
   // Per-table LOAD claim (r19 verdict #1)
@@ -735,23 +706,29 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * compact's commit-time source-unchanged guard already aborts it loudly
     * if an append lands mid-stage), and compaction never blocks loads. */
   def tryLoadClaim(layer: String, name: String): Boolean =
-    tryClaimMarker(loadClaimPath(layer, name))
+    tryClaimMarker(loadClaimPath(layer, name), "load")
 
   /** Release the load claim — also the operator escape hatch for a marker a
     * crashed loader left behind (the refusal message names it). */
   def releaseLoadClaim(layer: String, name: String): Unit =
     releaseClaimMarker(loadClaimPath(layer, name))
 
-  /** One create-no-overwrite claim take at an explicit marker path —
-    * shared by the per-table load claim and the flow executor's
-    * per-source-table flow claim (whose marker cannot live in the stg
-    * table dir: truncate-and-load deletes that dir wholesale, and a
-    * deleted marker would silently hand the claim to a second process
-    * mid-hold). mkdirs(parent) because side-dir markers
-    * (metadata/.flow_claims) may precede their directory. */
-  private[graft] def tryClaimMarker(p: Path): Boolean = {
+  /** One create-no-overwrite claim take at an explicit marker path — THE
+    * single claim-protocol implementation (compaction claim, per-table
+    * load claim, and the flow executor's per-source flow claim, whose
+    * marker cannot live in the stg table dir: truncate-and-load deletes
+    * that dir wholesale, and a deleted marker would silently hand the
+    * claim to a second process mid-hold). `gateLabel` names the claim
+    * kind in capability-gate diagnostics so an operator investigating an
+    * S3 advisory warning looks at the right marker family. mkdirs(parent)
+    * because side-dir markers (metadata/.flow_claims, <layer>/.claims)
+    * may precede their directory — equivalent to fs.create's own implicit
+    * parent creation, made explicit. */
+  private[graft] def tryClaimMarker(p: Path, gateLabel: String): Boolean = {
     val fs = fsOf(p)
-    graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, "load")
+    graft.etl.FlowExecutor.gateClaimStore(fs, spark.conf, gateLabel)
+    // qualified key: the JVM registry must arbitrate across Lake instances
+    // whose roots spell this directory differently (see qualifiedKey)
     val key = fs.makeQualified(p).toString
     if (Lake.localClaims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
     try {
@@ -759,8 +736,8 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
       val out = fs.create(p, /* overwrite = */ false) // the atomic arbiter
       // a failure AFTER our create succeeded (close flushing on an object
       // store) must delete OUR half-claim before propagating, or the
-      // orphaned marker wedges every later load of this table behind the
-      // full wait (the FlowExecutor.tryClaim hygiene — r20 review finding)
+      // orphaned marker wedges every later claimant behind the full wait
+      // (the FlowExecutor.tryClaim hygiene — r20 review finding)
       try out.close()
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -793,10 +770,10 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     if (held.contains(key)) return body
     val waitMs = Confs.loadClaimWaitMillis(spark.conf)
     val deadline = System.currentTimeMillis() + waitMs
-    var claimed = tryClaimMarker(p)
+    var claimed = tryClaimMarker(p, "load")
     while (!claimed && System.currentTimeMillis() < deadline) {
       Thread.sleep(200L)
-      claimed = tryClaimMarker(p)
+      claimed = tryClaimMarker(p, "load")
     }
     if (!claimed)
       throw new DvException(DvError.Concurrency(
