@@ -82,44 +82,70 @@ object TextOps {
     }
   }
 
-  /** Train-and-freeze the merges table for a corpus (once per JVM+corpus —
-    * [[graft.core.FrozenArtifact.ensure]]): ONE map-side-combined
-    * word-frequency aggregation (the only corpus-wide shuffle; grams are
-    * (word, count) pairs, never documents) persisted vocab-sized to disk,
-    * a TakeOrdered top-`spark.graft.bpe.dictCap` dictionary (deterministic
-    * tiebreak on the word), classic BPE merge training driver-side over
-    * the capped dictionary — sentencepiece/HF train the same way: over
-    * word types weighted by count — then parquet (rank, left, right).
+  /** ONE definition of the train-input stages — shared with
+    * [[graft.tools.BpeTrainStress]], whose cost-decomposition bench must
+    * measure the pipeline production actually runs (r20 review): a
+    * map-side-combined word-frequency aggregation over `docsDs` (the only
+    * corpus-wide shuffle; grams are (word, count) pairs, never documents)
+    * DISK_ONLY-persisted vocab-sized — memory persistence of an unbounded
+    * vocab would evict under pressure and silently re-run the corpus
+    * scan — then the top-`dictCap` dictionary (deterministic word
+    * tiebreak) and the mass totals, each one vocab-sized job over the
+    * persisted aggregation. Returns (wordFreqs, totalMass, totalTypes,
+    * aggSeconds, totalsSeconds). */
+  private[graft] def wordFreqStats(
+      s: SparkSession, docsDs: org.apache.spark.sql.Dataset[String], dictCap: Int)
+    : (Seq[(String, Long)], Long, Long, Double, Double) = {
+    import s.implicits._
+    val t0 = System.nanoTime()
+    val grouped = docsDs
+      .flatMap(graft.functions.Bpe.preTokens(_))
+      .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val wordFreqs = grouped.orderBy(col("cnt").desc, col("word").asc).limit(dictCap)
+        .as[(String, Long)].collect().toSeq
+      val t1 = System.nanoTime()
+      val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
+      val t2 = System.nanoTime()
+      // sum over ZERO rows is SQL NULL, not 0 — an empty corpus (or one
+      // whose text yields no pre-tokens) must train an empty merges
+      // table, not NPE (r20 review finding)
+      val totalMass = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+      (wordFreqs, totalMass, totals.getLong(1), (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    } finally { grouped.unpersist(); () }
+  }
+
+  /** Train-and-freeze the merges table for a corpus
+    * ([[graft.core.FrozenArtifact.ensure]]): [[wordFreqStats]], classic
+    * BPE merge training driver-side over the capped dictionary —
+    * sentencepiece/HF train the same way: over word types weighted by
+    * count — then parquet (rank, left, right).
+    *
+    * CROSS-JVM reuse (r20 review): a COMPLETE artifact already on disk —
+    * parquet plus its `_train_stats.json`, which only a finished build
+    * writes — short-circuits the build, honoring the "permanent per
+    * (corpus, version)" contract across processes (verify then bench no
+    * longer each pay the corpus scan). `spark.graft.bpe.mergesVersion`
+    * is the explicit invalidation; pre-r20 artifacts lack the stats file
+    * and retrain once.
     *
     * The dictionary cap bounds DRIVER memory, which means the tail of the
     * type distribution is dropped from training — silent on a 100 TB
-    * corpus until r19 verdict #4a: the build now also computes the total
-    * occurrence mass and type count (a second, vocab-sized job over the
-    * PERSISTED aggregation — the corpus is scanned once either way) and
-    * records the dropped-mass fraction in `_train_stats.json` beside the
-    * parquet, echoed in the build log — token budgets carry an error bar. */
+    * corpus until r19 verdict #4a: the stats file records the
+    * dropped-mass fraction beside the parquet, echoed in the build log —
+    * token budgets carry an error bar. */
   private def ensureFrozenMerges(s: SparkSession, dir: String): String =
     graft.core.FrozenArtifact.ensure(frozenMergesPath(s, dir), "bpe merge train") { path =>
       import s.implicits._
-      val dictCap = graft.core.Confs.bpeDictCap(s.conf)
-      val numMerges = graft.core.Confs.bpeNumMerges(s.conf)
-      val grouped = docs(s, dir).select(col("text")).as[String]
-        .flatMap(graft.functions.Bpe.preTokens(_))
-        .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
-        // DISK_ONLY: the persisted unit is the AGGREGATION OUTPUT (vocab
-        // types, not documents), read twice (top-k + mass totals); memory
-        // persistence of an unbounded vocab would evict under pressure and
-        // silently re-run the corpus scan.
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      try {
-        val wordFreqs = grouped.orderBy(col("cnt").desc, col("word").asc).limit(dictCap)
-          .as[(String, Long)].collect().toSeq
-        val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
-        // sum over ZERO rows is SQL NULL, not 0 — an empty corpus (or one
-        // whose text yields no pre-tokens) must train an empty merges
-        // table, not NPE (r20 review finding)
-        val totalMass = if (totals.isNullAt(0)) 0L else totals.getLong(0)
-        val totalTypes = totals.getLong(1)
+      val statsPath = new org.apache.hadoop.fs.Path(path, BpeStatsFile)
+      val fs = statsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(statsPath)) ", reused frozen artifact"
+      else {
+        val dictCap = graft.core.Confs.bpeDictCap(s.conf)
+        val numMerges = graft.core.Confs.bpeNumMerges(s.conf)
+        val (wordFreqs, totalMass, totalTypes, _, _) =
+          wordFreqStats(s, docs(s, dir).select(col("text")).as[String], dictCap)
         val keptMass = wordFreqs.iterator.map(_._2).sum
         val droppedFrac =
           if (totalMass > 0L) 1.0 - keptMass.toDouble / totalMass.toDouble else 0.0
@@ -133,14 +159,14 @@ object TextOps {
             s""""num_merges":${merges.length},"dict_types":${wordFreqs.size},""" +
             s""""total_types":$totalTypes,"total_pretokens":$totalMass,""" +
             s""""kept_mass":$keptMass,"dropped_mass_frac":$droppedFrac}"""
-        val statsPath = new org.apache.hadoop.fs.Path(path, BpeStatsFile)
-        val fs = statsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // stats LAST: its presence is the completion marker the reuse
+        // check above trusts
         val out = fs.create(statsPath, /* overwrite = */ true)
         try out.write(statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         f", ${merges.length} merges, dict ${wordFreqs.size}/$totalTypes types, " +
           f"dropped-mass $droppedFrac%.4f"
-      } finally { grouped.unpersist(); () }
+      }
     }
 
   /** Real BPE token counts per document (SURVEY §2 #36a): greedy

@@ -47,21 +47,11 @@ object BpeTrainStress {
           conv(pmod(col("doc_id") * 97L, lit(999983L)).cast("string"), 10, 16)
         ).as("text")).as[String]
       val nDocs = docs.count()
-      val t0 = System.nanoTime()
-      val grouped = docs.flatMap(graft.functions.Bpe.preTokens(_))
-        .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val wordFreqs =
-        try {
-          val wf = grouped.orderBy(col("cnt").desc, col("word").asc).limit(dictCap)
-            .as[(String, Long)].collect().toSeq
-          val t1 = System.nanoTime()
-          val totals = grouped.agg(sum(col("cnt")), count(lit(1))).head()
-          val t2 = System.nanoTime()
-          (wf, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
-            if (totals.isNullAt(0)) 0L else totals.getLong(0), totals.getLong(1))
-        } finally { grouped.unpersist(); () }
-      val (wf, aggS, statsS, totalMass, totalTypes) = wordFreqs
+      // the PRODUCTION train-input stages, shared with ensureFrozenMerges
+      // (TextOps.wordFreqStats) — the decomposition must time the pipeline
+      // production actually runs, not a copy that can silently diverge
+      val (wf, totalMass, totalTypes, aggS, statsS) =
+        graft.queries.TextOps.wordFreqStats(spark, docs, dictCap)
       val t3 = System.nanoTime()
       val merges = graft.functions.Bpe.train(wf, numMerges)
       val trainS = (System.nanoTime() - t3) / 1e9
@@ -78,8 +68,12 @@ object BpeTrainStress {
     val combined = s"""{"metric":"bpe_train_stress","dict_cap":$dictCap,""" +
       s""""num_merges":$numMerges,"runs":[${results.mkString(",")}]}"""
     println(combined)
-    scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench/r20_bpe_sf10.json"), combined + "\n"))
+    // stdout above already carries the line; losing the repo sidecar must
+    // still be VISIBLE (cwd not the repo root, bench/ missing)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench/r20_bpe_sf10.json"), combined + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bpe-stress] sidecar write failed (run from the repo root): $e") }
     spark.stop()
   }
 }

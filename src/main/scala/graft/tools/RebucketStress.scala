@@ -32,6 +32,9 @@ object RebucketStress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val small = sys.env.getOrElse("SPARK_GRAFT_BUCKETS_SMALL", "16").toInt
     val big = sys.env.getOrElse("SPARK_GRAFT_BUCKETS_BIG", "128").toInt
+    // the one-bucket staged-batch premise (below) needs small | big: a key
+    // with hash mod big == 0 lands in ONE small-count bucket only then
+    check(big % small == 0, s"BUCKETS_SMALL=$small must divide BUCKETS_BIG=$big")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -124,6 +127,7 @@ object RebucketStress {
     val (filesBefore, filesAfter) = lake.rebucket("dv", "sat", big)
     val tRebucket = (System.nanoTime() - tRe0) / 1e9
     reader.join(600000)
+    check(!reader.isAlive, "concurrent reader still running after 10 min — hang, not a retention failure")
     check(readerErr == null, s"concurrent reader failed: $readerErr")
     check(readerCount == rowsAfterAbort,
       s"concurrent reader saw $readerCount rows, expected $rowsAfterAbort (retention must cover it)")
@@ -164,8 +168,10 @@ object RebucketStress {
         f""""expire_append_s":$tExpire%.1f,"typed_abort":true,"reader_ok":true,""" +
         s""""heap_mb":$heap,"sf_dir":"$sfDir"}"""
     println(line)
-    scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench/r20_rebucket_sf10.json"), line + "\n"))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench/r20_rebucket_sf10.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[rebucket-stress] sidecar write failed (run from the repo root): $e") }
     spark.stop()
   }
 }

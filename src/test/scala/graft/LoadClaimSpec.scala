@@ -111,13 +111,22 @@ class LoadClaimSpec extends SparkSpec {
       val fA = s"$root/a_$i.csv"; val fB = s"$root/b_$i.csv"
       writeCsv(fA, keys.map(k => s"$k,name_$k"))
       writeCsv(fB, keys.map(k => s"$k,name_$k"))
+      // capture the RESULTS, not just exceptions: executeFlow converts
+      // failures (incl. a claim-liveness regression surfacing as a typed
+      // Concurrency refusal after the bounded wait) into a failure
+      // FlowResult — discarding it would let the loser silently fail
+      // every round while the count assertion still passed (r20 review)
+      @volatile var rA: graft.etl.FlowResult = null
+      @volatile var rB: graft.etl.FlowResult = null
       var eA: Throwable = null; var eB: Throwable = null
       val ts = Some(Timestamp.valueOf("2026-01-01 00:00:00"))
-      val tA = new Thread(() => try { flowA.executeFlow("customer", "u", Some(fA), ts); () } catch { case t: Throwable => eA = t })
-      val tB = new Thread(() => try { flowB.executeFlow("customer", "u", Some(fB), ts); () } catch { case t: Throwable => eB = t })
+      val tA = new Thread(() => try rA = flowA.executeFlow("customer", "u", Some(fA), ts) catch { case t: Throwable => eA = t })
+      val tB = new Thread(() => try rB = flowB.executeFlow("customer", "u", Some(fB), ts) catch { case t: Throwable => eB = t })
       tA.start(); tB.start(); tA.join(120000); tB.join(120000)
       assert(eA == null, s"round $i A: $eA")
       assert(eB == null, s"round $i B: $eB")
+      assert(rA != null && rA.status == "success", s"round $i A: $rA")
+      assert(rB != null && rB.status == "success", s"round $i B: $rB")
     }
     val hub = lakeA.read("dv", "hub_customer")
     assert(hub.count() == 30L, "expected one hub row per distinct key")
@@ -177,10 +186,17 @@ class LoadClaimSpec extends SparkSpec {
     lake.appendIncrementBucketedUncounted(df, "dv", "hub_t", "hk")
     val (_, _) = lake.compact("dv", "hub_t") // table now generation-based
     assert(lake.tryLoadClaim("dv", "hub_t"))
+    // assert on the DISK marker, not tryLoadClaim: the in-JVM registry
+    // would make a second tryLoadClaim return false even if expire HAD
+    // deleted the marker (r20 review: the registry check made this vacuous)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/dv/.claims", s"hub_t${Lake.LoadClaim}")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "claim did not create its marker where the spec expects it")
     try {
       lake.expireSuperseded("dv", "hub_t")
-      // the load marker survived the root sweep: a second claim still loses
-      assert(!lake.tryLoadClaim("dv", "hub_t"), "expire deleted a live load-claim marker")
+      assert(fs.exists(marker), "expire deleted a live load-claim marker")
     } finally lake.releaseLoadClaim("dv", "hub_t")
+    assert(!fs.exists(marker), "release did not delete the marker")
   }
 }
