@@ -61,8 +61,15 @@ object Bench {
       w += 1
     }
     // Optional comma-separated query filter for focused local iteration
-    // (e.g. SPARK_GRAFT_BENCH_ONLY=dv_sat_delta,dv_pit_table).
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=dv_sat_delta,dv_pit_table). Unknown
+    // names FAIL FAST: a typo'd filter would otherwise produce a clean
+    // exit-0 zero-query run — a green bench over nothing (r20 review).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -104,7 +111,16 @@ object Bench {
       // A query with NO successful rep (first timed rep crashed) yields no
       // timing row at all — only the error entry.
       if (sorted.isEmpty) None
-      else Some(name -> (sorted(sorted.length / 2), sorted.head))
+      // true median: for EVEN rep counts average the two middles —
+      // sorted(n/2) alone is the upper-middle, so REPS=2 reported the
+      // WORSE timing as the "median" on a host that swings 2-3×
+      // (r20 review); odd counts (the default 3) are unchanged
+      else {
+        val mid =
+          if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+          else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+        Some(name -> (mid, sorted.head))
+      }
     }.flatten.toMap
     // 3-decimal (1 ms) timings: raw doubles pushed the one-line JSON past
     // the ~2 KB stdout tail the driver archives, decapitating the line and
@@ -144,9 +160,15 @@ object Bench {
       "/tmp/graft_bench_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
     // Non-fatal but VISIBLE: the sidecar exists to survive stdout
     // truncation, so losing it silently (unwritable /tmp, disk full) would
-    // defeat its purpose. stderr is not the truncated channel.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] sidecar write to $out failed: $e") }
+    // defeat its purpose. stderr is not the truncated channel. Track the
+    // success: the compact line's queries_file fallback must only point at
+    // this path when THIS run actually wrote it — a stale previous run's
+    // file at the keyed path would otherwise be read as this run's numbers
+    // (r20 review finding).
+    val outWritten =
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n"); true }
+      catch { case e: Exception =>
+        System.err.println(s"[bench] sidecar write to $out failed: $e"); false }
     // Second durable copy INSIDE the repo's bench/ dir: the driver archives
     // only a ~2 KB stdout tail, so the judge otherwise has to regex-parse a
     // truncated fragment for per-query numbers. Path is round-stamped (bump
@@ -168,8 +190,20 @@ object Bench {
       "bench/r20_driver_perquery.json")
     val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
+      // a PINNED path on a FAILED run: delete the pinned file so a
+      // consumer that parses it per run fails loudly instead of reading
+      // the PREVIOUS run's numbers as this one's (the `.failed` sidecar
+      // carries this run's errors) — r20 review finding
+      if (envPinned && errors.nonEmpty)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(perQueryBase))
       val p0 = java.nio.file.Paths.get(perQuery)
-      if (p0.getParent == null || java.nio.file.Files.isDirectory(p0.getParent)) {
+      if (p0.getParent != null && !java.nio.file.Files.isDirectory(p0.getParent))
+        // loud like every other sidecar-loss path: a wrong cwd must not
+        // silently cost the round its committed artifact
+        System.err.println(
+          s"[bench] per-query sidecar skipped: parent of $perQuery is not a directory " +
+            "(run from the repo root, or pin SPARK_GRAFT_BENCH_PERQUERY)")
+      else {
         val p =
           if (envPinned) p0
           else Iterator.single(p0)
@@ -216,7 +250,10 @@ object Bench {
     val compact =
       if (withMs.length <= 1970) withMs
       else if (withCs.length <= 1970) withCs
-      else compactBase + s""","queries_file":${jstr(out)}}"""
+      // pointer only when this run's write landed — else close the line
+      // without it (a stale file at the keyed path is worse than no map)
+      else if (outWritten) compactBase + s""","queries_file":${jstr(out)}}"""
+      else compactBase + "}"
     println(compact)
     System.out.flush()
     if (errors.nonEmpty) {

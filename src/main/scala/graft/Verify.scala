@@ -33,6 +33,14 @@ object Verify {
     // driver never sets it); oracle_sql.json is filtered to match so
     // tools/preverify.py only checks what was dumped.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').map(_.trim).toSet)
+    // Unknown names fail fast: a typo'd filter would dump zero results and
+    // oracle_sql.json={} — preverify then prints 0/0 passed, a green gate
+    // over zero checked queries (r20 review finding).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

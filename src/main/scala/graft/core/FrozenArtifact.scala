@@ -15,35 +15,73 @@ import org.apache.spark.sql.SparkSession
   * previously lived verbatim in both Ann and TextOps). */
 object FrozenArtifact {
 
-  /** Paths this JVM already built ([[ensure]] runs each path's build once). */
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Paths this JVM already built ([[ensure]] runs each path's build once);
+    * values are per-path build latches so the multi-second Spark build runs
+    * OUTSIDE the map's bin locks (executing arbitrary work inside
+    * computeIfAbsent violates the CHM mapping-function contract and would
+    * deadlock the moment one artifact's build ensures another —
+    * r20 review finding). */
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+
+  /** Corpus-dir → artifact key. The sanitized spelling alone can collide
+    * two distinct corpora ('/data/my corpus' vs '/data/my_corpus' — r20
+    * review finding), and a collision under the cross-JVM reuse contract
+    * would serve one corpus the OTHER's frozen artifact forever; a short
+    * digest of the RAW path makes keys injective while the sanitized
+    * prefix keeps them human-readable. */
+  private def keyOf(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+  }
 
   /** Corpus-keyed artifact location: per-run aux dir under Verify's
     * `graft.centroids.dir` property (dot-prefixed — see class doc), the
     * shared [[Scratch]] cache otherwise (cluster-portable via
     * `spark.graft.scratch.dir`), so bench reps retrain nothing. The
-    * property name is historical (centroids were the first artifact);
-    * it keys every frozen artifact. */
-  def path(s: SparkSession, prefix: String, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    * property name is historical (centroids were the first artifact).
+    * The per-run diversion exists for artifacts the ORACLE side reads
+    * (Verify's separate-process DuckDB compare replays the centroid
+    * assignment from the run's own files); artifacts with no oracle
+    * consumer should use [[sharedPath]]. */
+  def path(s: SparkSession, prefix: String, dir: String): String =
     sys.props.get("graft.centroids.dir") match {
-      case Some(base) => base.stripSuffix("/") + s"/.graft_aux/${prefix}_$key"
-      case None       => Scratch.stablePath(s, s"graft_${prefix}_$key")
+      case Some(base) => base.stripSuffix("/") + s"/.graft_aux/${prefix}_${keyOf(dir)}"
+      case None       => sharedPath(s, prefix, dir)
     }
-  }
+
+  /** The cross-JVM shared location, IGNORING the per-run diversion — for
+    * artifacts nothing outside the engine reads (BPE merges): a Verify
+    * run re-paying the whole corpus-scan train into a never-seen-again
+    * aux dir bought nothing (r20 review finding). */
+  def sharedPath(s: SparkSession, prefix: String, dir: String): String =
+    Scratch.stablePath(s, s"graft_${prefix}_${keyOf(dir)}")
 
   /** Build-once-per-(JVM, path): the first call runs `build(path)` — which
     * must land the artifact at `path` and may return a log-detail suffix
     * (e.g. ", 89 merges") — and logs the build seconds to stderr;
-    * subsequent calls reuse the frozen artifact. Returns `path`. */
+    * subsequent calls reuse the frozen artifact (waiting on the first
+    * call's latch if the build is still in flight). A FAILED build clears
+    * its latch entry so a later call can retry instead of reusing a
+    * half-built artifact. Returns `path`. */
   def ensure(path: String, what: String)(build: String => String): String = {
-    built.computeIfAbsent(path, _ => {
-      val t0 = System.nanoTime()
-      val detail = build(path)
-      System.err.println(
-        f"[graft] $what ${(System.nanoTime() - t0) / 1e9}%.2f s$detail -> $path")
-      java.lang.Boolean.TRUE
-    })
-    path
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val prior = built.putIfAbsent(path, latch)
+    if (prior != null) { prior.await(); path }
+    else {
+      var ok = false
+      try {
+        val t0 = System.nanoTime()
+        val detail = build(path)
+        System.err.println(
+          f"[graft] $what ${(System.nanoTime() - t0) / 1e9}%.2f s$detail -> $path")
+        ok = true
+        path
+      } finally {
+        if (!ok) built.remove(path, latch)
+        latch.countDown()
+      }
+    }
   }
 }

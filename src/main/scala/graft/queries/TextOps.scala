@@ -61,7 +61,10 @@ object TextOps {
   private[graft] def frozenMergesPath(s: SparkSession, dir: String): String = {
     val v = graft.core.Confs.bpeMergesVersion(s.conf)
     val prefix = if (v == 1L) "bpe_merges" else s"bpe_merges_v$v"
-    graft.core.FrozenArtifact.path(s, prefix, dir)
+    // sharedPath, NOT path: nothing outside the engine reads the merges
+    // (no oracle consumer), so the Verify per-run aux diversion would only
+    // re-pay the corpus-scan train into a dir nothing reuses (r20 review)
+    graft.core.FrozenArtifact.sharedPath(s, prefix, dir)
   }
 
   /** Name of the train-stats sidecar INSIDE the merges artifact dir —

@@ -32,24 +32,32 @@ class ScratchSpec extends SparkSpec {
     assert(a.startsWith(Scratch.root(spark) + "/graft_t_"))
   }
 
-  test("frozenCentroidsPath: default equals the historical /tmp cache path; scratch root honored") {
+  test("frozenCentroidsPath: injective corpus keying under the scratch root; per-run property wins") {
     val dir = "/root/testdata/sf0.001"
-    // default (no conf, no graft.centroids.dir property): the exact path
-    // pre-Scratch rounds used — bench reps across JVMs reuse the cache.
+    // r20: the key carries a short digest of the RAW dir — two corpora
+    // whose spellings sanitize identically ('/x/my corpus' vs
+    // '/x/my_corpus') must not share a frozen artifact (the cross-JVM
+    // reuse contract would serve one the other's merges forever)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = s"_root_testdata_sf0.001_$digest"
     assert(sys.props.get("graft.centroids.dir").isEmpty)
     assert(Ann.frozenCentroidsPath(spark, dir)
-      == sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_knn_centroids__root_testdata_sf0.001")
+      == sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_knn_centroids_$key")
     withRoot("/shared/scratch") {
       assert(Ann.frozenCentroidsPath(spark, dir)
-        == "/shared/scratch/graft_knn_centroids__root_testdata_sf0.001")
+        == s"/shared/scratch/graft_knn_centroids_$key")
     }
+    // sanitization-colliding spellings get DISTINCT keys
+    assert(graft.core.FrozenArtifact.sharedPath(spark, "p", "/x/my corpus")
+      != graft.core.FrozenArtifact.sharedPath(spark, "p", "/x/my_corpus"))
     // the Verify per-run property still wins over the scratch root (the
     // pending-DuckDB-compare isolation contract)
     try {
       System.setProperty("graft.centroids.dir", "/verify/run1")
       withRoot("/shared/scratch") {
         assert(Ann.frozenCentroidsPath(spark, dir)
-          == "/verify/run1/.graft_aux/knn_centroids__root_testdata_sf0.001")
+          == s"/verify/run1/.graft_aux/knn_centroids_$key")
       }
     } finally System.clearProperty("graft.centroids.dir")
   }
