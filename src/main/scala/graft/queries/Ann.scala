@@ -145,6 +145,16 @@ object Ann {
         var ci = 0
         while (ci < cs.length) {
           val cv = cs(ci)._2
+          // LOUD on dimension drift (a stale frozen-centroid parquet after
+          // the corpus was regenerated at a new dim): a silent prefix
+          // cosine would assign wrong buckets while the DuckDB twin errors
+          // on mismatched list lengths — the silent-vs-loud divergence
+          // class this repo refuses everywhere (r20 review finding)
+          if (vd.length != cv.length)
+            throw new IllegalStateException(
+              s"vector dim ${vd.length} != centroid dim ${cv.length} — stale frozen " +
+                "centroids for a regenerated corpus? Remove the frozen artifact " +
+                "(FrozenArtifact path under the scratch root) to retrain.")
           val n = math.min(vd.length, cv.length)
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < n) {
@@ -411,18 +421,25 @@ object Ann {
       it.map { case (_, vd) =>
         // normalized-vector spherical objective, matching AnnSpec's gate
         val vn = math.sqrt(vd.map(e => e * e).sum)
-        var best = Double.NegativeInfinity
-        var ci = 0
-        while (ci < cs.length) {
-          val cv = cs(ci)
-          val n = math.min(vd.length, cv.length)
-          var dot = 0.0; var nb = 0.0; var i = 0
-          while (i < n) { dot += vd(i) * cv(i); nb += cv(i) * cv(i); i += 1 }
-          val sim = dot / (vn * math.sqrt(nb))
-          if (sim > best) best = sim
-          ci += 1
+        // zero-norm vector: cosine is undefined (every sim NaN, `> best`
+        // never fires, the row would contribute 1 − (−∞) = +Inf and poison
+        // the ratio — r20 review). Contribute 0 instead: applied to trained
+        // and seed identically, the ratio stays meaningful.
+        if (vn == 0.0) 0.0
+        else {
+          var best = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)
+            val n = math.min(vd.length, cv.length)
+            var dot = 0.0; var nb = 0.0; var i = 0
+            while (i < n) { dot += vd(i) * cv(i); nb += cv(i) * cv(i); i += 1 }
+            val sim = dot / (vn * math.sqrt(nb))
+            if (sim > best) best = sim
+            ci += 1
+          }
+          1.0 - best
         }
-        1.0 - best
       }
     }.toDF("d").agg(sum(col("d"))).head().getDouble(0)
   }
@@ -438,15 +455,20 @@ object Ann {
     import s.implicits._
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
       .as[(Long, Long)].collect().toSet
-    val approx = knnIvfKmeans(s, dir).select(col("query_id"), col("neighbor_id"))
-      .as[(Long, Long)].collect().toSet
-    val recall = (brute & approx).size.toDouble / math.max(1, brute.size)
+    // train ONCE and share between the recall search and the inertia
+    // numerator — the fit is deterministic, so this is knnIvfKmeans's
+    // exact search over the same centroids without paying the 10 Lloyd
+    // rounds twice per bench round (r20 review finding)
     val v = vecs(s, dir)
     val k = nlistOf(v.count())
+    val trained = trainCentroidsK(s, v, iters = 10, k)
+    val approx = ivfSearch(v, trained, nprobeOf(k), replicate = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / math.max(1, brute.size)
     val seed = graft.functions.KMeans.toDf(
         s, graft.functions.KMeans.fit(v, "vec_id", "vd", k, iters = 0))
       .select(col("cent_id"), col("cv"))
-    val trained = trainCentroids(s, v, iters = 10)
     (recall, inertia(v, trained) / inertia(v, seed))
   }
 

@@ -262,15 +262,26 @@ object Dedup {
     * correctness argument (within-group pairs at Jaccard 1.0 / hamming 0,
     * cross pairs inheriting their reps' value) says exactly that — so the
     * branch may be chosen on cost alone. */
-  private[graft] def collapseWorthwhile(dn: DataFrame, key: String): Boolean =
-    dupMassMemo.computeIfAbsent(key, _ => {
+  private[graft] def collapseWorthwhile(dn: DataFrame, key: String): Boolean = {
+    // the decision aggregate runs OUTSIDE the map's bin lock (the
+    // FrozenArtifact r20 lesson: a multi-second Spark job inside
+    // computeIfAbsent's mapping function serializes unrelated same-bin
+    // keys and deadlocks if the build ever re-enters the map); a rare
+    // double-compute under a race is cheaper than a bin lock held for a
+    // corpus scan
+    val hit = dupMassMemo.get(key)
+    if (hit != null) hit.booleanValue
+    else {
       val row = dn.select(md5(col("norm")).as("grp"))
         .groupBy(col("grp")).agg(count(lit(1)).as("g"))
         .agg(coalesce(sum(col("g") * (col("g") - lit(1))), lit(0L)),
           coalesce(sum(col("g")), lit(0L)))
         .head()
-      java.lang.Boolean.valueOf(row.getLong(0) > row.getLong(1))
-    }).booleanValue
+      val v = java.lang.Boolean.valueOf(row.getLong(0) > row.getLong(1))
+      dupMassMemo.putIfAbsent(key, v)
+      v.booleanValue
+    }
+  }
 
   /** The collapsed minhash pipeline's pieces, shared by [[dedupMinhash]]
     * (which expands pairs) and [[dedupClusters]] (which runs connected
@@ -576,19 +587,29 @@ object Dedup {
     * accumulate persisted lineage. */
   private def ccLand(s: SparkSession, edges0: DataFrame)(expand: DataFrame => DataFrame): DataFrame = {
     val edges = edges0.persist()
-    val cc = connectedComponents(edges)
-    // streamTempDir, not tempDir: same conf-root resolution on a cluster
-    // (spark.graft.scratch.dir), but RAM-backed by default on this host —
-    // the landing is ephemeral (JVM-exit reaped) and its write+read-back
-    // was ~0.3-0.5 s of disk I/O per run on /tmp.
-    val out = graft.core.Scratch.streamTempDir(s, "graft_cc_")
-    // cc is the persisted 3-column round handle; the landing write reads
-    // its cache through the projection (sameResult substitution applies to
-    // the matching subplan) — no extra persist+materialize round.
-    expand(cc.select("node", "label")).write.mode("overwrite").parquet(out)
-    cc.unpersist()
-    edges.unpersist()
-    s.read.parquet(out)
+    // try/finally over BOTH handles: a failed landing write (scratch-root
+    // exhaustion) or a non-converging loopCc throw would otherwise leave
+    // the edge cache + round handle persisted for the rest of the JVM —
+    // the bench keeps running reps after an errored one, so orphan caches
+    // accumulate and skew everything later (r20 review finding).
+    var cc: DataFrame = null
+    try {
+      cc = connectedComponents(edges)
+      // streamTempDir, not tempDir: same conf-root resolution on a cluster
+      // (spark.graft.scratch.dir), but RAM-backed by default on this host —
+      // the landing is ephemeral (JVM-exit reaped) and its write+read-back
+      // was ~0.3-0.5 s of disk I/O per run on /tmp.
+      val out = graft.core.Scratch.streamTempDir(s, "graft_cc_")
+      // cc is the persisted 3-column round handle; the landing write reads
+      // its cache through the projection (sameResult substitution applies to
+      // the matching subplan) — no extra persist+materialize round.
+      expand(cc.select("node", "label")).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    } finally {
+      if (cc != null) { cc.unpersist(); () }
+      edges.unpersist()
+      ()
+    }
   }
 
   /** The collapsed (dup-heavy) clusters pipeline: connected components
@@ -759,8 +780,13 @@ object Dedup {
       labels = updated.drop("__chg")
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      // release the final round's handle before throwing — the bench keeps
+      // running after an errored rep, and an orphaned persist would stay
+      // for the JVM's life (r20 review finding)
+      cached.unpersist()
       throw new IllegalStateException(s"cluster propagation did not converge in $MaxCcRounds rounds")
+    }
     cached
   }
 

@@ -524,7 +524,13 @@ object DvQueries {
   private def streamReplay[A](s: SparkSession)(body: => A): A = {
     val kvs = Seq(
       "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      // events replays need NANOS-typed driver parquet readable as long
+      // (Tables.normalizeTs handles both encodings); set + RESTORED here
+      // rather than inside each query body, where it silently leaked into
+      // the session past the replay scope this helper exists to contain
+      // (r20 review finding) — micros-typed DV replays are unaffected
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
     val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
     kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally prev.foreach {
@@ -713,6 +719,19 @@ object DvQueries {
       fs.setTimes(dst, base + g * 60000L, -1)
       fs.delete(tmp, true)
     }
+    // FileStreamSource orders by modification time, and generation order IS
+    // the replay's semantics (run_id = batchId) — but FileSystem.setTimes
+    // is a silent no-op on object stores (S3A inherits the do-nothing
+    // default), where upload timestamps can tie at second granularity.
+    // Verify the stamps actually landed strictly increasing; fail loudly
+    // rather than deliver generations out of order (r20 review finding).
+    val stamped = (0 until gens.length).map(g =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(srcDir, f"gen_$g%03d.parquet"))
+        .getModificationTime)
+    require(stamped.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"staged-generation mtimes not strictly increasing ($stamped) — this scratch " +
+        "filesystem ignores setTimes (object store?); the multi-batch replay needs a " +
+        "local/HDFS spark.graft.scratch.dir for deterministic micro-batch order")
     val staged = s.readStream.schema(gens.head.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
@@ -824,7 +843,6 @@ object DvQueries {
     * streaming-supported aggregate — the batch `events_hourly` row carries
     * that column. */
   def streamEventsHourly(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val events = Tables.normalizeTs(staged)
     val out = s"$root/out"
@@ -872,7 +890,6 @@ object DvQueries {
     * once (bucket(p) ∈ {bucket(v), bucket(v)+1} and the two keys differ);
     * probes collapse to per-(user, bucket) cardinalities. */
   def streamEventsJoin(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val ev = Tables.normalizeTs(staged)
     val bucketSecs = 600L // == the 10-minute join window
@@ -923,7 +940,6 @@ object DvQueries {
     * `dropDuplicatesWithinWatermark` so state stays inside the watermark
     * horizon. Equal to batch SELECT DISTINCT. */
   def streamEventsDedup(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val out = s"$root/out"
     val q = staged
@@ -962,7 +978,6 @@ object DvQueries {
     * DISTINCT — event_id is unique in the corpus, making the whole row
     * set hash-comparable. */
   def streamEventsDedupWm(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables.loadEvents(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val gens = Seq(
@@ -1011,7 +1026,6 @@ object DvQueries {
     * by construction. Emitted rows are therefore exactly the batch
     * sessionization, with no reliance on timeout batches at all. */
   def streamEventsSessions(s: SparkSession, dir: String): DataFrame = streamReplay(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (_, staged, root) = stagedStream(s, dir, "events")
     val srcDir = s"$root/src"
     val gapUs = 1800L * 1000000L
