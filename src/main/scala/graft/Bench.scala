@@ -187,7 +187,7 @@ object Bench {
     // (r20 review finding).
     val envPinned = sys.env.contains("SPARK_GRAFT_BENCH_PERQUERY")
     val perQueryBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r20_driver_perquery.json")
+      "bench/r21_driver_perquery.json")
     val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
       // a PINNED path on a FAILED run: delete the pinned file so a

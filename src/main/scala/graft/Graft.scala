@@ -164,7 +164,8 @@ final class Graft(
     // shadow this one (the catalog holds one `stg.<name>` per session).
     if (layer == "stg") {
       spark.sql(s"DROP TABLE IF EXISTS $layer.$name")
-      spark.sql(s"CREATE TABLE $layer.$name USING PARQUET LOCATION '${lake.tablePath(layer, name)}'")
+      spark.sql(s"CREATE TABLE $layer.$name USING PARQUET " +
+        s"LOCATION '${Graft.sqlLit(lake.tablePath(layer, name))}'")
     }
     made
   }
@@ -311,7 +312,7 @@ final class Graft(
           spark.sql(s"DROP TABLE IF EXISTS dv.`$backing`")
           spark.sql(
             s"CREATE TABLE dv.`$backing` ($ddlCols) USING PARQUET " +
-              s"LOCATION '$location'")
+              s"LOCATION '${Graft.sqlLit(location)}'")
           val cols = schema.fieldNames.map(f => s"`$f`").mkString(", ")
           spark.sql(s"CREATE OR REPLACE VIEW dv.`$name` AS SELECT $cols FROM dv.`$backing`")
           ()
@@ -337,6 +338,16 @@ final class Graft(
         val structCols = (ord ++ payload.filterNot(ord.contains)).map(f => s"`$f`").mkString(", ")
         val outer = schema.fieldNames
           .map(f => if (f == hk) s"`$hk`" else s"__r.`$f` AS `$f`").mkString(", ")
+        // The view text stays portable max(struct(...)) — a PERSISTENT view
+        // cannot reference the injected graft_latest function (temporary-
+        // object check in CREATE VIEW). The plan shape is fixed by the
+        // RewriteMaxStruct optimizer rule instead (GraftExtensions): in any
+        // engine session the aggregate rewrites to the hash-based
+        // graft_latest ObjectHashAggregate — no full-history SortAggregate
+        // (the r20 plan defect: sorts both sides of the exchange, measured
+        // r10 33 s + 15.9 GB spill vs 14 s at sf10). Same row picked
+        // (identical struct ordering, pinned by AggSpec), so results are
+        // bit-identical; PlanSpec pins the physical shape.
         spark.sql(
           s"CREATE OR REPLACE VIEW bv.`${satTable}_cv` AS SELECT $outer FROM " +
             s"(SELECT `$hk`, max(struct($structCols)) AS __r FROM dv.`$satTable` GROUP BY `$hk`) __t")
@@ -490,6 +501,10 @@ object Graft {
   /** Catalog name of the hidden imposed-schema backing table behind the
     * `dv.<name>` view ([[Graft.registerDvTable]]). */
   private[graft] def dvBackingName(name: String): String = s"__${name}__data"
+
+  /** Escape a string for embedding in a single-quoted SQL literal — a lake
+    * root containing a quote must not break catalog DDL (ADVICE r20). */
+  private[graft] def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Reload metadata from CSV into a new facade over the SAME lake
     * (reference overwrite_metadata_from_files — metadata evolves without

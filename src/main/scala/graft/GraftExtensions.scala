@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Plain-SQL DV hash sites get the fused native expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDvHash)
+    // Plain-SQL max(struct(...)) group aggregates (the bv.<sat>_cv catalog
+    // views, reference users' latest-row SQL) get the hash-based typed
+    // aggregate instead of Spark 4's full-sort SortAggregate demotion.
+    ext.injectOptimizerRule(_ => graft.plans.RewriteMaxStruct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -37,6 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 1)
           throw new IllegalArgumentException(s"graft_norm requires exactly 1 argument, got ${children.size}")
         NormalizeText(children.head)
+      }))
+    // graft_latest(struct): max over an orderable struct as a typed
+    // imperative aggregate — plans as ObjectHashAggregate where Spark 4
+    // demotes declarative max(struct(...)) to a full-input SortAggregate.
+    // For ad-hoc SQL / temp views. NOTE: persistent views cannot reference
+    // it (injected functions count as temporary objects under
+    // verifyTemporaryObjectsNotExists) — the bv.<sat>_cv catalog views keep
+    // max(struct(...)) text and rely on RewriteMaxStruct above instead.
+    ext.injectFunction((
+      FunctionIdentifier("graft_latest"),
+      new ExpressionInfo(classOf[graft.functions.MaxStruct].getName, "graft_latest"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1)
+          throw new IllegalArgumentException(
+            s"graft_latest requires exactly 1 struct argument, got ${children.size}")
+        graft.functions.MaxStruct(children.head)
       }))
     // graft_topk(v, k): bounded top-k aggregate; k must be constant at
     // analysis time — any foldable integral expression (3, 3L, 1+2, …).

@@ -16,13 +16,21 @@ import org.apache.spark.sql.SparkSession
 object FrozenArtifact {
 
   /** Paths this JVM already built ([[ensure]] runs each path's build once);
-    * values are per-path build latches so the multi-second Spark build runs
+    * values are per-path build records so the multi-second Spark build runs
     * OUTSIDE the map's bin locks (executing arbitrary work inside
     * computeIfAbsent violates the CHM mapping-function contract and would
     * deadlock the moment one artifact's build ensures another —
-    * r20 review finding). */
+    * r20 review finding). The record carries the build OUTCOME, not just
+    * completion: a waiter released by a FAILED build must not return
+    * `path` as if the artifact existed (it would read a missing or
+    * half-written artifact with the original error lost) — it loops back
+    * into the map and becomes the retrying builder itself. */
+  private final class Build {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var failed: Boolean = false
+  }
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+    new java.util.concurrent.ConcurrentHashMap[String, Build]()
 
   /** Corpus-dir → artifact key. The sanitized spelling alone can collide
     * two distinct corpora ('/data/my corpus' vs '/data/my_corpus' — r20
@@ -64,12 +72,20 @@ object FrozenArtifact {
     * subsequent calls reuse the frozen artifact (waiting on the first
     * call's latch if the build is still in flight). A FAILED build clears
     * its latch entry so a later call can retry instead of reusing a
-    * half-built artifact. Returns `path`. */
+    * half-built artifact; waiters released by that failure retry the
+    * build themselves instead of returning a path that was never landed.
+    * Returns `path`. */
+  @scala.annotation.tailrec
   def ensure(path: String, what: String)(build: String => String): String = {
-    val latch = new java.util.concurrent.CountDownLatch(1)
-    val prior = built.putIfAbsent(path, latch)
-    if (prior != null) { prior.await(); path }
-    else {
+    val mine = new Build
+    val prior = built.putIfAbsent(path, mine)
+    if (prior != null) {
+      prior.latch.await()
+      // the failing builder removes its entry BEFORE countDown, so the
+      // recursive attempt never re-waits on the same failed record
+      if (!prior.failed) path
+      else ensure(path, what)(build)
+    } else {
       var ok = false
       try {
         val t0 = System.nanoTime()
@@ -79,8 +95,8 @@ object FrozenArtifact {
         ok = true
         path
       } finally {
-        if (!ok) built.remove(path, latch)
-        latch.countDown()
+        if (!ok) { mine.failed = true; built.remove(path, mine) }
+        mine.latch.countDown()
       }
     }
   }

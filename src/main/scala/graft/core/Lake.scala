@@ -764,16 +764,16 @@ final class Lake(val spark: SparkSession, val root: String, buckets: Int = Lake.
     * refusal naming the marker), per-thread reentrancy, `onAcquire` run
     * under the claim before `body` (cache refresh hooks). */
   private[graft] def withClaimedMarker[A](
-      p: Path, what: String)(onAcquire: => Unit)(body: => A): A = {
+      p: Path, what: String, gateLabel: String = "load")(onAcquire: => Unit)(body: => A): A = {
     val key = fsOf(p).makeQualified(p).toString
     val held = Lake.heldLoadClaims.get()
     if (held.contains(key)) return body
     val waitMs = Confs.loadClaimWaitMillis(spark.conf)
     val deadline = System.currentTimeMillis() + waitMs
-    var claimed = tryClaimMarker(p, "load")
+    var claimed = tryClaimMarker(p, gateLabel)
     while (!claimed && System.currentTimeMillis() < deadline) {
       Thread.sleep(200L)
-      claimed = tryClaimMarker(p, "load")
+      claimed = tryClaimMarker(p, gateLabel)
     }
     if (!claimed)
       throw new DvException(DvError.Concurrency(

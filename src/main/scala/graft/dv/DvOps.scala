@@ -62,7 +62,7 @@ object DvOps {
     * aggregation (ObjectHashAggregate) instead of the SortAggregate Spark
     * plans for declarative max over a struct buffer. Ordering identical to
     * `max(struct(...))`. */
-  private def maxStruct(c: Column): Column =
+  private[graft] def maxStruct(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.MaxStruct(
         org.apache.spark.sql.GraftColumnBridge.expression(c)).toAggregateExpression())

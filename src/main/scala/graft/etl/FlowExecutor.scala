@@ -285,7 +285,7 @@ final class FlowExecutor(
         if (isStgTable)
           lake.withClaimedMarker(
             new Path(lake.tablePath("metadata", ".flow_claims"), s"__flow__$sourceTable"),
-            s"executeFlow($sourceTable)") { () } { stageAndLoad() }
+            s"executeFlow($sourceTable)", gateLabel = "flow") { () } { stageAndLoad() }
         else stageAndLoad()
       logRun(sourceTable, runId, filePath, "success",
         loaded.map { case (k, v) => s"$k:$v" }.mkString(", "))

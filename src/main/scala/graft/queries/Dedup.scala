@@ -130,9 +130,22 @@ object Dedup {
     // trade; the joins, not the shingling, dominate.
     val grouped = docNorms(s, dir).withColumn("grp", md5(col("norm")))
     val members = grouped.select(col("doc_id"), col("grp"))
+    // graft_latest(struct(norm)) instead of first(norm): all norms in a
+    // group are identical (grp = md5(norm)), so ANY per-group norm works —
+    // but first() carries a string aggregation buffer, which Spark 4
+    // demotes to SortAggregate, SORTING the whole corpus by the md5 key on
+    // both sides of the exchange (r21 plan audit: 20 SortAggregate + 20
+    // Sort nodes in this query's physical plan, re-planned per consumer
+    // branch — the hot shape the engine eliminates everywhere else). The
+    // typed struct-max keeps the collapse on
+    // ObjectHashAggregate: hash-map partials, no sort. Result-identical
+    // (same norm either way), and strictly more deterministic under a
+    // (cosmic-ray) md5 collision.
     val reps = grouped.groupBy(col("grp"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
+      .agg(min(col("doc_id")).as("doc_id"),
+        graft.dv.DvOps.maxStruct(struct(col("norm"))).as("__n"),
         count(lit(1)).as("gsz"))
+      .select(col("grp"), col("doc_id"), col("__n.norm").as("norm"), col("gsz"))
     // repartition: same parallelism restoration as dedupMinhash — AQE
     // coalesces the groupBy exchange by data size, serializing the
     // CPU-bound shingle map that five operators re-execute.
@@ -411,8 +424,13 @@ object Dedup {
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gsz"))
           .join(dn, "doc_id")
       else grouped.groupBy(col("grp"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("norm")).as("norm"),
+        // typed struct-max, not first(norm): the string buffer demotes the
+        // whole collapse to SortAggregate (see dedupNgramJaccard's reps) —
+        // same norm picked (group members have identical norms)
+        .agg(min(col("doc_id")).as("doc_id"),
+          graft.dv.DvOps.maxStruct(struct(col("norm"))).as("__n"),
           count(lit(1)).as("gsz"))
+        .select(col("grp"), col("doc_id"), col("__n.norm").as("norm"), col("gsz"))
     // Shingles + 16 signatures + 4 band keys in ONE typed pass per rep (the
     // Column/HOF formulation runs interpreted and re-evaluates per operator
     // — 139s at sf0.1; this path is ~2s). md5 semantics identical.

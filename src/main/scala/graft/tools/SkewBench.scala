@@ -29,6 +29,12 @@ object SkewBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the engine's standing session tuning (Sessions.localBuilder): the
+      // bv-view SQL rows below resolve graft_latest through the extension,
+      // and the typed aggregate needs the raised ObjectHashAggregate
+      // fallback threshold to measure the shape production sessions run
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // See Bench: route >64-bucket exchanges through the sort writer
       // (bypass applies when numPartitions <= threshold).
       .config("spark.shuffle.sort.bypassMergeThreshold", "64")
@@ -220,6 +226,39 @@ object SkewBench {
       }
     )
     println(s"""{"bench":"skew_vault","hot_frac":0.1,${vaultRows.mkString(",")},"sf":"$sfDir"}""")
+
+    // ------------------------------------------- bv.<sat>_cv SQL surface (r21)
+    // The qualified catalog view is PLAIN SQL text (Graft.registerBvCurrentView)
+    // — these rows prove the view text plans and performs like the engine
+    // path (DvOps.currentRows) on a hostile key distribution, and show what
+    // the r20 max(struct(...)) text cost: Spark 4 demotes declarative max
+    // over a struct buffer to SortAggregate, sorting the full history on
+    // both sides of the exchange.
+    sat.createOrReplaceTempView("skew_sat")
+    val bvCols = "`load_dts`, `run_id`, `hash_diff`, `l_partkey`, `l_suppkey`, `l_quantity`"
+    def bvViewSql(aggFn: String): String =
+      s"SELECT `__nk`, __r.`load_dts`, __r.`run_id`, __r.`hash_diff`, __r.`l_partkey`, " +
+        s"__r.`l_suppkey`, __r.`l_quantity` FROM " +
+        s"(SELECT `__nk`, $aggFn(struct($bvCols)) AS __r FROM skew_sat GROUP BY `__nk`) __t"
+    val bvRows = Seq(
+      // the production view shape: max(struct) TEXT + RewriteMaxStruct rule
+      // → graft_latest ObjectHashAggregate, partial collapse per map task
+      // before the exchange (skew-immune like sat_current_partial above)
+      runSkew("bv_cv_sql_max_struct_rewritten") { spark.sql(bvViewSql("max")) },
+      // the explicit function spelling (ad-hoc SQL surface) — same plan
+      runSkew("bv_cv_sql_graft_latest") { spark.sql(bvViewSql("graft_latest")) },
+      // the r20 shape: rule gated off, declarative max(struct) →
+      // SortAggregate sorting the full history on both exchange sides.
+      // Conf toggled AROUND the timed run (the rule reads it at
+      // optimization time, which happens inside the write action).
+      {
+        spark.conf.set("spark.graft.rewriteMaxStruct", "false")
+        val r = runSkew("bv_cv_sql_max_struct_unrewritten") { spark.sql(bvViewSql("max")) }
+        spark.conf.set("spark.graft.rewriteMaxStruct", "true")
+        r
+      }
+    )
+    println(s"""{"bench":"skew_bv_cv","hot_frac":0.1,${bvRows.mkString(",")},"sf":"$sfDir"}""")
 
     // --------------------------------------- hub/link/PIT-table skew (r16)
     // The shapes the r15 verdict left unproven. Hub/link loads are CLAIMED

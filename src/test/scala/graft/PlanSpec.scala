@@ -413,4 +413,68 @@ class PlanSpec extends SparkSpec {
     assert(count[ObjectHashAggregateExec](q) >= 1, plan(q))
     assert(count[SortAggregateExec](q) == 0, plan(q))
   }
+
+  test("bv.<sat>_cv catalog view: latest-row via graft_latest hash aggregate — no sort") {
+    // The QUALIFIED catalog surface (plain-SQL view text, reference users'
+    // `bv.<sat>_cv` habit) must plan the same ObjectHashAggregate shape as
+    // the engine path — the r20 view text used declarative max(struct(...)),
+    // which Spark 4 demotes to a SortAggregate that sorts the full satellite
+    // history on both sides of the exchange (the measured r10 33 s/15.9 GB
+    // spill shape at sf10).
+    import graft.meta.{MetaStore, TableColumn, Transition}
+    val meta = MetaStore(
+      tables = Seq(
+        TableColumn("planbv_customer", "stg", "c_custkey", "BIGINT", 1, "c"),
+        TableColumn("planbv_customer", "stg", "c_name", "VARCHAR", 2, "c"),
+        TableColumn("planbv_customer", "hub", "c_custkey", "BIGINT", 1, "bk"),
+        TableColumn("planbv_customer", "hsat", "planbv_customer", "", 0, "hk"),
+        TableColumn("planbv_customer", "hsat", "c_name", "VARCHAR", 1, "f")),
+      transitions = Seq(
+        Transition("planbv_customer", "c_custkey", "hub_planbv_customer", "c_custkey_bk", "planbv_customer", 1, raw = false, None, "bk"),
+        Transition("planbv_customer", "c_name", "hsat_planbv_customer", "c_name", "planbv_customer_details", 1, raw = false, None, "f"),
+        Transition("planbv_customer", "planbv_customer_hk", "hsat_planbv_customer", "planbv_customer", "planbv_customer_details", 0, raw = false, None, "sat_delta")))
+    val root = tmpDir("graft_planbv")
+    val g = new Graft(spark, s"$root/lake", meta, None, graft.dv.HashGen.Md5)
+    g.initVault()
+    val f = s"$root/c.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      "c_custkey,c_name\n1,ann\n2,bob\n3,alice")
+    val r = g.executeFlow("planbv_customer", "planbv", Some(f),
+      Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    assert(r.status == "success", r.errors.mkString("; "))
+    val q = spark.sql("SELECT * FROM bv.hsat_planbv_customer_cv")
+    assert(plan(q).contains("graft_latest"), plan(q))
+    assert(count[ObjectHashAggregateExec](q) >= 1, plan(q))
+    assert(count[SortAggregateExec](q) == 0, plan(q))
+    assert(count[SortExec](q) == 0, plan(q))
+    assert(count[WindowExec](q) == 0, plan(q))
+    // and the view still computes the right rows (one live version per key)
+    assert(q.count() == 3)
+  }
+
+  test("RewriteMaxStruct: plain-SQL max(struct) rewrites to graft_latest; gate restores Max") {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "v", "p").createOrReplaceTempView("rms_t")
+    val sql = "SELECT k, max(struct(v, p)) AS r FROM rms_t GROUP BY k"
+    val fast = spark.sql(sql)
+    assert(plan(fast).contains("graft_latest"), plan(fast))
+    assert(count[ObjectHashAggregateExec](fast) >= 1, plan(fast))
+    assert(count[SortAggregateExec](fast) == 0, plan(fast))
+    val (slowPlan, slowRows) =
+      try {
+        spark.conf.set("spark.graft.rewriteMaxStruct", "false")
+        val slow = spark.sql(sql)
+        (plan(slow), slow.collect().map(_.toString).sorted.toSeq)
+      } finally spark.conf.set("spark.graft.rewriteMaxStruct", "true")
+    assert(!slowPlan.contains("graft_latest"), slowPlan)
+    // identical rows either way — the rewrite must be invisible in results
+    assert(fast.collect().map(_.toString).sorted.toSeq == slowRows)
+    assert(slowRows == Seq("[1,[20,b]]", "[2,[5,c]]"))
+    // DISTINCT and window max(struct) stay declarative (out of rule scope)
+    val win = spark.sql(
+      "SELECT k, max(struct(v, p)) OVER (PARTITION BY k) AS r FROM rms_t")
+    assert(!plan(win).contains("graft_latest"), plan(win))
+    assert(win.count() == 3)
+  }
 }
