@@ -338,16 +338,22 @@ final class Graft(
         val structCols = (ord ++ payload.filterNot(ord.contains)).map(f => s"`$f`").mkString(", ")
         val outer = schema.fieldNames
           .map(f => if (f == hk) s"`$hk`" else s"__r.`$f` AS `$f`").mkString(", ")
-        // The view text stays portable max(struct(...)) — a PERSISTENT view
-        // cannot reference the injected graft_latest function (temporary-
-        // object check in CREATE VIEW). The plan shape is fixed by the
-        // RewriteMaxStruct optimizer rule instead (GraftExtensions): in any
-        // engine session the aggregate rewrites to the hash-based
-        // graft_latest ObjectHashAggregate — no full-history SortAggregate
-        // (the r20 plan defect: sorts both sides of the exchange, measured
-        // r10 33 s + 15.9 GB spill vs 14 s at sf10). Same row picked
-        // (identical struct ordering, pinned by AggSpec), so results are
-        // bit-identical; PlanSpec pins the physical shape.
+        // max(struct(...)) is the MEASURED-BEST latest-row shape for this
+        // surface, not a compromise (r21 adjudication, bench/r21_bvprof_*
+        // .log + SkewBench skew_bv_cv): Spark plans it as a two-phase
+        // SortAggregate whose MAP-SIDE PARTIAL collapses each scan task to
+        // <= 1 row per key BEFORE the exchange — per-task in-memory sorts
+        // of split-bounded chunks, minimum shuffle bytes, skew-immune (a
+        // hot key collapses per task). Profiled at sf10 against (a) the
+        // graft_latest two-phase hash shape: 7-9x WORSE on many-key
+        // satellites (per-task groups blow the ObjectHashAggregate
+        // fallback threshold) and (b) the clusterBy+graft_latest engine
+        // shape: ~5x worse on wide-payload deep histories (ships the full
+        // history through the exchange; the partial collapse doesn't).
+        // Persistent views also CANNOT reference injected functions
+        // (verifyTemporaryObjectsNotExists), so graft_latest in the text
+        // would break CREATE VIEW outright. PlanSpec pins the collapse
+        // shape (one Exchange, partial aggregate below it, no Window).
         spark.sql(
           s"CREATE OR REPLACE VIEW bv.`${satTable}_cv` AS SELECT $outer FROM " +
             s"(SELECT `$hk`, max(struct($structCols)) AS __r FROM dv.`$satTable` GROUP BY `$hk`) __t")

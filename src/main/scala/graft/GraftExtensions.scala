@@ -22,10 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Plain-SQL DV hash sites get the fused native expression automatically.
     ext.injectOptimizerRule(_ => graft.plans.FuseDvHash)
-    // Plain-SQL max(struct(...)) group aggregates (the bv.<sat>_cv catalog
-    // views, reference users' latest-row SQL) get the hash-based typed
-    // aggregate instead of Spark 4's full-sort SortAggregate demotion.
-    ext.injectOptimizerRule(_ => graft.plans.RewriteMaxStruct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -43,12 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormalizeText(children.head)
       }))
     // graft_latest(struct): max over an orderable struct as a typed
-    // imperative aggregate — plans as ObjectHashAggregate where Spark 4
-    // demotes declarative max(struct(...)) to a full-input SortAggregate.
-    // For ad-hoc SQL / temp views. NOTE: persistent views cannot reference
-    // it (injected functions count as temporary objects under
-    // verifyTemporaryObjectsNotExists) — the bv.<sat>_cv catalog views keep
-    // max(struct(...)) text and rely on RewriteMaxStruct above instead.
+    // imperative aggregate (ObjectHashAggregate) — for ad-hoc SQL / temp
+    // views where the caller KNOWS per-task group cardinality is bounded
+    // (e.g. above an explicit key exchange, the DvOps.currentRows shape).
+    // NOTE 1: persistent views cannot reference it (injected functions
+    // count as temporary objects under verifyTemporaryObjectsNotExists).
+    // NOTE 2: it is NOT a drop-in upgrade over declarative max(struct) on
+    // naturally-partitioned input — the r21 BvProf adjudication (bench/
+    // r21_bvprof_*.log) measured the two-phase hash shape 7-9x SLOWER than
+    // max(struct)'s SortAggregate on a many-keys profile (per-task groups
+    // blow the ObjectHashAggregate fallback threshold, and keys that barely
+    // repeat per task make the partial hash pass pure overhead), while
+    // max(struct)'s map-side partial collapse ships <= 1 row/key/task.
     ext.injectFunction((
       FunctionIdentifier("graft_latest"),
       new ExpressionInfo(classOf[graft.functions.MaxStruct].getName, "graft_latest"),

@@ -228,12 +228,14 @@ object SkewBench {
     println(s"""{"bench":"skew_vault","hot_frac":0.1,${vaultRows.mkString(",")},"sf":"$sfDir"}""")
 
     // ------------------------------------------- bv.<sat>_cv SQL surface (r21)
-    // The qualified catalog view is PLAIN SQL text (Graft.registerBvCurrentView)
-    // — these rows prove the view text plans and performs like the engine
-    // path (DvOps.currentRows) on a hostile key distribution, and show what
-    // the r20 max(struct(...)) text cost: Spark 4 demotes declarative max
-    // over a struct buffer to SortAggregate, sorting the full history on
-    // both sides of the exchange.
+    // The qualified catalog view is PLAIN SQL text (Graft.registerBvCurrentView):
+    // declarative max(struct(...)) — a two-phase SortAggregate whose MAP-SIDE
+    // partial collapses each task to <= 1 row/key before the exchange, so a
+    // hot key is collapse-bounded per task (skew-immune) and shuffle bytes
+    // are minimal. The contrast row is the two-phase graft_latest HASH shape
+    // (the r21 candidate rewrite, rejected by measurement): on this many-key
+    // profile the per-task group count blows the ObjectHashAggregate
+    // fallback threshold and it runs 5-10x slower (see bench/r21_bvprof_*).
     sat.createOrReplaceTempView("skew_sat")
     val bvCols = "`load_dts`, `run_id`, `hash_diff`, `l_partkey`, `l_suppkey`, `l_quantity`"
     def bvViewSql(aggFn: String): String =
@@ -241,22 +243,10 @@ object SkewBench {
         s"__r.`l_suppkey`, __r.`l_quantity` FROM " +
         s"(SELECT `__nk`, $aggFn(struct($bvCols)) AS __r FROM skew_sat GROUP BY `__nk`) __t"
     val bvRows = Seq(
-      // the production view shape: max(struct) TEXT + RewriteMaxStruct rule
-      // → graft_latest ObjectHashAggregate, partial collapse per map task
-      // before the exchange (skew-immune like sat_current_partial above)
-      runSkew("bv_cv_sql_max_struct_rewritten") { spark.sql(bvViewSql("max")) },
-      // the explicit function spelling (ad-hoc SQL surface) — same plan
-      runSkew("bv_cv_sql_graft_latest") { spark.sql(bvViewSql("graft_latest")) },
-      // the r20 shape: rule gated off, declarative max(struct) →
-      // SortAggregate sorting the full history on both exchange sides.
-      // Conf toggled AROUND the timed run (the rule reads it at
-      // optimization time, which happens inside the write action).
-      {
-        spark.conf.set("spark.graft.rewriteMaxStruct", "false")
-        val r = runSkew("bv_cv_sql_max_struct_unrewritten") { spark.sql(bvViewSql("max")) }
-        spark.conf.set("spark.graft.rewriteMaxStruct", "true")
-        r
-      }
+      // the production view shape: partial-collapse SortAggregate
+      runSkew("bv_cv_sql_max_struct") { spark.sql(bvViewSql("max")) },
+      // the rejected candidate: two-phase hash aggregate on natural input
+      runSkew("bv_cv_sql_graft_latest") { spark.sql(bvViewSql("graft_latest")) }
     )
     println(s"""{"bench":"skew_bv_cv","hot_frac":0.1,${bvRows.mkString(",")},"sf":"$sfDir"}""")
 

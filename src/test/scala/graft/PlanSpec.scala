@@ -414,13 +414,18 @@ class PlanSpec extends SparkSpec {
     assert(count[SortAggregateExec](q) == 0, plan(q))
   }
 
-  test("bv.<sat>_cv catalog view: latest-row via graft_latest hash aggregate — no sort") {
+  test("bv.<sat>_cv catalog view: latest-row via partial-collapse aggregate — one exchange") {
     // The QUALIFIED catalog surface (plain-SQL view text, reference users'
-    // `bv.<sat>_cv` habit) must plan the same ObjectHashAggregate shape as
-    // the engine path — the r20 view text used declarative max(struct(...)),
-    // which Spark 4 demotes to a SortAggregate that sorts the full satellite
-    // history on both sides of the exchange (the measured r10 33 s/15.9 GB
-    // spill shape at sf10).
+    // `bv.<sat>_cv` habit) must keep the ADJUDICATED latest-row shape: a
+    // two-phase max(struct(...)) aggregate whose map-side partial collapses
+    // each task to <= 1 row per key BEFORE the single exchange. The r21
+    // BvProf profiling (bench/r21_bvprof_*.log) measured this the best or
+    // tied shape on every profile (many-keys, deep-history, deep+wide) —
+    // the two-phase HASH rewrite regressed many-key satellites 7-9x (per-
+    // task groups blow the ObjectHashAggregate fallback threshold), and
+    // the cluster-first engine shape regressed wide deep histories ~5x
+    // (ships full history through the exchange). A WINDOW shape (rank per
+    // key over full history) must never come back either.
     import graft.meta.{MetaStore, TableColumn, Transition}
     val meta = MetaStore(
       tables = Seq(
@@ -443,38 +448,24 @@ class PlanSpec extends SparkSpec {
       Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
     assert(r.status == "success", r.errors.mkString("; "))
     val q = spark.sql("SELECT * FROM bv.hsat_planbv_customer_cv")
-    assert(plan(q).contains("graft_latest"), plan(q))
-    assert(count[ObjectHashAggregateExec](q) >= 1, plan(q))
-    assert(count[SortAggregateExec](q) == 0, plan(q))
-    assert(count[SortExec](q) == 0, plan(q))
+    // exactly ONE exchange, with the partial aggregate BELOW it (the
+    // map-side collapse is the property that bounds shuffle bytes at 100 TB)
+    assert(count[Exchange](q) == 1, plan(q))
+    assert(plan(q).contains("partial_max"), plan(q))
     assert(count[WindowExec](q) == 0, plan(q))
     // and the view still computes the right rows (one live version per key)
     assert(q.count() == 3)
   }
 
-  test("RewriteMaxStruct: plain-SQL max(struct) rewrites to graft_latest; gate restores Max") {
+  test("graft_latest SQL function: resolvable in ad-hoc SQL, hash aggregate, same rows as max") {
     import spark.implicits._
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "v", "p").createOrReplaceTempView("rms_t")
-    val sql = "SELECT k, max(struct(v, p)) AS r FROM rms_t GROUP BY k"
-    val fast = spark.sql(sql)
-    assert(plan(fast).contains("graft_latest"), plan(fast))
+    val fast = spark.sql("SELECT k, graft_latest(struct(v, p)) AS r FROM rms_t GROUP BY k")
     assert(count[ObjectHashAggregateExec](fast) >= 1, plan(fast))
-    assert(count[SortAggregateExec](fast) == 0, plan(fast))
-    val (slowPlan, slowRows) =
-      try {
-        spark.conf.set("spark.graft.rewriteMaxStruct", "false")
-        val slow = spark.sql(sql)
-        (plan(slow), slow.collect().map(_.toString).sorted.toSeq)
-      } finally spark.conf.set("spark.graft.rewriteMaxStruct", "true")
-    assert(!slowPlan.contains("graft_latest"), slowPlan)
-    // identical rows either way — the rewrite must be invisible in results
-    assert(fast.collect().map(_.toString).sorted.toSeq == slowRows)
-    assert(slowRows == Seq("[1,[20,b]]", "[2,[5,c]]"))
-    // DISTINCT and window max(struct) stay declarative (out of rule scope)
-    val win = spark.sql(
-      "SELECT k, max(struct(v, p)) OVER (PARTITION BY k) AS r FROM rms_t")
-    assert(!plan(win).contains("graft_latest"), plan(win))
-    assert(win.count() == 3)
+    val slow = spark.sql("SELECT k, max(struct(v, p)) AS r FROM rms_t GROUP BY k")
+    val rows = Seq("[1,[20,b]]", "[2,[5,c]]")
+    assert(fast.collect().map(_.toString).sorted.toSeq == rows)
+    assert(slow.collect().map(_.toString).sorted.toSeq == rows)
   }
 }
