@@ -214,6 +214,47 @@ object Confs {
         s"$ClaimsRequireAtomicKey must be true|false, got '$other'")
     }
 
+  val LatestShapeKey = "spark.graft.latestShape"
+
+  /** Physical shape of the latest-row-per-key aggregation
+    * ([[graft.dv.DvOps.latestRows]] family): auto | partial | hash.
+    *
+    * `partial` — the declarative two-phase `max(struct(...))`
+    * SortAggregate: the MAP-SIDE partial collapses every scan task to ≤ 1
+    * row per key before the aggregation's own exchange. Structurally safe
+    * on ANY input: no typed-buffer fallback cliff, hot keys collapse per
+    * task, deep histories never cross the wire.
+    *
+    * `hash` — the typed [[graft.dv.DvOps.maxStruct]] ObjectHashAggregate,
+    * paired by the engine's callers with clusterBy sizing. No sort and no
+    * struct re-serialization through the shuffle, but its sort-based
+    * fallback serializes typed buffers per row, so it is only right when
+    * per-task group counts stay bounded (pre-clustered inputs).
+    *
+    * DEFAULT `auto` = each call site's MEASURED-best shape (r21
+    * adjudication, interleaved same-session A/B on the real sf10 lineitem
+    * satellite — bench/r21_latest_sf10.log; the synthetic narrow-payload
+    * BvProf shallow profile mis-ranked the clustered pair, so the real
+    * rows decide):
+    *  - natural-input surfaces (Graft `<sat>_cv` temp views, ad-hoc
+    *    currentRows): partial — 8.2 s vs 110.0 s for natural hash (the
+    *    fallback cliff: ~1.9M groups per scan task vs the 1M threshold);
+    *  - the engine's clusterBy-paired queries (dv_sat_current,
+    *    dv_pit_asof): hash — 17.5 s vs 20.9 s for partial, whose
+    *    struct-serialized shuffle was 3.1 GB vs 1.7 GB raw rows and whose
+    *    per-row struct comparisons cost ~3× the CPU on this
+    *    shallow-history profile. On DEEP or WIDE histories the ranking
+    *    flips hard (partial 11-17 s vs 51-73 s at 16g deepwide;
+    *    10%-hot key 10.1 s vs 83.9 s — bench/r21_bvprof_16g.log,
+    *    bench/r21_skew_sf10.log): a deployment whose satellites carry
+    *    long or hostile histories should set `partial` globally. */
+  def latestShape(conf: RuntimeConfig): String =
+    conf.getOption(LatestShapeKey).getOrElse("auto") match {
+      case m @ ("auto" | "partial" | "hash") => m
+      case other => throw new IllegalArgumentException(
+        s"$LatestShapeKey must be auto|partial|hash, got '$other'")
+    }
+
   /** The `spark.graft.skewGuard` mode itself: off | force | auto.
     *
     * DEFAULT `auto` (flipped r15): the size-gated, file-memoized histogram

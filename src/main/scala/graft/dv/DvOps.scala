@@ -35,9 +35,9 @@ object DvOps {
 
   /** Latest row per hash key: deterministic via (load_dts, run_id, hash_diff)
     * ordering. Partial-aggregating struct `max` — no sort, no window. */
-  def latestRows(sat: DataFrame, hk: String): DataFrame = {
+  def latestRows(sat: DataFrame, hk: String, preferredShape: String = "partial"): DataFrame = {
     val payload = sat.columns.filterNot(_ == hk).toIndexedSeq
-    latestRowsProjected(sat, hk, payload)
+    latestRowsProjected(sat, hk, payload, DefaultOrdering, preferredShape)
       .select(sat.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
@@ -71,9 +71,19 @@ object DvOps {
     * `hash_diff` break ties deterministically. */
   val DefaultOrdering: Seq[String] = Seq("load_dts", "run_id", "hash_diff")
 
+  /** Resolve the effective latest-row shape: an explicit conf value wins;
+    * `auto` (default) takes the call site's measured-best `preferred`
+    * (see [[graft.core.Confs.latestShape]] for the r21 measurements). */
+  private[graft] def resolveLatestShape(sat: DataFrame, preferred: String): String =
+    graft.core.Confs.latestShape(sat.sparkSession.conf) match {
+      case "auto" => preferred
+      case forced => forced
+    }
+
   def latestRowsProjected(
       sat: DataFrame, hk: String, payload: Seq[String],
-      ordering: Seq[String] = DefaultOrdering): DataFrame = {
+      ordering: Seq[String] = DefaultOrdering,
+      preferredShape: String = "partial"): DataFrame = {
     // The ordering is an EXPLICIT contract, not inferred from the schema: a
     // typo'd or mis-projected satellite must fail analysis loudly, not
     // silently degrade to payload-order tiebreaks. Callers whose
@@ -86,9 +96,22 @@ object DvOps {
       s"latestRows ordering columns $missingOrd absent from satellite schema ${sat.columns.toSeq}")
     val ordCols = ordering
     val rest = payload.filterNot(ordCols.contains)
+    val row = struct((ordCols ++ rest).map(col): _*)
+    // Shape dispatch (spark.graft.latestShape — full measured table on
+    // graft.core.Confs.latestShape): `partial` is the declarative
+    // two-phase max(struct) whose map-side partial collapses each task to
+    // ≤ 1 row per key before the exchange — the safe default for
+    // arbitrary input; `hash` is the typed ObjectHashAggregate for
+    // pre-clustered bounded-key inputs (the engine's clusterBy-paired
+    // callers). Both aggregate the SAME struct with the same
+    // field-by-field ordering, so rows out are bit-identical (PlanSpec
+    // pins the equality).
+    val best =
+      if (resolveLatestShape(sat, preferredShape) == "hash") maxStruct(row)
+      else max(row)
     sat
       .groupBy(col(hk))
-      .agg(maxStruct(struct((ordCols ++ rest).map(col): _*)).as("__r"))
+      .agg(best.as("__r"))
       .select(col(hk) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
@@ -475,7 +498,12 @@ object DvOps {
     // whole — semantics identical, but the (expensive, full-payload) max_by
     // aggregation then runs only over the keys actually absent from the
     // batch instead of the whole satellite.
-    val gone = latestRows(absent, satHk)
+    // preferred "hash": the anti-join's exchange already distributes by the
+    // key, so the typed aggregate runs in-place with NO extra exchange and
+    // AQE's byte-sized partitions keep per-task group counts bounded far
+    // under the fallback threshold (~40k/task at sf10) — the pre-clustered
+    // regime where hash measured best (r21, Confs.latestShape).
+    val gone = latestRows(absent, satHk, preferredShape = "hash")
       .filter(!col("del_flag"))
     gone.select(
       (Seq(
@@ -489,12 +517,20 @@ object DvOps {
     )
   }
 
-  /** Current view: latest satellite row per key (all columns). */
-  def currentRows(sat: DataFrame, satHk: String): DataFrame = latestRows(sat, satHk)
+  /** Current view: latest satellite row per key (all columns).
+    * `preferredShape` is the shape `latestShape=auto` resolves to (see
+    * [[graft.core.Confs.latestShape]]): the default `partial` is the safe
+    * shape for arbitrary (natural) input — the r21 A/B measured natural
+    * hash at 110.0 s vs 8.2 s partial on the sf10 satellite (typed-buffer
+    * fallback past ~1M groups/task); callers that pre-cluster the input
+    * by the key (bounded per-task groups) pass "hash". */
+  def currentRows(sat: DataFrame, satHk: String, preferredShape: String = "partial"): DataFrame =
+    latestRows(sat, satHk, preferredShape)
 
-  /** Point-in-time view: latest satellite row per key as of `ts` (inclusive). */
-  def asOfRows(sat: DataFrame, satHk: String, ts: Column): DataFrame =
-    latestRows(sat.filter(col("load_dts") <= ts), satHk)
+  /** Point-in-time view: latest satellite row per key as of `ts`
+    * (inclusive). Shape note as [[currentRows]]. */
+  def asOfRows(sat: DataFrame, satHk: String, ts: Column, preferredShape: String = "partial"): DataFrame =
+    latestRows(sat.filter(col("load_dts") <= ts), satHk, preferredShape)
 
   /** PIT table (Data Vault 2.0 query-assistance construct): one row per hub
     * key with, per satellite, the load_dts of the version active as of `ts`

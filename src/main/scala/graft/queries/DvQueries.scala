@@ -334,9 +334,22 @@ object DvQueries {
        |         l_partkey, l_suppkey, l_quantity
        |  FROM lineitem)""".stripMargin
 
-  /** #11: current view — latest row per key, deterministic tiebreak. */
+  /** #11: current view — latest row per key, deterministic tiebreak.
+    * This caller PAIRS clusterBy sizing with the typed hash aggregate —
+    * the r21-measured best on this shallow-history satellite (17.5 s vs
+    * 20.9 s for the partial shape at sf10, whose struct-serialized
+    * shuffle was 3.1 GB vs 1.7 GB raw rows — bench/r21_latest_sf10.log).
+    * An explicit `latestShape=partial` conf (deep/wide/hostile-history
+    * deployments) drops BOTH the clusterBy and the typed aggregate: the
+    * declarative partial collapse replaces the exchange, so clustering
+    * beneath it would ship the full history through an exchange the
+    * partial makes unnecessary. */
+  private def latestClustered(s: SparkSession): Boolean =
+    graft.core.Confs.latestShape(s.conf) != "partial"
+
   def satCurrent(s: SparkSession, dir: String): DataFrame =
-    hashNk(DvOps.currentRows(lineitemSatNat(s, dir), "__nk"))
+    hashNk(DvOps.currentRows(
+      lineitemSatNat(s, dir, clustered = latestClustered(s)), "__nk", preferredShape = "hash"))
 
   val satCurrentSql: String =
     s"""$lineitemSatSqlCte
@@ -346,7 +359,8 @@ object DvQueries {
 
   /** #12: point-in-time view as of 1996-06-01. */
   def pitAsOf(s: SparkSession, dir: String): DataFrame =
-    hashNk(DvOps.asOfRows(lineitemSatNat(s, dir), "__nk", lit(Timestamp.valueOf("1996-06-01 00:00:00"))))
+    hashNk(DvOps.asOfRows(lineitemSatNat(s, dir, clustered = latestClustered(s)), "__nk",
+      lit(Timestamp.valueOf("1996-06-01 00:00:00")), preferredShape = "hash"))
 
   val pitAsOfSql: String =
     s"""$lineitemSatSqlCte

@@ -405,13 +405,49 @@ class PlanSpec extends SparkSpec {
     // aggregation's distribution, so the whole latest-row runs off exactly
     // ONE exchange — a groupBy that re-shuffled after it would show two.
     assert(count[Exchange](q) == 1, plan(q))
-    // graft_latest is a typed imperative aggregate precisely so the planner
-    // picks the hash-based ObjectHashAggregate — a declarative struct max
-    // would silently demote the whole operator to SortAggregate (which
-    // sorts the full 60M-row history on both sides of the exchange).
+    // This caller PAIRS clusterBy with the typed graft_latest hash
+    // aggregate — the r21-measured best on the shallow-history profile
+    // (17.5 vs 20.9 s at sf10; the partial shape's struct-serialized
+    // shuffle was 3.1 GB vs 1.7 GB raw — bench/r21_latest_sf10.log).
     assert(plan(q).contains("graft_latest"), plan(q))
     assert(count[ObjectHashAggregateExec](q) >= 1, plan(q))
     assert(count[SortAggregateExec](q) == 0, plan(q))
+  }
+
+  test("latestShape=partial swaps dv_sat_current to the partial-collapse plan, same rows") {
+    // The conf escape hatch (deep/wide/hostile-history deployments —
+    // Confs.latestShape doc) must drop BOTH the clusterBy exchange and
+    // the typed aggregate: ONE exchange (the aggregation's own) with the
+    // map-side partial_max below it, and the SAME rows out (both shapes
+    // aggregate the same struct with the same field-by-field ordering).
+    val dflt = DvQueries.satCurrent(spark, dir)
+    spark.conf.set(graft.core.Confs.LatestShapeKey, "partial")
+    try {
+      val q = DvQueries.satCurrent(spark, dir)
+      assert(!plan(q).contains("graft_latest"), plan(q))
+      assert(plan(q).contains("partial_max"), plan(q))
+      assert(count[Exchange](q) == 1, plan(q))
+      assert(count[WindowExec](q) == 0, plan(q))
+      val a = q.collect().map(_.toString).sorted
+      val b = dflt.collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"shape changed rows: ${a.length} vs ${b.length}")
+    } finally spark.conf.unset(graft.core.Confs.LatestShapeKey)
+  }
+
+  test("natural-input currentRows defaults to the partial-collapse shape") {
+    // The catalog/temp-view surface calls currentRows on NATURAL input (no
+    // clusterBy). The typed hash aggregate there is the measured
+    // catastrophe (110.0 s vs 8.2 s at sf10 — per-task groups blow the
+    // ObjectHashAggregate fallback threshold and the typed buffers
+    // serialize per row), so auto MUST resolve to partial on this path.
+    import spark.implicits._
+    val sat = Seq(
+      ("k1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), false, "h1", 1L, "old"),
+      ("k1", java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), false, "h2", 2L, "new"))
+      .toDF("hk", "load_dts", "del_flag", "hash_diff", "run_id", "payload")
+    val q = graft.dv.DvOps.currentRows(sat, "hk")
+    assert(plan(q).contains("partial_max"), plan(q))
+    assert(!plan(q).contains("graft_latest"), plan(q))
   }
 
   test("bv.<sat>_cv catalog view: latest-row via partial-collapse aggregate — one exchange") {

@@ -22,6 +22,16 @@ object TestSpark {
     // exchanges (<= 32 buckets) on the cheap bypass path and routes
     // everything wider through the single-file sort writer.
     .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+    // Stall tolerance for this co-tenant host: a measured 281 s whole-JVM
+    // freeze mid-suite (r21, /tmp/r21_sbt_test.log 10:11:05) blew the 120 s
+    // default, the driver dropped the local executor, the heartbeater
+    // exited the JVM (code 56) and the tail of the suite failed on a
+    // stopped SparkContext — all 239 completed tests had passed. In
+    // local mode driver and executor freeze TOGETHER, so a generous
+    // timeout only tolerates host stalls; it cannot mask a real hang
+    // (tests have their own outcomes).
+    .config("spark.network.timeout", "600s")
+    .config("spark.executor.heartbeat.maxFailures", "120")
     .getOrCreate()
 }
 
