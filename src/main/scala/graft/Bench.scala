@@ -187,7 +187,7 @@ object Bench {
     // (r20 review finding).
     val envPinned = sys.env.contains("SPARK_GRAFT_BENCH_PERQUERY")
     val perQueryBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
-      "bench/r21_driver_perquery.json")
+      "bench/r22_driver_perquery.json")
     val perQuery = if (errors.isEmpty) perQueryBase else perQueryBase + ".failed"
     try {
       // a PINNED path on a FAILED run: delete the pinned file so a
@@ -221,40 +221,23 @@ object Bench {
       }
     } catch { case e: Exception => System.err.println(s"[bench] per-query sidecar write to $perQuery failed: $e") }
     // Stop Spark BEFORE printing: the result lines must be the LAST stdout
-    // lines of the process (the driver parses the stdout tail as JSON), and
+    // lines of the process (the driver json-parses the last line), and
     // shutdown logging must not be able to land after them.
     spark.stop()
-    println(line)
-    // The driver archives only a ~2000-char stdout tail and json-parses its
-    // last line; the full-precision 88-query line above is ~4.5 KB and can
-    // never fit. So the TRUE last line is a headline that always fits and
-    // always parses, carrying the per-query medians at the finest
-    // resolution the tail admits, the unit NAMED in the key:
-    //   "q_ms" (integer milliseconds) when the whole line fits, else
-    //   "q_cs" (integer 10 ms units) — r15 measured an 87-entry ms map at
-    //   2023+ chars against the 1970 budget, so cs is the steady state
-    //   until the tail budget grows; 10 ms is far below this host's
-    //   documented 2-3x co-tenant swing, so nothing decision-grade is
-    //   lost — else the "queries_file" pointer (never a decapitated line,
-    //   the BENCH_r07 failure mode). Millisecond precision is always in
-    //   the full line above and BOTH durable sidecars (including the
-    //   committed bench/r20_driver_perquery*.json). total_min lives there
-    //   too — dropped here to buy map room.
-    def qMap(unit: Double) = results.map { case (k, (med, _)) =>
-      jstr(k) + ":" + Math.round(med * unit)
-    }.mkString("{", ",", "}")
-    val compactBase =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)}"""
-    val withMs = compactBase + s""","q_ms":${qMap(1000.0)}}"""
-    val withCs = compactBase + s""","q_cs":${qMap(100.0)}}"""
+    // Headline line FIRST (human-readable total + a queries_file pointer for
+    // anyone reading a truncated log excerpt) ...
     val compact =
-      if (withMs.length <= 1970) withMs
-      else if (withCs.length <= 1970) withCs
-      // pointer only when this run's write landed — else close the line
-      // without it (a stale file at the keyed path is worse than no map)
-      else if (outWritten) compactBase + s""","queries_file":${jstr(out)}}"""
-      else compactBase + "}"
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size}$qualityJson,"sf":${jstr(sfDir)}""" +
+        (if (outWritten) s""","queries_file":${jstr(out)}}""" else "}")
     println(compact)
+    // ... and the FULL one-line JSON (queries + queries_min + quality gates)
+    // LAST: the driver parses the final stdout line, and r20/r21 proved that
+    // a compact total-only final line leaves PERF's per-query comparison
+    // empty (`per_query: {}`, `n_common: 0`) for entire rounds — the r21
+    // verdict's #1 fix is exactly this ordering. The ~4.5 KB length is fine
+    // for the parser; the durable sidecars above still guard against any
+    // stdout truncation (BENCH_r07 lesson).
+    println(line)
     System.out.flush()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

@@ -247,7 +247,15 @@ object Confs {
     *    flips hard (partial 11-17 s vs 51-73 s at 16g deepwide;
     *    10%-hot key 10.1 s vs 83.9 s — bench/r21_bvprof_16g.log,
     *    bench/r21_skew_sf10.log): a deployment whose satellites carry
-    *    long or hostile histories should set `partial` globally. */
+    *    long or hostile histories should set `partial` globally.
+    *
+    * BUILD-TIME LATCH (r21 ADVICE): the conf is read when the DataFrame is
+    * BUILT, so `<sat>_cv` temp views registered by
+    * registerCurrentView/currentView keep the shape active at registration
+    * — set the conf BEFORE initVault/createSat, or call
+    * refreshCurrentViews/compact to re-register under the new value. The
+    * `bv.<sat>_cv` SQL catalog views are shape-fixed view text and ignore
+    * this conf entirely. */
   def latestShape(conf: RuntimeConfig): String =
     conf.getOption(LatestShapeKey).getOrElse("auto") match {
       case m @ ("auto" | "partial" | "hash") => m

@@ -498,11 +498,17 @@ object DvOps {
     // whole — semantics identical, but the (expensive, full-payload) max_by
     // aggregation then runs only over the keys actually absent from the
     // batch instead of the whole satellite.
-    // preferred "hash": the anti-join's exchange already distributes by the
-    // key, so the typed aggregate runs in-place with NO extra exchange and
-    // AQE's byte-sized partitions keep per-task group counts bounded far
-    // under the fallback threshold (~40k/task at sf10) — the pre-clustered
-    // regime where hash measured best (r21, Confs.latestShape).
+    // preferred "hash": when the anti-join plans as a SHUFFLE join its
+    // exchange already distributes by the key, so the typed aggregate runs
+    // in-place with NO extra exchange and AQE's byte-sized partitions keep
+    // per-task group counts bounded far under the fallback threshold
+    // (~40k/task at sf10) — the pre-clustered regime where hash measured
+    // best (r21, Confs.latestShape). CAVEAT (r21 ADVICE): if AQE BROADCASTS
+    // the (typically small) distinct staged-key side instead, the satellite
+    // keeps scan partitioning and per-task group counts are unbounded —
+    // the natural-input regime where hash hits the ObjectHashAggregate
+    // fallback cliff. A deployment in that regime sets latestShape=partial
+    // (the global override wins over this per-site preference).
     val gone = latestRows(absent, satHk, preferredShape = "hash")
       .filter(!col("del_flag"))
     gone.select(

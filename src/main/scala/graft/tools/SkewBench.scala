@@ -163,14 +163,21 @@ object SkewBench {
       // the dv_sat_current shape: size-scaled key clustering, then the
       // hash-based latest-row aggregate runs partition-local — the hot
       // key's whole history lands in ONE task by construction
+      // preferredShape="hash", EXPLICITLY: currentRows' default flipped to
+      // "partial" in r21, so under auto this arm would silently measure
+      // clusterBy + partial — neutralizing the A/B whose numbers (10.1 s
+      // vs 83.9 s) Confs.latestShape cites (r21 ADVICE). Each arm must
+      // measure exactly the shape its label names.
       runSkew("sat_current_clusterBy") {
-        graft.dv.DvOps.currentRows(graft.core.Tables.clusterBy(sat, "__nk"), "__nk")
+        graft.dv.DvOps.currentRows(
+          graft.core.Tables.clusterBy(sat, "__nk"), "__nk", preferredShape = "hash")
       },
-      // the natural shape: ObjectHashAggregate partial BEFORE the exchange
-      // collapses the hot key to one row per map task — skew-immune, but
-      // pays the partial pass clusterBy exists to avoid on uniform keys
+      // the natural shape: declarative partial max(struct) BEFORE the
+      // exchange collapses the hot key to one row per map task —
+      // skew-immune, but pays the partial pass clusterBy exists to avoid
+      // on uniform keys (currentRows' default preferred shape)
       runSkew("sat_current_partial") {
-        graft.dv.DvOps.currentRows(sat, "__nk")
+        graft.dv.DvOps.currentRows(sat, "__nk", preferredShape = "partial")
       },
       // the guarded production path under auto mode: the sampled key
       // histogram must detect the 10% hot key and skip the clustering —

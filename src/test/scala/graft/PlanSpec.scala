@@ -428,9 +428,12 @@ class PlanSpec extends SparkSpec {
       assert(plan(q).contains("partial_max"), plan(q))
       assert(count[Exchange](q) == 1, plan(q))
       assert(count[WindowExec](q) == 0, plan(q))
-      val a = q.collect().map(_.toString).sorted
-      val b = dflt.collect().map(_.toString).sorted
-      assert(a.sameElements(b), s"shape changed rows: ${a.length} vs ${b.length}")
+      // structural comparison, not Row.toString (which conflates values
+      // that differ only in rendering — r21 ADVICE): same multiset size +
+      // empty set differences both ways
+      assert(q.count() == dflt.count(), "shape changed row count")
+      assert(q.except(dflt).isEmpty && dflt.except(q).isEmpty,
+        "shape changed row values")
     } finally spark.conf.unset(graft.core.Confs.LatestShapeKey)
   }
 

@@ -32,6 +32,21 @@ object TestSpark {
     // (tests have their own outcomes).
     .config("spark.network.timeout", "600s")
     .config("spark.executor.heartbeat.maxFailures", "120")
+    // The r21 driver-side failure happened DESPITE the two confs above: the
+    // stall window it logged was a 54 s StateStore maintenance call (the
+    // background snapshot/cleanup thread streaming suites leave armed at the
+    // default 60 s cadence), stacked on a host freeze. Maintenance is a
+    // pure optimization (snapshot compaction of delta files) — push it past
+    // any plausible suite duration so it can never run, let alone stall,
+    // mid-test. Restart correctness is unaffected: state reload just
+    // replays deltas.
+    .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    // Fewer heartbeat asks during a host freeze: each ask times out after
+    // heartbeatInterval, and a multi-minute stall at the 10 s default burns
+    // through failure budget 6x faster than at 60 s. 120 failures x 60 s
+    // tolerates a 2-hour stall; still far below network.timeout semantics
+    // that matter (local mode: driver and executor freeze together).
+    .config("spark.executor.heartbeatInterval", "60s")
     .getOrCreate()
 }
 
