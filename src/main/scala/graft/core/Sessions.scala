@@ -36,4 +36,17 @@ object Sessions {
       // routes everything wider (>64 — incl. the 128s) through the
       // single-file sort writer.
       .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+      // AQE SMJ→SHJ conversion (guide §3.1): rewrite a planned sort-merge
+      // join to shuffled-hash at runtime when EVERY post-shuffle partition
+      // of the build side is under this size — a per-partition byte gate,
+      // so the per-task hash build is bounded (≤64 MB) at any data scale
+      // and skewed partitions simply keep the SMJ. Default 0 (off).
+      // Adopted r22 after the r21 verdict's #3 interleaved both-orderings
+      // A/B: sf1 neutral (q7/semantic flip sign with ordering), sf10
+      // min-of-warm-reps favors the conversion on all three SMJ rows
+      // (q7 5.29 vs 6.37 s, q5 4.10 vs 4.93 s, dedup_semantic 5.59 vs
+      // 8.27 s) and the SMJ side showed 42-46 s sort-spill outliers under
+      // co-tenant memory pressure that the hash side never hit. Full
+      // 90-query sf0.1 bench A/B'd flat (OPTIMIZATION_r22.md §4).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
 }

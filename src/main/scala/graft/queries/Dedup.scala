@@ -149,13 +149,34 @@ object Dedup {
     // repartition: same parallelism restoration as dedupMinhash — AQE
     // coalesces the groupBy exchange by data size, serializing the
     // CPU-bound shingle map that five operators re-execute.
-    val withSh = reps
+    //
+    // Shingle-reuse exchange: MEASURED AND REJECTED (r22, the r21
+    // verdict's #5). A doc_id-keyed exchange directly above the shingle
+    // map makes every consumer branch read one materialized shuffle
+    // instead of re-running the map (static plan 36 → 16 MapElements),
+    // but the interleaved same-session A/B LOSES in both orderings at
+    // both scales — sf1 warm reps: reuse 4.24/3.72/3.91 s vs recompute
+    // 3.38/2.73/2.77 s; sf0.1 warm reps within noise the same direction —
+    // because the exchange ships the FAT shingle arrays (~3× the
+    // normalized text) while the saved work is an embarrassingly-parallel
+    // CPU pass over the collapsed rep table. Same verdict as the r19
+    // parquet materialization of this table (60% slower). At 100 TB the
+    // ranking only widens: shuffle bytes are the scaling wall (guide
+    // §2.2), per-task CPU is not. `spark.graft.dedup.shingleReuse=true`
+    // keeps the rejected shape runnable for re-measurement (results
+    // identical either way — oracle-green under both).
+    val shingleReuse =
+      s.conf.getOption("spark.graft.dedup.shingleReuse").exists(_.toBoolean)
+    val withSh0 = reps
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("norm"), col("gsz"))
       .as[(Long, String, Long)]
       .map { case (id, n, gs) => (id, TextFns.shinglesOf(n).toSeq, gs) }
       .toDF("doc_id", "sh", "gsz")
       .filter(size(col("sh")) > 0)
+    val withSh =
+      if (shingleReuse) withSh0.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      else withSh0
     val e = withSh.select(col("doc_id"), col("gsz"), explode(col("sh")).as("shingle"))
     // df-capped blocking set: rare shingles only. sum(gsz) = true document
     // frequency over the full corpus (each member counts), so the blocking

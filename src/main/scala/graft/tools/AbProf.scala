@@ -29,6 +29,15 @@ object AbProf {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 16).toString)
       .getOrCreate()
+    // Session-wide extra confs (k=v;k2=v2), applied to BOTH sides — lets
+    // an A/B be REVERSED (set the candidate here, set the old default as
+    // AB_CONF) to rule out within-rep ordering bias.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => sys.error(s"malformed SPARK_GRAFT_EXTRA_CONF token '$kv'")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     // warmup (page cache + codegen first-hit)
     spark.read.parquet(s"$sfDir/region.parquet")

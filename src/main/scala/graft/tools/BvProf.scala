@@ -71,7 +71,12 @@ object BvProf {
 
     base.write.format("noop").mode("overwrite").save() // warm scan
 
+    // Optional comma-separated profile filter (e.g. BVPROF_ONLY=deepwide
+    // for the r22 sf30 confirmation run, where the full grid would take
+    // most of an hour at 3x the rows).
+    val only = sys.env.get("SPARK_GRAFT_BVPROF_ONLY").map(_.split(',').map(_.trim).toSet)
     val profiles = Seq("shallow" -> shallow _, "deep" -> deep _, "deepwide" -> deepwide _)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     for (rep <- 1 to 2; (pname, p) <- profiles) {
       t(s"$pname sortAgg   rep$rep")(sortShape(p()))
       t(s"$pname hashAgg   rep$rep")(hashShape(p()))

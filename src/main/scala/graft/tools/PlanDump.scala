@@ -24,6 +24,14 @@ object PlanDump {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 16).toString)
       .getOrCreate()
+    // same ad-hoc conf hook as Bench (k=v;k2=v2) — lets a conf-gated shape
+    // be dumped as its own before/after pair
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => System.err.println(s"[plandump] ignoring malformed SPARK_GRAFT_EXTRA_CONF token '$kv'")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
