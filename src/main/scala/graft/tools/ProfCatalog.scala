@@ -44,11 +44,18 @@ object ProfCatalog {
         Transition(entity, "c_mktsegment", s"hsat_$entity", "c_mktsegment", "customer_details", 2, raw = false, None, "f"),
         Transition(entity, "customer_hk", s"hsat_$entity", "customer", "customer_details", 0, raw = false, None, "sat_delta")))
 
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     for (rep <- 1 to reps) {
       def phase[A](name: String)(body: => A): A = {
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         val r = body
-        println(f"PROFCAT rep=$rep phase=$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        println(f"PROFCAT rep=$rep phase=$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s  jobs=${jobs.get() - j0}")
         r
       }
       val wall0 = System.nanoTime()
