@@ -152,8 +152,9 @@ object Dedup {
     //
     // Shingle-reuse exchange: MEASURED AND REJECTED (r22, the r21
     // verdict's #5). A doc_id-keyed exchange directly above the shingle
-    // map makes every consumer branch read one materialized shuffle
-    // instead of re-running the map (static plan 36 → 16 MapElements),
+    // map would let every consumer branch read one materialized shuffle
+    // at runtime instead of re-running the map (the plan keeps its 16
+    // static MapElements either way — AQE reuse is a runtime effect),
     // but the interleaved same-session A/B LOSES in both orderings at
     // both scales — sf1 warm reps: reuse 4.24/3.72/3.91 s vs recompute
     // 3.38/2.73/2.77 s; sf0.1 warm reps within noise the same direction —
